@@ -1,0 +1,45 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual XLA devices so the multi-device sharding
+paths are exercised without TPU hardware. Must run before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def tmp_db(tmp_path):
+    """A fresh initialized database."""
+    from facet_tpu.db.schema import init_database
+
+    path = str(tmp_path / "test.db")
+    init_database(path)
+    return path
+
+
+@pytest.fixture
+def tmp_config(tmp_path):
+    """A fresh default scoring config on disk."""
+    from facet_tpu.config.default_config import write_default_config
+
+    path = str(tmp_path / "scoring_config.json")
+    write_default_config(path)
+    return path
+
+
+@pytest.fixture
+def scoring_config(tmp_config):
+    from facet_tpu.config.scoring_config import ScoringConfig
+
+    return ScoringConfig(tmp_config)
