@@ -1,0 +1,66 @@
+"""Exact OpenCV-parity color conversions as device ops.
+
+OpenCV converts 8-bit images with fixed-point integer arithmetic, not float
+math. To reproduce the reference's metric values bit-for-bit (the reference
+feeds cv2.cvtColor outputs into every technical metric — analyzers/
+technical.py:33,63,118) we implement the same fixed-point formulas in int32:
+
+- gray  = (R*9798 + G*19235 + B*3735 + 2^14) >> 15          (verified vs cv2)
+- HSV   = the hsv_shift=12 table formulation: S and H use 256-entry
+          reciprocal tables round((255<<12)/v) and round((180<<12)/(6v))
+          with round-half-up descaling.                      (verified vs cv2)
+
+All functions take RGB uint8 arrays of shape (..., 3) and are jit-safe.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+_HSV_SHIFT = 12
+_HALF = 1 << (_HSV_SHIFT - 1)
+
+
+def _make_tables():
+    idx = np.arange(256, dtype=np.float64)
+    sdiv = np.zeros(256, np.int32)
+    hdiv = np.zeros(256, np.int32)
+    # round-half-away-from-zero, like OpenCV's saturate_cast<int>
+    sdiv[1:] = np.floor((255 << _HSV_SHIFT) / idx[1:] + 0.5).astype(np.int32)
+    hdiv[1:] = np.floor((180 << _HSV_SHIFT) / (6.0 * idx[1:]) + 0.5).astype(np.int32)
+    return sdiv, hdiv
+
+
+_SDIV_TABLE, _HDIV_TABLE = _make_tables()
+
+
+def rgb_to_gray(rgb):
+    """uint8 RGB (..., 3) -> int32 gray (...) in [0, 255], exact cv2 parity."""
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    return (r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15
+
+
+def rgb_to_hsv(rgb):
+    """uint8 RGB (..., 3) -> (h, s, v) int32 tuple, exact cv2 8-bit parity.
+
+    h in [0, 180), s and v in [0, 255].
+    """
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - vmin
+
+    sdiv = jnp.asarray(_SDIV_TABLE)
+    hdiv = jnp.asarray(_HDIV_TABLE)
+    s = (diff * jnp.take(sdiv, v) + _HALF) >> _HSV_SHIFT
+
+    h_num = jnp.where(
+        v == r, g - b,
+        jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff),
+    )
+    h = (h_num * jnp.take(hdiv, diff) + _HALF) >> _HSV_SHIFT
+    h = jnp.where(h < 0, h + 180, h)
+    return h, s, v

@@ -6,7 +6,7 @@ paths are exercised without TPU hardware. Must run before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon harness registers the TPU backend from sitecustomize and pins the
+# platform before env vars are consulted; config.update is the reliable
+# override to get the deterministic 8-virtual-device CPU platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
