@@ -1,0 +1,193 @@
+"""CLIP vision + text towers in flax (ViT-L/14 by default).
+
+Native JAX implementation of the architecture the reference consumes through
+open_clip (processing/scorer.py:506-531: ViT-L-14 / laion2b_s32b_b82k).
+Pre-norm transformer, learned position embeddings, class token, final
+layer-norm and linear projection; text tower pools at the EOT (argmax) token
+with a causal mask.
+
+TPU notes: compute dtype is bf16 by default (params stay f32); attention is
+plain dot-product — at 257/77 tokens XLA's fused attention is already optimal,
+flash-style tiling buys nothing at this sequence length. Batches shard over
+the mesh's data axis via facet_tpu.parallel.
+"""
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: float = 4.0
+    projection_dim: int = 768
+
+    @property
+    def grid(self):
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self):
+        return self.grid * self.grid + 1
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    projection_dim: int = 768
+
+
+class Attention(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        head_dim = self.width // self.heads
+        dense = lambda name: nn.Dense(self.width, dtype=self.dtype, name=name)
+        q = dense("q_proj")(x)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.heads, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
+        if mask is not None:
+            logits = logits + mask
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = out.reshape(*out.shape[:-2], self.width)
+        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+
+
+class MLP(nn.Module):
+    width: int
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.width, dtype=self.dtype, name="fc2")(x)
+
+
+class Block(nn.Module):
+    width: int
+    heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
+        x = x + Attention(self.width, self.heads, self.dtype, name="attn")(y, mask)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
+        return x + MLP(self.width, int(self.width * self.mlp_ratio),
+                       self.dtype, name="mlp")(y)
+
+
+class CLIPVisionTower(nn.Module):
+    """Image -> projected feature vector (e.g. 768-d for ViT-L/14)."""
+
+    config: CLIPVisionConfig = CLIPVisionConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, pixels):
+        """pixels: (B, H, W, 3) float32, already CLIP-normalized."""
+        cfg = self.config
+        # Patchify as a strided conv (maps straight onto the MXU)
+        x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+                    dtype=self.dtype, name="patch_embed")(pixels.astype(self.dtype))
+        b = x.shape[0]
+        x = x.reshape(b, cfg.grid * cfg.grid, cfg.width)
+
+        cls_token = self.param("class_embedding", nn.initializers.normal(0.02),
+                               (cfg.width,))
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, cfg.width))
+        x = jnp.concatenate([cls, x], axis=1)
+
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (cfg.seq_len, cfg.width))
+        x = x + pos.astype(self.dtype)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        for i in range(cfg.layers):
+            x = Block(cfg.width, cfg.heads, cfg.mlp_ratio, self.dtype,
+                      name=f"block_{i}")(x)
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0])
+        proj = self.param("projection", nn.initializers.normal(cfg.width ** -0.5),
+                          (cfg.width, cfg.projection_dim))
+        return (pooled @ proj).astype(jnp.float32)
+
+
+class CLIPTextTower(nn.Module):
+    """Token ids -> projected feature vector, pooled at the EOT token."""
+
+    config: CLIPTextConfig = CLIPTextConfig()
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, token_ids):
+        cfg = self.config
+        embed = self.param("token_embedding", nn.initializers.normal(0.02),
+                           (cfg.vocab_size, cfg.width))
+        x = jnp.take(embed, token_ids, axis=0).astype(self.dtype)
+        pos = self.param("position_embedding", nn.initializers.normal(0.01),
+                         (cfg.context_length, cfg.width))
+        x = x + pos[: x.shape[1]].astype(self.dtype)
+
+        seq = x.shape[1]
+        causal = jnp.triu(jnp.full((seq, seq), -1e9, jnp.float32), k=1)[None, None]
+        for i in range(cfg.layers):
+            x = Block(cfg.width, cfg.heads, cfg.mlp_ratio, self.dtype,
+                      name=f"block_{i}")(x, causal)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
+        eot = jnp.argmax(token_ids, axis=-1)  # highest id = EOT marker
+        pooled = x[jnp.arange(x.shape[0]), eot]
+        proj = self.param("projection", nn.initializers.normal(cfg.width ** -0.5),
+                          (cfg.width, cfg.projection_dim))
+        return (pooled @ proj).astype(jnp.float32)
+
+
+# CLIP preprocessing constants (open_clip defaults)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_uint8(rgb_u8):
+    """(B, 224, 224, 3) uint8 -> CLIP-normalized float32 (jit-safe)."""
+    x = rgb_u8.astype(jnp.float32) / 255.0
+    return (x - CLIP_MEAN) / CLIP_STD
+
+
+def init_vision_params(rng_seed=0, config=CLIPVisionConfig(), dtype=jnp.bfloat16):
+    """Deterministic random init (offline fallback when no checkpoint)."""
+    model = CLIPVisionTower(config, dtype)
+    dummy = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)
+    return model, model.init(jax.random.PRNGKey(rng_seed), dummy)
+
+
+def init_text_params(rng_seed=0, config=CLIPTextConfig(), dtype=jnp.bfloat16):
+    model = CLIPTextTower(config, dtype)
+    dummy = jnp.zeros((1, config.context_length), jnp.int32)
+    return model, model.init(jax.random.PRNGKey(rng_seed), dummy)
