@@ -27,6 +27,16 @@ Architecture (TPU-first, not a port):
 - ``facet_tpu.web``        — stdlib WSGI micro-framework + JSON API routers.
 """
 
+import os as _os
+
+if _os.environ.get("FACET_PLATFORM"):
+    # Harnesses that register a TPU backend at interpreter start can pin the
+    # platform before JAX_PLATFORMS is consulted; this is the reliable
+    # override (e.g. FACET_PLATFORM=cpu for hardware-free runs).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FACET_PLATFORM"])
+
 __version__ = "0.1.0"
 
 DEFAULT_DB_PATH = "photo_scores_pro.db"

@@ -58,6 +58,55 @@ def _moments_from_hist(counts, values):
     return float(n), mean, var
 
 
+def exposure_from_histogram_blob(blob, shadow_threshold=0.15, highlight_threshold=0.10):
+    """Re-derive exposure metrics from a stored 256-float32 histogram blob.
+
+    Used by --recompute-average so scores refresh without reading images
+    (reference: processing/scorer.py:1249-1269). Returns None for malformed
+    blobs.
+    """
+    if blob is None or len(blob) != 256 * 4:
+        return None
+    hist_norm = np.frombuffer(blob, dtype=np.float32).astype(np.float64)
+    total = hist_norm.sum()
+    if total <= 0:
+        return None
+    hist_norm = hist_norm / total  # stored normalized; re-normalize defensively
+
+    mean_val = float(np.sum(_BIN_VALUES * hist_norm))
+    spread = float(np.sqrt(np.sum(((_BIN_VALUES - mean_val) ** 2) * hist_norm)))
+    mean_luminance = mean_val / 255.0
+    shadow_mass = float(hist_norm[:30].sum())
+    highlight_mass = float(hist_norm[225:].sum())
+    lower_third = float(hist_norm[:85].sum())
+    upper_third = float(hist_norm[170:].sum())
+    is_silhouette = 1 if (lower_third > 0.35 and upper_third > 0.25) else 0
+    try:
+        from scipy.stats import kurtosis
+
+        bimodality = float(-kurtosis(hist_norm.astype(np.float32) * 256, fisher=True))
+    except (ImportError, ValueError):
+        bimodality = 0.0
+
+    luminance_penalty = abs(mean_luminance - 0.5) * 8
+    spread_bonus = min(4.0, spread / 20.0)
+    bimodality_penalty = max(0.0, bimodality - 1.0) * 0.6
+    clipping_penalty = 0.0
+    if not is_silhouette:
+        clipping_penalty = shadow_mass * 4.0 + highlight_mass * 5.0
+    exposure_score = max(0.0, min(10.0, 7.0 - luminance_penalty + spread_bonus
+                                  - bimodality_penalty - clipping_penalty))
+    return {
+        "histogram_spread": round(spread, 4),
+        "mean_luminance": round(mean_luminance, 4),
+        "histogram_bimodality": round(bimodality, 4),
+        "exposure_score": round(exposure_score, 2),
+        "shadow_clipped": 1 if shadow_mass > shadow_threshold else 0,
+        "highlight_clipped": 1 if highlight_mass > highlight_threshold else 0,
+        "is_silhouette": is_silhouette,
+    }
+
+
 class TechnicalAnalyzer:
     """Batched technical metric computation.
 

@@ -74,6 +74,12 @@ class AestheticScorer:
 
     # ------------------------------------------------------------- public
 
+    def host_params(self):
+        """numpy param trees for the model manager's host-RAM cache."""
+        to_host = lambda t: jax.tree.map(np.asarray, t)
+        return {"vision": to_host(self.vision_params),
+                "head": to_host(self.head_params)}
+
     def preprocess(self, images_u8):
         """List of RGB uint8 arrays -> (B, 224, 224, 3) f32 crop batch.
 

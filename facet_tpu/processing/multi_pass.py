@@ -1,0 +1,227 @@
+"""Chunked multi-pass processing: the default scan mode.
+
+Design (reference: processing/multi_pass.py:47-1028, re-planned for TPU):
+- detect per-device HBM -> select ensemble members for the profile -> bin-pack
+  them into passes against the HBM budget (one pass fits everything on a
+  16 GB v5e unless a 7B VLM is enabled);
+- per chunk (auto-tuned 10-500 images): host does ALL CPU work once (decode +
+  EXIF), device computes technical stats + pHash, then each pass group loads
+  its models, runs batched forwards, and unloads (params pinned in host RAM);
+- aggregates + category routing + one-transaction save per chunk;
+- a RAM monitor daemon grows/shrinks the chunk size between chunks.
+
+Phase timings (io / model_load / inference / unload / save) and the model
+RAM-cache hit rate are reported at the end, same vocabulary as the reference.
+"""
+
+import time
+
+import numpy as np
+
+from facet_tpu.processing.metrics_reporter import MetricsReporter
+from facet_tpu.processing.resource_monitor import MultiPassResourceMonitor
+from facet_tpu.utils.exif import get_exif_batch
+from facet_tpu.utils.image_loading import load_image
+from facet_tpu.ops.phash import phash_batch
+
+PASS_NAMES = {
+    "quality": ["clip", "topiq"],
+    "tags": ["clip"],
+    "composition": ["samp_net"],
+    "faces": ["insightface"],
+    "embeddings": ["clip"],
+}
+
+
+class ChunkedMultiPassProcessor:
+    def __init__(self, scorer, model_manager=None, config=None):
+        self.scorer = scorer
+        self.config = config or scorer.config
+        self.models = model_manager or scorer.models
+        processing = self.config.get_processing_settings()
+        tuning = processing.get("auto_tuning", {})
+        self.chunk_size = processing.get("ram_chunk_size", 100)
+        self.monitor = MultiPassResourceMonitor(
+            chunk_size=self.chunk_size,
+            min_chunk=tuning.get("min_ram_chunk_size", 10),
+            max_chunk=tuning.get("max_ram_chunk_size", 500),
+            memory_limit_percent=tuning.get("memory_limit_percent", 85),
+            model_manager=self.models,
+        )
+        self.phase_times = {"io": 0.0, "model_load": 0.0, "inference": 0.0,
+                            "unload": 0.0, "aggregate": 0.0, "save": 0.0}
+        self.selected_models = None
+        self.passes = None
+
+    # -------------------------------------------------------------- planning
+
+    def detect_and_configure(self, verbose=True):
+        hbm = self.models.hbm_gb
+        self.selected_models = self.models.select_models(self.config)
+        self.passes = self.models.group_passes(self.selected_models)
+        if verbose:
+            mode = f"{hbm:.1f} GB HBM" if hbm > 0 else "CPU mode"
+            print(f"multi-pass: {mode}, models {self.selected_models}, "
+                  f"{len(self.passes)} pass(es): {self.passes}")
+        return self.passes
+
+    # ------------------------------------------------------------- chunk IO
+
+    def _load_chunk(self, paths):
+        """Decode + EXIF for one chunk. Returns (paths, images, pils, exif)."""
+        t0 = time.time()
+        images, pils, ok = [], [], []
+        for path in paths:
+            pil = load_image(path)
+            if pil is None:
+                continue
+            arr = np.asarray(pil, dtype=np.uint8)
+            if arr.ndim != 3 or arr.shape[2] != 3 or min(arr.shape[:2]) < 3:
+                continue
+            ok.append(path)
+            images.append(arr)
+            pils.append(pil)
+        exif = get_exif_batch(ok) if ok else {}
+        self.phase_times["io"] += time.time() - t0
+        return ok, images, pils, exif
+
+    # ---------------------------------------------------------------- passes
+
+    def _run_pass_group(self, group, state):
+        """Run one pass group's models over the chunk state."""
+        for name in group:
+            t0 = time.time()
+            try:
+                model = self.models.load_model(name)
+            except Exception as exc:
+                print(f"  pass {name}: unavailable ({exc}); skipping")
+                continue
+            self.phase_times["model_load"] += time.time() - t0
+
+            t0 = time.time()
+            if name == "clip":
+                results = model.score_batch(state["images"])
+                state["aesthetics"] = results
+            elif name == "topiq":
+                state["topiq"] = model.score_batch(state["images"])
+            elif name == "samp_net":
+                state["samp"] = model.score_batch(state["images"])
+            elif name in ("insightface",):
+                state["faces"] = model.analyze_batch(state["images"])
+            elif name in ("vlm_tagger", "qwen3_vl_tagger"):
+                state["vlm_tags"] = model.tag_batch(state["pils"])
+            self.phase_times["inference"] += time.time() - t0
+
+    def _unload_pass_group(self, group):
+        t0 = time.time()
+        for name in group:
+            self.models.unload_model(name)
+        self.phase_times["unload"] += time.time() - t0
+
+    # ----------------------------------------------------------- chunk logic
+
+    def _device_prepass(self, state):
+        """Technical stats + pHash (always-on device work, not model-gated)."""
+        from facet_tpu.ops.stats import compute_batch_stats
+
+        t0 = time.time()
+        stats = compute_batch_stats(state["images"])
+        state["tech"] = [self.scorer.technical.metrics_from_stats(s) for s in stats]
+        state["phash"] = phash_batch(state["images"])
+        self.phase_times["inference"] += time.time() - t0
+
+    # ---------------------------------------------------------------- public
+
+    def process_directory(self, paths, verbose=True):
+        """Score a list of paths chunk by chunk. Returns processed count."""
+        if self.passes is None:
+            self.detect_and_configure(verbose=verbose)
+        reporter = MetricsReporter(len(paths), label="multi-pass scan")
+        self.monitor.chunk_size = self.chunk_size
+        self.monitor.start()
+        processed = 0
+        try:
+            pos = 0
+            while pos < len(paths):
+                size = max(1, self.monitor.chunk_size)
+                chunk = paths[pos:pos + size]
+                pos += len(chunk)
+                processed += self._process_chunk(chunk)
+                reporter.update(processed=processed)
+        finally:
+            self.monitor.stop()
+        if verbose:
+            reporter.summary(self.phase_times, self.models.cache_stats())
+        return processed
+
+    def _process_chunk(self, paths):
+        """Full per-chunk pipeline: IO, device prepass, model passes, save."""
+        ok, images, pils, exif = self._load_chunk(paths)
+        if not ok:
+            return 0
+        n = len(ok)
+        state = {"paths": ok, "images": images, "pils": pils,
+                 "aesthetics": [(None, None)] * n, "faces": [None] * n,
+                 "topiq": None, "samp": None, "vlm_tags": None}
+        self._device_prepass(state)
+
+        multiple_passes = len(self.passes) > 1
+        for group in self.passes:
+            self._run_pass_group(group, state)
+            if multiple_passes:
+                self._unload_pass_group(group)
+
+        t0 = time.time()
+        tag_lists = [[] for _ in range(n)]
+        if self.config.get_tagging_settings().get("enabled", True):
+            blobs = [b for _, b in state["aesthetics"]]
+            if any(b is not None for b in blobs):
+                present = [b for b in blobs if b is not None]
+                tagged = iter(self.scorer.tagger.tag_embedding_bytes(present))
+                tag_lists = [next(tagged) if b is not None else [] for b in blobs]
+
+        rows = []
+        for i, path in enumerate(ok):
+            row = self.scorer.assemble_row(
+                path, images[i], pils[i], exif.get(path, {}), state["tech"][i],
+                state["phash"][i], state["aesthetics"][i], state["faces"][i],
+                tag_lists[i])
+            if state["topiq"] is not None:
+                row["topiq_score"] = state["topiq"][i]
+                row["quality_score"] = state["topiq"][i]
+                row["scoring_model"] = "topiq"
+            if state["samp"] is not None:
+                samp = state["samp"][i]
+                row["comp_score"] = samp["score"]
+                row["composition_pattern"] = samp["pattern"]
+            rows.append(row)
+        self.phase_times["aggregate"] += time.time() - t0
+
+        t0 = time.time()
+        self.scorer.save_photos_batch(rows)
+        self.phase_times["save"] += time.time() - t0
+        return n
+
+    def run_single_pass(self, paths, pass_name, verbose=True):
+        """--pass quality|tags|composition|faces|embeddings over paths."""
+        if pass_name not in PASS_NAMES:
+            raise ValueError(f"unknown pass '{pass_name}' "
+                             f"(choose from {sorted(PASS_NAMES)})")
+        self.selected_models = [m for m in PASS_NAMES[pass_name]
+                                if m in self.models._factories]
+        self.passes = self.models.group_passes(self.selected_models)
+        if verbose:
+            print(f"single pass '{pass_name}': models {self.selected_models}")
+        return self.process_directory(paths, verbose=verbose)
+
+    @staticmethod
+    def list_available_models():
+        from facet_tpu.models.model_manager import ModelManager
+
+        rows = ModelManager.list_available_models()
+        print(f"{'model':<18} {'task':<12} {'SRCC':<6} {'HBM GB':<7} description")
+        for name, task, srcc, hbm, desc in rows:
+            srcc_s = f"{srcc:.2f}" if srcc else "-"
+            hbm_s = f"{hbm:.1f}" if hbm else "-"
+            print(f"{name:<18} {task:<12} {srcc_s:<6} {hbm_s:<7} {desc}")
+        return rows

@@ -1,0 +1,152 @@
+"""EXIF extraction: exiftool subprocess when installed, PIL fallback.
+
+The reference uses a 3-tier chain (persistent exiftool -> subprocess -> PIL,
+processing/scorer.py:1540-1609 + exiftool/exiftool_batch.py). Here exiftool
+is optional: when the binary exists we run chunked batch subprocess calls
+(50 files per invocation, retry with doubled timeout); otherwise PIL's EXIF
+reader covers the standard fields.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+
+from PIL import Image
+from PIL.ExifTags import TAGS
+
+EXIFTOOL_BIN = shutil.which("exiftool")
+_CHUNK = 50
+
+FIELDS = [
+    "date_taken", "camera_model", "lens_model", "iso", "f_stop",
+    "shutter_speed", "focal_length", "focal_length_35mm",
+    "image_width", "image_height",
+]
+
+
+def _empty():
+    return {f: None for f in FIELDS}
+
+
+def get_exif_batch(paths, timeout=30):
+    """{path: exif dict} for many files."""
+    if EXIFTOOL_BIN:
+        out = {}
+        for i in range(0, len(paths), _CHUNK):
+            chunk = paths[i:i + _CHUNK]
+            out.update(_exiftool_chunk(chunk, timeout))
+        return out
+    return {p: get_exif_single(p) for p in paths}
+
+
+def get_exif_single(path):
+    if EXIFTOOL_BIN:
+        result = _exiftool_chunk([path], timeout=15)
+        return result.get(path, _empty())
+    return _pil_exif(path)
+
+
+def _exiftool_chunk(paths, timeout):
+    args = [EXIFTOOL_BIN, "-json", "-n",
+            "-DateTimeOriginal", "-Model", "-LensModel", "-LensID", "-ISO",
+            "-FNumber", "-ExposureTime", "-FocalLength",
+            "-FocalLengthIn35mmFormat", "-ImageWidth", "-ImageHeight"] + paths
+    for attempt in (timeout, timeout * 2):
+        try:
+            proc = subprocess.run(args, capture_output=True, timeout=attempt)
+            records = json.loads(proc.stdout or b"[]")
+            out = {}
+            for rec in records:
+                out[rec.get("SourceFile")] = _standardize_exiftool(rec)
+            return {p: out.get(p, _empty()) for p in paths}
+        except subprocess.TimeoutExpired:
+            continue
+        except Exception:
+            break
+    return {p: _pil_exif(p) for p in paths}
+
+
+def _standardize_exiftool(rec):
+    exif = _empty()
+    date = rec.get("DateTimeOriginal")
+    exif["date_taken"] = str(date) if date else None
+    exif["camera_model"] = rec.get("Model")
+    exif["lens_model"] = rec.get("LensModel") or rec.get("LensID")
+    exif["iso"] = _to_int(rec.get("ISO"))
+    exif["f_stop"] = _to_float(rec.get("FNumber"))
+    et = rec.get("ExposureTime")
+    exif["shutter_speed"] = _format_shutter(et)
+    exif["focal_length"] = _to_float(rec.get("FocalLength"))
+    exif["focal_length_35mm"] = _to_float(rec.get("FocalLengthIn35mmFormat"))
+    exif["image_width"] = _to_int(rec.get("ImageWidth"))
+    exif["image_height"] = _to_int(rec.get("ImageHeight"))
+    return exif
+
+
+def _pil_exif(path):
+    exif = _empty()
+    try:
+        with Image.open(path) as img:
+            exif["image_width"], exif["image_height"] = img.size
+            raw = img.getexif()
+            if not raw:
+                return exif
+            tags = {TAGS.get(k, k): v for k, v in raw.items()}
+            ifd = {}
+            try:
+                ifd_raw = raw.get_ifd(0x8769)  # Exif SubIFD
+                ifd = {TAGS.get(k, k): v for k, v in ifd_raw.items()}
+            except Exception:
+                pass
+            merged = {**tags, **ifd}
+            exif["date_taken"] = _to_str(merged.get("DateTimeOriginal")
+                                         or merged.get("DateTime"))
+            exif["camera_model"] = _to_str(merged.get("Model"))
+            exif["lens_model"] = _to_str(merged.get("LensModel"))
+            exif["iso"] = _to_int(merged.get("ISOSpeedRatings")
+                                  or merged.get("PhotographicSensitivity"))
+            exif["f_stop"] = _to_float(merged.get("FNumber"))
+            exif["shutter_speed"] = _format_shutter(_to_float(merged.get("ExposureTime")))
+            exif["focal_length"] = _to_float(merged.get("FocalLength"))
+            exif["focal_length_35mm"] = _to_int(merged.get("FocalLengthIn35mmFilm"))
+    except Exception:
+        pass
+    return exif
+
+
+def _format_shutter(seconds):
+    """Store shutter speed in the photographic '1/N' text form under 1s."""
+    seconds = _to_float(seconds)
+    if seconds is None or seconds <= 0:
+        return None
+    if seconds >= 1:
+        return str(round(seconds, 4))
+    return f"1/{round(1.0 / seconds)}"
+
+
+def _to_float(v):
+    try:
+        if v is None:
+            return None
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _to_int(v):
+    if isinstance(v, (tuple, list)) and v:
+        v = v[0]
+    try:
+        if v is None:
+            return None
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _to_str(v):
+    if v is None:
+        return None
+    s = str(v).strip().strip("\x00")
+    return s or None

@@ -1,0 +1,221 @@
+#!/usr/bin/env python3
+"""facet_tpu CLI — scan photo libraries and maintain the score database.
+
+TPU-native counterpart of the reference CLI (photos.py): same flag
+vocabulary, same database contract. Default scan mode is chunked multi-pass;
+--single-pass streams through the batch processor; --pass runs one ensemble
+member; recompute modes rework stored raw data without touching images.
+"""
+
+import argparse
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Score photo libraries with the TPU-native ensemble")
+    p.add_argument("directory", nargs="?", help="photo directory to scan")
+    p.add_argument("--db", default=None, help="database path (default photo_scores_pro.db)")
+    p.add_argument("--config", default=None, help="scoring config path")
+
+    scan = p.add_argument_group("scanning")
+    scan.add_argument("--single-pass", action="store_true",
+                      help="streaming batch mode instead of chunked multi-pass")
+    scan.add_argument("--pass", dest="pass_name", default=None,
+                      choices=["quality", "tags", "composition", "faces", "embeddings"],
+                      help="run a single ensemble pass")
+    scan.add_argument("--force", action="store_true", help="rescan already-scored photos")
+    scan.add_argument("--limit", type=int, default=None, help="max photos this run")
+    scan.add_argument("--dry-run", action="store_true",
+                      help="score a sample without writing the database")
+    scan.add_argument("--batch-size", type=int, default=None)
+    scan.add_argument("--workers", type=int, default=None)
+
+    rec = p.add_argument_group("recompute")
+    rec.add_argument("--recompute-average", action="store_true",
+                     help="re-score all aggregates from stored raw data")
+    rec.add_argument("--recompute-tags", action="store_true",
+                     help="re-tag all photos from stored CLIP embeddings")
+    rec.add_argument("--recompute-blinks", action="store_true",
+                     help="re-run blink detection from stored landmarks")
+    rec.add_argument("--recompute-bursts", action="store_true",
+                     help="re-run burst grouping only")
+
+    faces = p.add_argument_group("faces")
+    faces.add_argument("--extract-faces", action="store_true",
+                       help="extract faces for photos missing face rows")
+    faces.add_argument("--cluster-faces", action="store_true",
+                       help="incremental person clustering")
+    faces.add_argument("--cluster-faces-force", action="store_true",
+                       help="wipe persons and recluster everything")
+    faces.add_argument("--refill-face-thumbnails", action="store_true")
+
+    misc = p.add_argument_group("misc")
+    misc.add_argument("--detect-duplicates", action="store_true")
+    misc.add_argument("--list-models", action="store_true")
+    misc.add_argument("--validate-categories", action="store_true")
+    misc.add_argument("--export", choices=["csv", "json"], default=None)
+    misc.add_argument("--export-path", default=None)
+    misc.add_argument("--compute-recommendations", action="store_true",
+                      help="analyze scoring health and propose config changes")
+    misc.add_argument("--apply", action="store_true",
+                      help="apply recommendations (with --compute-recommendations)")
+    misc.add_argument("--simulate", action="store_true",
+                      help="simulate recommendations (with --compute-recommendations)")
+    misc.add_argument("--vacuum", action="store_true", help="vacuum/analyze the database")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from facet_tpu.config.scoring_config import ScoringConfig
+    from facet_tpu.db.connection import resolve_db_path
+
+    db_path = resolve_db_path(args.db)
+    config = ScoringConfig(args.config)
+
+    if args.list_models:
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        ChunkedMultiPassProcessor.list_available_models()
+        return 0
+
+    if args.validate_categories:
+        ok, issues = config.validate_categories(verbose=True)
+        return 0 if ok else 1
+
+    if args.vacuum:
+        from facet_tpu.db.maintenance import vacuum_database
+
+        vacuum_database(db_path)
+        return 0
+
+    if args.recompute_average:
+        from facet_tpu.processing.scorer import Facet
+        from facet_tpu.utils.burst import process_bursts
+
+        scorer = Facet(db_path, config)
+        n = scorer.update_all_aggregates(verbose=True)
+        process_bursts(db_path, config)
+        print(f"recomputed {n} aggregates")
+        return 0
+
+    if args.recompute_tags:
+        from facet_tpu.processing.scorer import Facet
+        from facet_tpu.utils.burst import process_bursts
+
+        scorer = Facet(db_path, config, lightweight=True)
+        scorer.retag_from_embeddings(only_untagged=False, verbose=True)
+        scorer.update_all_aggregates(rescore_embeddings=False, verbose=True)
+        process_bursts(db_path, config)
+        return 0
+
+    if args.recompute_bursts:
+        from facet_tpu.utils.burst import process_bursts
+
+        leads = process_bursts(db_path, config)
+        print(f"burst processing complete: {leads} leads")
+        return 0
+
+    if args.recompute_blinks:
+        from facet_tpu.faces.blink import recompute_blinks
+
+        n = recompute_blinks(db_path, config)
+        print(f"re-evaluated blinks for {n} photos")
+        return 0
+
+    if args.detect_duplicates:
+        from facet_tpu.utils.duplicate import detect_duplicates
+
+        detect_duplicates(db_path, config)
+        return 0
+
+    if args.extract_faces or args.cluster_faces or args.cluster_faces_force \
+            or args.refill_face_thumbnails:
+        from facet_tpu.faces import cli_face_ops
+
+        return cli_face_ops(db_path, config, args)
+
+    if args.compute_recommendations:
+        from facet_tpu.config.percentile_normalizer import run_recommendations
+
+        return run_recommendations(db_path, config, apply=args.apply,
+                                   simulate=args.simulate)
+
+    if args.export:
+        from facet_tpu.utils.export import export_photos
+
+        out = export_photos(db_path, args.export, args.export_path)
+        print(f"exported to {out}")
+        return 0
+
+    # -------- scanning path --------
+    if not args.directory:
+        build_parser().print_help()
+        return 1
+    if not os.path.isdir(args.directory):
+        print(f"error: {args.directory} is not a directory", file=sys.stderr)
+        return 1
+
+    from facet_tpu.processing.scorer import Facet
+    from facet_tpu.utils.image_loading import gather_image_files
+
+    scorer = Facet(db_path, config, multi_pass=not args.single_pass)
+    scanning = config.get_scanning_settings()
+    files = gather_image_files(args.directory,
+                               skip_hidden=scanning.get("skip_hidden_directories", True))
+    if not args.force and not args.dry_run:
+        done = scorer.get_already_scanned_set()
+        files = [f for f in files if os.path.abspath(f) not in done and f not in done]
+    files = [os.path.abspath(f) for f in files]
+    if args.limit:
+        files = files[: args.limit]
+    if not files:
+        print("nothing to scan (all photos already scored; --force to rescan)")
+        return 0
+    print(f"found {len(files)} photos to process")
+
+    if args.dry_run:
+        sample = files[: min(10, len(files))]
+        rows, errors = scorer.score_paths(sample)
+        print(f"{'file':<40} {'aggregate':<10} {'aesthetic':<10} {'category'}")
+        for row in rows:
+            aes = f"{row['aesthetic']:.2f}" if row["aesthetic"] is not None else "-"
+            print(f"{os.path.basename(row['path'])[:39]:<40} "
+                  f"{row['aggregate']:<10.2f} {aes:<10} {row['category']}")
+        for path, err in errors.items():
+            print(f"{os.path.basename(path)[:39]:<40} ERROR: {err}")
+        return 0
+
+    if args.pass_name:
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        proc = ChunkedMultiPassProcessor(scorer)
+        proc.run_single_pass(files, args.pass_name)
+    elif args.single_pass:
+        from facet_tpu.processing.batch_processor import BatchProcessor
+
+        proc = BatchProcessor(scorer, batch_size=args.batch_size,
+                              num_workers=args.workers)
+        proc.process_stream(files)
+    else:
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        proc = ChunkedMultiPassProcessor(scorer)
+        proc.process_directory(files)
+
+    # post-scan: burst grouping + tag backfill from stored embeddings
+    from facet_tpu.utils.burst import process_bursts
+
+    process_bursts(db_path, config)
+    try:
+        scorer.retag_from_embeddings(only_untagged=True, verbose=True)
+    except Exception as exc:
+        print(f"tag backfill skipped: {exc}")
+    print("scan complete")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,230 @@
+"""End-to-end engine tests: scan -> DB rows -> recompute -> bursts -> dupes.
+
+Uses a tiny CLIP architecture override so the full pipeline runs in seconds
+on the CPU test platform.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+TINY_ARCH = {"image_size": 28, "patch_size": 14, "width": 32, "layers": 1,
+             "heads": 2, "projection_dim": 768}
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    from facet_tpu.config.default_config import build_default_config
+    from facet_tpu.config.scoring_config import ScoringConfig
+
+    cfg = build_default_config()
+    cfg["models"]["clip"]["architecture"] = TINY_ARCH
+    cfg["models"]["vram_profile"] = "legacy"
+    path = str(tmp_path / "scoring_config.json")
+    with open(path, "w") as fh:
+        json.dump(cfg, fh)
+    return ScoringConfig(path)
+
+
+@pytest.fixture
+def photo_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "photos"
+    d.mkdir()
+    for i in range(6):
+        arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"img{i}.jpg", quality=90)
+    # a duplicate pair: same image saved twice
+    arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(d / "dup_a.jpg", quality=95)
+    Image.fromarray(arr).save(d / "dup_b.jpg", quality=93)
+    # an unreadable file with an image extension
+    (d / "broken.jpg").write_bytes(b"not an image")
+    return str(d)
+
+
+@pytest.fixture
+def engine(tmp_path, tiny_config):
+    from facet_tpu.processing.scorer import Facet
+
+    return Facet(str(tmp_path / "test.db"), tiny_config)
+
+
+class TestScorePaths:
+    def test_full_scan_writes_complete_rows(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        files = gather_image_files(photo_dir)
+        assert len(files) == 9  # broken.jpg included until load fails
+        rows, errors = engine.score_paths(files)
+        assert len(rows) == 8
+        assert len(errors) == 1
+        engine.save_photos_batch(rows)
+
+        with get_connection(engine.db_path) as conn:
+            db_rows = [dict(r) for r in conn.execute("SELECT * FROM photos")]
+        assert len(db_rows) == 8
+        for r in db_rows:
+            assert r["aggregate"] is not None and 0 <= r["aggregate"] <= 10
+            assert r["aesthetic"] is not None
+            assert r["tech_sharpness"] is not None
+            assert r["exposure_score"] is not None
+            assert r["comp_score"] is not None
+            assert len(r["clip_embedding"]) == 768 * 4
+            assert len(r["histogram_data"]) == 256 * 4
+            assert r["phash"] and len(r["phash"]) == 16
+            assert r["thumbnail"][:2] == b"\xff\xd8"  # JPEG magic
+            assert r["category"] in engine.config.get_all_category_names()
+            assert r["config_version"] == engine.config.version_hash
+            assert r["image_width"] == 128 and r["image_height"] == 96
+
+    def test_already_scanned_set(self, engine, photo_dir):
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        files = [f for f in gather_image_files(photo_dir)
+                 if "broken" not in f][:3]
+        rows, _ = engine.score_paths(files)
+        engine.save_photos_batch(rows)
+        done = engine.get_already_scanned_set()
+        assert set(files) <= done
+
+
+class TestRecompute:
+    def test_update_all_aggregates_idempotent(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        files = [f for f in gather_image_files(photo_dir)
+                 if "broken" not in f][:4]
+        rows, _ = engine.score_paths(files)
+        engine.save_photos_batch(rows)
+        before = {r["path"]: r["aggregate"] for r in rows}
+
+        # without aesthetic rescoring the aggregate must reproduce exactly
+        # (same stored inputs, same math)
+        n = engine.update_all_aggregates(rescore_embeddings=False)
+        assert n == 4
+        with get_connection(engine.db_path) as conn:
+            after = dict(conn.execute("SELECT path, aggregate FROM photos"))
+        for path, score in after.items():
+            assert score == pytest.approx(before[path], abs=0.02), path
+
+        # with aesthetic rescoring (normalized-embedding contract, reference
+        # quirk) the FIRST recompute may shift; the second must be stable
+        engine.update_all_aggregates(rescore_embeddings=True)
+        with get_connection(engine.db_path) as conn:
+            first = dict(conn.execute("SELECT path, aggregate FROM photos"))
+        engine.update_all_aggregates(rescore_embeddings=True)
+        with get_connection(engine.db_path) as conn:
+            second = dict(conn.execute("SELECT path, aggregate FROM photos"))
+        assert first == second
+
+
+class TestBurstsAndDuplicates:
+    def test_duplicates_grouped(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.utils.duplicate import detect_duplicates
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        files = gather_image_files(photo_dir)
+        rows, _ = engine.score_paths(files)
+        engine.save_photos_batch(rows)
+        groups = detect_duplicates(engine.db_path, engine.config, verbose=False)
+        assert groups >= 1
+        with get_connection(engine.db_path) as conn:
+            dup_rows = conn.execute(
+                "SELECT path, is_duplicate_lead FROM photos"
+                " WHERE duplicate_group_id IS NOT NULL").fetchall()
+        paths = {os.path.basename(r[0]) for r in dup_rows}
+        assert {"dup_a.jpg", "dup_b.jpg"} <= paths
+        assert sum(r[1] for r in dup_rows) >= 1  # exactly one lead per group
+
+    def test_bursts_flag_leads(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.utils.burst import process_bursts
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        files = gather_image_files(photo_dir)
+        rows, _ = engine.score_paths(files)
+        # give the duplicate pair burst-adjacent timestamps
+        for row in rows:
+            base = os.path.basename(row["path"])
+            if base == "dup_a.jpg":
+                row["date_taken"] = "2026:01:01 12:00:00"
+            elif base == "dup_b.jpg":
+                row["date_taken"] = "2026:01:01 12:00:02"
+            else:
+                row["date_taken"] = f"2026:03:0{(hash(base) % 9) + 1} 10:00:00"
+        engine.save_photos_batch(rows)
+        process_bursts(engine.db_path, engine.config)
+        with get_connection(engine.db_path) as conn:
+            flags = dict(conn.execute("SELECT path, is_burst_lead FROM photos"))
+        dup_flags = {os.path.basename(p): v for p, v in flags.items()
+                     if "dup_" in p}
+        # the near-identical rapid pair collapses to one lead
+        assert sorted(dup_flags.values()) == [0, 1]
+
+
+class TestMultiPass:
+    def test_chunked_processing(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        proc = ChunkedMultiPassProcessor(engine)
+        proc.chunk_size = 3
+        proc.monitor.chunk_size = 3
+        files = gather_image_files(photo_dir)
+        n = proc.process_directory(files, verbose=False)
+        assert n == 8
+        with get_connection(engine.db_path) as conn:
+            count = conn.execute(
+                "SELECT COUNT(*) FROM photos WHERE aggregate IS NOT NULL").fetchone()[0]
+        assert count == 8
+
+    def test_single_pass_mode(self, engine, photo_dir):
+        from facet_tpu.processing.batch_processor import BatchProcessor
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        proc = BatchProcessor(engine, batch_size=4, num_workers=2)
+        files = gather_image_files(photo_dir)
+        n = proc.process_stream(files, save_interval=5, verbose=False)
+        assert n == 8
+
+    def test_pass_planning(self, engine):
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        proc = ChunkedMultiPassProcessor(engine)
+        passes = proc.detect_and_configure(verbose=False)
+        assert passes  # at least one pass with at least clip
+        assert any("clip" in group for group in passes)
+
+
+class TestModelManager:
+    def test_bin_packing(self):
+        from facet_tpu.models.model_manager import ModelManager
+
+        mm = ModelManager(hbm_gb=16.0)
+        passes = mm.group_passes(["clip", "samp_net", "insightface", "topiq"])
+        assert len(passes) == 1  # all fit in 15 GB budget
+        passes = mm.group_passes(["clip", "vlm_tagger", "topiq"], capacity_gb=19.0)
+        assert len(passes) == 2  # the 18 GB VLM forces its own pass
+        for group in passes:
+            assert sum(mm.requirements(m) for m in group) <= 19.0
+
+    def test_host_ram_cache_roundtrip(self, tiny_config):
+        from facet_tpu.models.model_manager import ModelManager
+
+        mm = ModelManager(tiny_config, hbm_gb=0.0)
+        model = mm.load_model("clip")
+        ref_scores = model.score_from_embeddings_batch(np.eye(768, dtype=np.float32)[:2])
+        mm.unload_model("clip")
+        assert "clip" in mm.cache_stats()["cached_models"]
+        model2 = mm.load_model("clip")
+        again = model2.score_from_embeddings_batch(np.eye(768, dtype=np.float32)[:2])
+        np.testing.assert_allclose(ref_scores, again, atol=1e-6)
+        assert mm.cache_hits == 1
