@@ -26,8 +26,6 @@ import numpy as np
 
 from facet_tpu.ops.stats import ImageStats, compute_batch_stats
 
-_LAP_VALUES = np.arange(2041, dtype=np.float64) - 1020.0
-_IMM_VALUES = np.arange(2041, dtype=np.float64)
 _BIN_VALUES = np.arange(256, dtype=np.float64)
 
 
@@ -172,7 +170,7 @@ class TechnicalAnalyzer:
 
     @staticmethod
     def sharpness_data(stats):
-        _, _, var = _moments_from_hist(stats.lap_hist.astype(np.float64), _LAP_VALUES)
+        var = stats.laplacian_variance()
         return {
             "raw_variance": var,
             "normalized": float(min(10.0, var / 50.0)),
@@ -241,8 +239,7 @@ class TechnicalAnalyzer:
         }
 
     def monochrome_data(self, stats):
-        n, mean_sat, _ = _moments_from_hist(stats.sat_hist.astype(np.float64), _BIN_VALUES)
-        mean_sat = mean_sat / 255.0 if n else 0.0
+        mean_sat = stats.mean_saturation()
         return {
             "is_monochrome": 1 if mean_sat < self.monochrome_threshold else 0,
             "mean_saturation": round(mean_sat, 4),
@@ -260,11 +257,10 @@ class TechnicalAnalyzer:
 
     @staticmethod
     def noise_estimate(stats):
-        abs_sum = float(np.dot(stats.imm_abs_hist.astype(np.float64), _IMM_VALUES))
         h, w = stats.height, stats.width
         if h <= 2 or w <= 2:
             return {"noise_sigma": 0.0}
-        sigma = abs_sum * math.sqrt(0.5 * math.pi) / (6.0 * (w - 2) * (h - 2))
+        sigma = stats.imm_abs_sum * math.sqrt(0.5 * math.pi) / (6.0 * (w - 2) * (h - 2))
         return {"noise_sigma": round(sigma, 2)}
 
     @staticmethod

@@ -1,0 +1,278 @@
+"""Face model stack in flax: detection, landmarks, recognition.
+
+Native JAX counterparts of the ONNX models the reference drives through
+insightface's buffalo_l bundle (analyzers/face.py:29-39):
+
+- SCRFDDetector: anchor-free face detector — ResNet stem + FPN with shared
+  heads at strides 8/16/32, two anchors per cell, distance-to-bbox decoding
+  and 5-point keypoints. Letterboxed 640x640 batched input; NMS on host.
+- LandmarkNet: 106-point 2D landmark regressor on 192x192 aligned crops.
+- IResNet50: ArcFace recognition backbone on 112x112 aligned crops -> 512-d
+  embeddings.
+
+All three run as one batched program each; per-face crops across a whole
+image batch are gathered host-side then embedded in a single device call.
+Random-init fallback keeps the cls bias at a 1% prior so an unconverted
+detector cleanly detects nothing instead of spraying false positives.
+"""
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared conv blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        return nn.relu(x) if self.act else x
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype)(x)
+        y = ConvBN(self.features, 3, 1, act=False, dtype=self.dtype)(y)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = ConvBN(self.features, 1, self.stride, act=False, dtype=self.dtype)(x)
+        return nn.relu(x + y)
+
+
+# ---------------------------------------------------------------------------
+# SCRFD-style detector
+# ---------------------------------------------------------------------------
+
+DET_STRIDES = (8, 16, 32)
+ANCHORS_PER_CELL = 2
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    input_size: int = 640
+    channels: int = 64
+
+
+class SCRFDDetector(nn.Module):
+    config: DetectorConfig = DetectorConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, S, S, 3) float32 normalized. Returns per-stride
+        (scores (B,H,W,A), boxes (B,H,W,A,4), kps (B,H,W,A,10))."""
+        c = self.config.channels
+        # backbone: stem s4 then three stages -> strides 8/16/32
+        x = ConvBN(c // 2, 3, 2, dtype=self.dtype)(x)
+        x = ConvBN(c // 2, 3, 2, dtype=self.dtype)(x)
+        c3 = ResBlock(c, 2, dtype=self.dtype)(x)       # stride 8
+        c3 = ResBlock(c, 1, dtype=self.dtype)(c3)
+        c4 = ResBlock(c * 2, 2, dtype=self.dtype)(c3)  # stride 16
+        c4 = ResBlock(c * 2, 1, dtype=self.dtype)(c4)
+        c5 = ResBlock(c * 4, 2, dtype=self.dtype)(c4)  # stride 32
+        c5 = ResBlock(c * 4, 1, dtype=self.dtype)(c5)
+
+        # FPN
+        p5 = ConvBN(c, 1, 1, dtype=self.dtype)(c5)
+        p4 = ConvBN(c, 1, 1, dtype=self.dtype)(c4) + jax.image.resize(
+            p5, (p5.shape[0], c4.shape[1], c4.shape[2], c), "nearest")
+        p3 = ConvBN(c, 1, 1, dtype=self.dtype)(c3) + jax.image.resize(
+            p4, (p4.shape[0], c3.shape[1], c3.shape[2], c), "nearest")
+        p3 = ConvBN(c, 3, 1, dtype=self.dtype)(p3)
+        p4 = ConvBN(c, 3, 1, dtype=self.dtype)(p4)
+        p5 = ConvBN(c, 3, 1, dtype=self.dtype)(p5)
+
+        outputs = []
+        # shared head params across levels (SCRFD-style)
+        head = _DetHead(c, dtype=self.dtype, name="head")
+        for feat in (p3, p4, p5):
+            outputs.append(head(feat))
+        return outputs
+
+
+class _DetHead(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        t = ConvBN(self.channels, 3, 1, dtype=self.dtype)(x)
+        t = ConvBN(self.channels, 3, 1, dtype=self.dtype)(t)
+        a = ANCHORS_PER_CELL
+        # 1% prior on the cls logit: an unconverted detector stays silent
+        cls = nn.Conv(a, (3, 3), padding="SAME", dtype=self.dtype,
+                      bias_init=nn.initializers.constant(-4.595), name="cls")(t)
+        box = nn.Conv(a * 4, (3, 3), padding="SAME", dtype=self.dtype, name="box")(t)
+        kps = nn.Conv(a * 10, (3, 3), padding="SAME", dtype=self.dtype, name="kps")(t)
+        b, h, w, _ = cls.shape
+        return (jax.nn.sigmoid(cls),
+                box.reshape(b, h, w, a, 4),
+                kps.reshape(b, h, w, a, 10))
+
+
+def decode_detections(outputs, input_size, score_threshold=0.5):
+    """Per-stride head outputs -> per-image list of (score, bbox, kps5).
+
+    Distance-based decode: bbox = center +- pred * stride (SCRFD convention).
+    Host-side; batch sizes here are tiny.
+    """
+    batch = outputs[0][0].shape[0]
+    results = [[] for _ in range(batch)]
+    for (scores, boxes, kps), stride in zip(outputs, DET_STRIDES):
+        s = np.asarray(scores)
+        b = np.asarray(boxes)
+        k = np.asarray(kps)
+        hits = np.nonzero(s >= score_threshold)
+        for bi, yi, xi, ai in zip(*hits):
+            cx, cy = (xi + 0.5) * stride, (yi + 0.5) * stride
+            d = b[bi, yi, xi, ai] * stride
+            x1, y1 = cx - d[0], cy - d[1]
+            x2, y2 = cx + d[2], cy + d[3]
+            pts = k[bi, yi, xi, ai].reshape(5, 2) * stride
+            pts = pts + np.array([cx, cy])
+            results[bi].append((float(s[bi, yi, xi, ai]),
+                                np.array([x1, y1, x2, y2], np.float32), pts))
+    return results
+
+
+def nms(detections, iou_threshold=0.4):
+    """Greedy IoU NMS over [(score, bbox, kps)] for one image."""
+    if not detections:
+        return []
+    detections = sorted(detections, key=lambda d: -d[0])
+    kept = []
+    for det in detections:
+        _, box, _ = det
+        keep = True
+        for _, kb, _ in kept:
+            ix1, iy1 = max(box[0], kb[0]), max(box[1], kb[1])
+            ix2, iy2 = min(box[2], kb[2]), min(box[3], kb[3])
+            inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+            area_a = (box[2] - box[0]) * (box[3] - box[1])
+            area_b = (kb[2] - kb[0]) * (kb[3] - kb[1])
+            union = area_a + area_b - inter
+            if union > 0 and inter / union > iou_threshold:
+                keep = False
+                break
+        if keep:
+            kept.append(det)
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# ArcFace recognition backbone (iResNet-50 shape)
+# ---------------------------------------------------------------------------
+
+
+class IRBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(y)
+        y = nn.PReLU()(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(y)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        return x + y
+
+
+class IResNet(nn.Module):
+    """ArcFace iresnet: 112x112 -> 512-d embedding."""
+
+    layers: tuple = (3, 4, 14, 3)   # iresnet50
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.PReLU()(x)
+        for stage, (blocks, feats) in enumerate(zip(self.layers, (64, 128, 256, 512))):
+            for i in range(blocks):
+                x = IRBlock(feats, stride=2 if i == 0 else 1, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(512, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                         use_scale=True, use_bias=True)(x)
+        return x.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# 106-point landmark regressor
+# ---------------------------------------------------------------------------
+
+
+class LandmarkNet(nn.Module):
+    """192x192 aligned crop -> (106, 2) landmark coordinates in crop space."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for feats, stride in ((32, 2), (64, 2), (64, 2), (128, 2), (128, 2)):
+            x = ConvBN(feats, 3, stride, dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dense(256, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        out = nn.Dense(212, dtype=self.dtype)(x)
+        # network regresses normalized [-1, 1]; map to crop pixels
+        return (out.reshape(-1, 106, 2) + 1.0) * 96.0
+
+
+# ---------------------------------------------------------------------------
+# Alignment (host): similarity transform to ArcFace canonical 5 points
+# ---------------------------------------------------------------------------
+
+ARCFACE_DST = np.array(
+    [[38.2946, 51.6963], [73.5318, 51.5014], [56.0252, 71.7366],
+     [41.5493, 92.3655], [70.7299, 92.2041]], dtype=np.float32)  # 112x112
+
+
+def umeyama_similarity(src, dst):
+    """Least-squares similarity transform (2x3) mapping src -> dst."""
+    src_mean = src.mean(axis=0)
+    dst_mean = dst.mean(axis=0)
+    src_c = src - src_mean
+    dst_c = dst - dst_mean
+    cov = dst_c.T @ src_c / src.shape[0]
+    u, s, vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(u @ vt))
+    diag = np.diag([1.0, d])
+    rotation = u @ diag @ vt
+    var_src = (src_c ** 2).sum() / src.shape[0]
+    scale = (s * np.diag(diag)).sum() / var_src if var_src > 0 else 1.0
+    t = dst_mean - scale * rotation @ src_mean
+    m = np.zeros((2, 3), np.float32)
+    m[:, :2] = scale * rotation
+    m[:, 2] = t
+    return m

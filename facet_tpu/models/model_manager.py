@@ -114,7 +114,7 @@ class ModelManager:
             return SAMPComposition.create(config, cached)
 
         def make_insightface(config, cached):
-            from facet_tpu.models.face_models import FacePipeline
+            from facet_tpu.models.face_pipeline import FacePipeline
 
             return FacePipeline.create(config, cached)
 

@@ -45,6 +45,12 @@ def rgb_to_hsv(rgb):
     """uint8 RGB (..., 3) -> (h, s, v) int32 tuple, exact cv2 8-bit parity.
 
     h in [0, 180), s and v in [0, 255].
+
+    OpenCV uses 256-entry reciprocal tables (round((255<<12)/v) etc.); per-
+    pixel table gathers are the slowest construct on the TPU VPU, so we
+    evaluate the same rounded reciprocals arithmetically:
+    round(a/b) = (2a + b) // (2b) for positive ints — bit-identical to the
+    tables, pure vector math.
     """
     r = rgb[..., 0].astype(jnp.int32)
     g = rgb[..., 1].astype(jnp.int32)
@@ -53,14 +59,17 @@ def rgb_to_hsv(rgb):
     vmin = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - vmin
 
-    sdiv = jnp.asarray(_SDIV_TABLE)
-    hdiv = jnp.asarray(_HDIV_TABLE)
-    s = (diff * jnp.take(sdiv, v) + _HALF) >> _HSV_SHIFT
+    # sdiv[v] = round((255<<12)/v), hdiv[d] = round((180<<12)/(6d))
+    v_safe = jnp.maximum(v, 1)
+    sdiv = (2 * (255 << _HSV_SHIFT) + v_safe) // (2 * v_safe)
+    s = (diff * jnp.where(v > 0, sdiv, 0) + _HALF) >> _HSV_SHIFT
 
+    d_safe = jnp.maximum(diff, 1)
+    hdiv = (2 * (180 << _HSV_SHIFT) + 6 * d_safe) // (12 * d_safe)
     h_num = jnp.where(
         v == r, g - b,
         jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff),
     )
-    h = (h_num * jnp.take(hdiv, diff) + _HALF) >> _HSV_SHIFT
+    h = (h_num * jnp.where(diff > 0, hdiv, 0) + _HALF) >> _HSV_SHIFT
     h = jnp.where(h < 0, h + 180, h)
     return h, s, v

@@ -2,19 +2,19 @@
 
 One jitted program computes, for a batch of same-shape RGB images, every
 reduction the classical metric suite needs (reference formulas in
-analyzers/technical.py:29-342):
+analyzers/technical.py:29-342). TPU-first formulation — no scatters, no
+gathers (both are pathological on the VPU); everything is compare-reduce,
+tiled integer sums and one MXU matmul:
 
-- 256-bin gray histogram            -> exposure / spread / percentiles /
-                                       contrast / dynamic range / histogram blob
-- 256-bin saturation histogram      -> mean saturation / monochrome
-- H-S joint entropy (f32 scalar)    -> color harmony
-- 2041-bin Laplacian histogram      -> sharpness variance (exact, from counts)
-- 2041-bin |Immerkaer| histogram    -> noise sigma (exact, from counts)
-
-Histograms are integer counts, so the float64 epilogues on host reproduce the
-reference's numpy math exactly; the per-pixel work (color conversion, two 3x3
-stencils, binning) all happens on device. Stencils use reflect-101 borders to
-match cv2's default.
+- 256-bin gray histogram: compare-against-iota reduction (VPU);
+- saturation: tiled int32 partial sums (exact mean on host);
+- Laplacian variance: reflect-101 3x3 stencil, per-tile int32 sum and
+  sum-of-squares partials (tile size bounds keep int32 exact), host finishes
+  in exact integer arithmetic;
+- Immerkaer noise: same stencil trick, |response| partial sums;
+- H-S joint entropy: the (180, N) x (N, 256) one-hot product IS the joint
+  histogram, computed as a chunked bf16 matmul on the MXU with f32
+  accumulation (counts < 2^24 stay exact), entropy reduced on device.
 
 The public entry point `compute_batch_stats` groups arbitrary-shaped images
 into (H, W) buckets with power-of-two batch padding so XLA compiles one
@@ -30,9 +30,11 @@ import numpy as np
 
 from facet_tpu.ops.colorspace import rgb_to_gray, rgb_to_hsv
 
-LAP_BINS = 2041       # Laplacian of uint8 is in [-1020, 1020]
-IMM_BINS = 2041       # |Immerkaer response| of uint8 is in [0, 2040]
-HS_BINS = 180 * 256
+# Per-tile int32 exactness bounds: |lap| <= 1020, lap^2 <= 1040400,
+# |imm| <= 2040. Tile of 1024 keeps every partial < 2^31.
+SUM_TILE = 1024
+# H-S one-hot matmul chunk (pixels per MXU step)
+HS_CHUNK = 128 * 1024
 
 
 @dataclass
@@ -41,62 +43,106 @@ class ImageStats:
 
     height: int
     width: int
-    gray_hist: np.ndarray      # (256,) int32
-    sat_hist: np.ndarray       # (256,) int32
+    gray_hist: np.ndarray      # (256,) int32, exact counts
+    sat_sum: int               # exact sum of S channel
     hs_entropy: float          # bits, f32 device reduction
-    lap_hist: np.ndarray       # (2041,) int32, value = bin - 1020
-    imm_abs_hist: np.ndarray   # (2041,) int32, value = bin
+    lap_sum: int               # exact sum of Laplacian responses
+    lap_sumsq: int             # exact sum of squared responses
+    imm_abs_sum: int           # exact sum of |Immerkaer| responses
+
+    @property
+    def n_pixels(self):
+        return self.height * self.width
+
+    # Exact float64 moments from the integer sums
+    def laplacian_variance(self):
+        n = self.n_pixels
+        # exact integer arithmetic first; one float64 rounding at the end
+        return float(self.lap_sumsq * n - self.lap_sum * self.lap_sum) / (n * n)
+
+    def mean_saturation(self):
+        return self.sat_sum / self.n_pixels / 255.0
 
 
-def _reflect101_pad(img):
-    """Pad by 1 with cv2's default BORDER_REFLECT_101 (edge not repeated)."""
-    return jnp.pad(img, 1, mode="reflect")
+def _pad_to_tiles(flat, tile):
+    n = flat.shape[-1]
+    padded = ((n + tile - 1) // tile) * tile
+    if padded != n:
+        flat = jnp.pad(flat, ((0, 0), (0, padded - n)))
+    return flat
 
 
-def _stencil3x3(padded, k):
-    """3x3 correlation via shifted adds; k is a 3x3 python int list."""
-    h, w = padded.shape[0] - 2, padded.shape[1] - 2
-    out = jnp.zeros((h, w), jnp.int32)
-    for di in range(3):
-        for dj in range(3):
-            coef = k[di][dj]
-            if coef:
-                out = out + coef * padded[di:di + h, dj:dj + w]
-    return out
+def _tiled_sum(x2d, tile=SUM_TILE):
+    """(B, N) int32 -> (B, ntiles) int32 partial sums (each exact)."""
+    return _pad_to_tiles(x2d, tile).reshape(x2d.shape[0], -1, tile).sum(
+        axis=2, dtype=jnp.int32)
 
 
-def _hist(values, length):
-    return jnp.bincount(values.reshape(-1), length=length)
+def _batch_stats_impl(rgb_batch):
+    """(B, H, W, 3) uint8 -> device stats tuple."""
+    b, h, w, _ = rgb_batch.shape
+    n = h * w
+    gray = rgb_to_gray(rgb_batch)
+    hh, ss, _ = rgb_to_hsv(rgb_batch)
+
+    # --- gray histogram: compare-reduce over the bin axis
+    bins = jnp.arange(256, dtype=jnp.int32)
+    gray_hist = jnp.sum(
+        gray.reshape(b, -1)[:, :, None] == bins[None, None, :],
+        axis=1, dtype=jnp.int32)
+
+    # --- saturation partial sums
+    sat_tiles = _tiled_sum(ss.reshape(b, -1))
+
+    # --- 3x3 stencils with reflect-101 borders (cv2 default)
+    p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    lap = (p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2]
+           + p[:, 1:-1, 2:] - 4 * p[:, 1:-1, 1:-1])
+    imm = (p[:, :-2, :-2] - 2 * p[:, :-2, 1:-1] + p[:, :-2, 2:]
+           - 2 * p[:, 1:-1, :-2] + 4 * p[:, 1:-1, 1:-1] - 2 * p[:, 1:-1, 2:]
+           + p[:, 2:, :-2] - 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+    lap_flat = lap.reshape(b, -1)
+    lap_tiles = _tiled_sum(lap_flat)
+    lapsq_tiles = _tiled_sum(lap_flat * lap_flat)
+    imm_tiles = _tiled_sum(jnp.abs(imm).reshape(b, -1))
+
+    # --- H-S joint entropy via one-hot matmul (hist2d = OH_H^T @ OH_S)
+    h_bins = jnp.arange(180, dtype=jnp.int32)
+    s_bins = jnp.arange(256, dtype=jnp.int32)
+    hp = _pad_to_tiles(hh.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else hh.reshape(b, -1)
+    sp = _pad_to_tiles(ss.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else ss.reshape(b, -1)
+    if hp.shape[1] != n:
+        # mark padding as out-of-range so it lands in no bin
+        pad_mask = jnp.arange(hp.shape[1]) >= n
+        hp = jnp.where(pad_mask[None, :], -1, hp)
+    nchunks = hp.shape[1] // HS_CHUNK
+
+    def per_image(rows):
+        h_row, s_row = rows
+
+        def body(acc, ci):
+            start = ci * HS_CHUNK
+            hc = jax.lax.dynamic_slice(h_row, (start,), (HS_CHUNK,))
+            sc = jax.lax.dynamic_slice(s_row, (start,), (HS_CHUNK,))
+            oh_h = (hc[:, None] == h_bins[None, :]).astype(jnp.bfloat16)
+            oh_s = (sc[:, None] == s_bins[None, :]).astype(jnp.bfloat16)
+            return acc + jax.lax.dot_general(
+                oh_h, oh_s, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), None
+
+        hist2d, _ = jax.lax.scan(body, jnp.zeros((180, 256), jnp.float32),
+                                 jnp.arange(nchunks))
+        prob = hist2d / jnp.sum(hist2d)
+        return -jnp.sum(jnp.where(prob > 0,
+                                  prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)),
+                                  0.0))
+
+    entropy = jax.lax.map(per_image, (hp, sp))
+
+    return gray_hist, sat_tiles, entropy, lap_tiles, lapsq_tiles, imm_tiles
 
 
-def _single_image_stats(rgb):
-    """Per-image statistics; vmapped over the batch."""
-    gray = rgb_to_gray(rgb)
-    h, s, _ = rgb_to_hsv(rgb)
-
-    padded = _reflect101_pad(gray)
-    lap = _stencil3x3(padded, [[0, 1, 0], [1, -4, 1], [0, 1, 0]])
-    imm = _stencil3x3(padded, [[1, -2, 1], [-2, 4, -2], [1, -2, 1]])
-
-    gray_hist = _hist(gray, 256)
-    sat_hist = _hist(s, 256)
-    lap_hist = _hist(lap + 1020, LAP_BINS)
-    imm_hist = _hist(jnp.abs(imm), IMM_BINS)
-
-    # H-S joint entropy in f32 on device (within ~1e-4 of the reference's
-    # float32 numpy path; the joint histogram never leaves the chip).
-    hs_hist = _hist(h * 256 + s, HS_BINS).astype(jnp.float32)
-    total = jnp.sum(hs_hist)
-    p = hs_hist / total
-    entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0))
-
-    return gray_hist, sat_hist, entropy, lap_hist, imm_hist
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _batch_stats(rgb_batch):
-    """(B, H, W, 3) uint8 -> tuple of batched stats."""
-    return jax.vmap(_single_image_stats)(rgb_batch)
+_batch_stats = jax.jit(_batch_stats_impl)
 
 
 def _bucket_size(n):
@@ -131,18 +177,18 @@ def compute_batch_stats(images):
             batch = np.zeros((padded_n, h, w, 3), np.uint8)
             for j, idx in enumerate(chunk):
                 batch[j] = images[idx]
-            gray_h, sat_h, entropy, lap_h, imm_h = jax.device_get(
-                _batch_stats(jnp.asarray(batch))
-            )
+            gray_h, sat_t, entropy, lap_t, lapsq_t, imm_t = jax.device_get(
+                _batch_stats(jnp.asarray(batch)))
             for j, idx in enumerate(chunk):
                 results[idx] = ImageStats(
                     height=h,
                     width=w,
                     gray_hist=np.asarray(gray_h[j]),
-                    sat_hist=np.asarray(sat_h[j]),
+                    sat_sum=int(np.asarray(sat_t[j], np.int64).sum()),
                     hs_entropy=float(entropy[j]),
-                    lap_hist=np.asarray(lap_h[j]),
-                    imm_abs_hist=np.asarray(imm_h[j]),
+                    lap_sum=int(np.asarray(lap_t[j], np.int64).sum()),
+                    lap_sumsq=int(np.asarray(lapsq_t[j], np.int64).sum()),
+                    imm_abs_sum=int(np.asarray(imm_t[j], np.int64).sum()),
                 )
             pos += len(chunk)
     return results

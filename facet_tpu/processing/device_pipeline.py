@@ -18,7 +18,7 @@ from facet_tpu.models.aesthetic import AestheticHead
 from facet_tpu.models.clip import CLIP_MEAN, CLIP_STD, CLIPVisionTower
 from facet_tpu.ops.phash import HASH_SIZE, RESIZE, _area_weights, _dct_matrix
 from facet_tpu.ops.resize import clip_preprocess_matrices
-from facet_tpu.ops.stats import _single_image_stats
+from facet_tpu.ops.stats import _batch_stats_impl
 
 
 def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
@@ -38,9 +38,9 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
 
     @jax.jit
     def pipeline(vision_params, head_params, batch_u8):
-        # --- classical statistics (integer histograms) + gray reuse
-        gray_hist, sat_hist, entropy, lap_hist, imm_hist = jax.vmap(
-            _single_image_stats)(batch_u8)
+        # --- classical statistics (compare-reduce + tiled sums + MXU hist)
+        (gray_hist, sat_tiles, entropy,
+         lap_tiles, lapsq_tiles, imm_tiles) = _batch_stats_impl(batch_u8)
 
         fbatch = batch_u8.astype(jnp.float32)
 
@@ -68,10 +68,11 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
             "embedding": embeddings,
             "hash_bits": hash_bits,
             "gray_hist": gray_hist,
-            "sat_hist": sat_hist,
+            "sat_tiles": sat_tiles,
             "hs_entropy": entropy,
-            "lap_hist": lap_hist,
-            "imm_hist": imm_hist,
+            "lap_tiles": lap_tiles,
+            "lapsq_tiles": lapsq_tiles,
+            "imm_tiles": imm_tiles,
         }
 
     return pipeline
