@@ -1,0 +1,231 @@
+"""Gallery router: photo listing with the full filter vocabulary.
+
+(reference: api/routers/gallery.py — /api/photos with 50+ filter params,
+/api/type_counts, /api/similar_photos, /api/config)
+"""
+
+from facet_tpu.api.db_helpers import (
+    attach_person_data,
+    get_cached_count,
+    get_photo_columns,
+    preference_columns,
+    preference_join,
+    split_tags_field,
+    tag_filter_sql,
+    visibility_clause,
+)
+from facet_tpu.api.types import type_counts, type_filter_sql
+from facet_tpu.ops.phash import hamming_distance
+from facet_tpu.web.framework import HTTPError
+
+PHOTO_FIELDS = (
+    "p.path, p.filename, p.date_taken, p.camera_model, p.lens_model, p.iso,"
+    " p.f_stop, p.shutter_speed, p.focal_length, p.image_width, p.image_height,"
+    " p.aggregate, p.aesthetic, p.quality_score, p.topiq_score, p.tech_sharpness,"
+    " p.color_score, p.exposure_score, p.comp_score, p.contrast_score,"
+    " p.dynamic_range_stops, p.noise_sigma, p.face_count, p.face_quality,"
+    " p.eye_sharpness, p.face_sharpness, p.face_ratio, p.is_blink,"
+    " p.is_monochrome, p.is_silhouette, p.is_group_portrait, p.is_burst_lead,"
+    " p.duplicate_group_id, p.is_duplicate_lead, p.tags, p.category,"
+    " p.composition_pattern, p.scoring_model, p.phash, p.power_point_score,"
+    " p.leading_lines_score, p.mean_luminance, p.mean_saturation"
+)
+
+SORTABLE = {
+    "aggregate", "aesthetic", "quality_score", "topiq_score", "comp_score",
+    "face_quality", "eye_sharpness", "face_sharpness", "tech_sharpness",
+    "exposure_score", "color_score", "contrast_score", "dynamic_range_stops",
+    "noise_sigma", "power_point_score", "leading_lines_score", "date_taken",
+    "iso", "f_stop", "focal_length", "face_count", "face_ratio", "filename",
+    "category", "star_rating", "mean_luminance",
+}
+
+_RANGE_FILTERS = [
+    # (query param, column, operator)
+    ("min_score", "p.aggregate", ">="), ("max_score", "p.aggregate", "<="),
+    ("min_aesthetic", "p.aesthetic", ">="), ("max_aesthetic", "p.aesthetic", "<="),
+    ("min_quality", "p.quality_score", ">="), ("max_quality", "p.quality_score", "<="),
+    ("min_sharpness", "p.tech_sharpness", ">="), ("max_sharpness", "p.tech_sharpness", "<="),
+    ("min_faces", "p.face_count", ">="), ("max_faces", "p.face_count", "<="),
+    ("min_face_quality", "p.face_quality", ">="),
+    ("min_iso", "p.iso", ">="), ("max_iso", "p.iso", "<="),
+    ("min_f_stop", "p.f_stop", ">="), ("max_f_stop", "p.f_stop", "<="),
+    ("min_focal", "p.focal_length", ">="), ("max_focal", "p.focal_length", "<="),
+    ("min_rating", "@star_rating", ">="),
+]
+
+
+def _pref_expr(request, column):
+    """Preference column expression: per-user indirection in multi-user mode."""
+    user = request.state.get("user")
+    if not user or user in ("anonymous", "viewer", "editor"):
+        return f"p.{column}"
+    return f"IFNULL(up.{column}, 0)"
+
+
+def build_where(request, conn, ctx):
+    """The gallery filter vocabulary -> (where_sql, params)."""
+    clauses, params = ["1=1"], []
+
+    photo_type = request.param("type")
+    type_clause, _ = type_filter_sql(photo_type)
+    for col in ("is_favorite", "is_rejected", "star_rating"):
+        type_clause = type_clause.replace(col, _pref_expr(request, col))
+    clauses.append(type_clause)
+
+    search = request.param("search")
+    if search:
+        clauses.append("(p.filename LIKE ? OR p.path LIKE ? OR p.tags LIKE ?)")
+        like = f"%{search}%"
+        params += [like, like, like]
+
+    for key, column in (("camera", "p.camera_model"), ("lens", "p.lens_model"),
+                        ("category", "p.category"),
+                        ("pattern", "p.composition_pattern")):
+        val = request.param(key)
+        if val:
+            clauses.append(f"{column} = ?")
+            params.append(val)
+
+    tag = request.param("tag")
+    if tag:
+        sql, tag_params = tag_filter_sql(conn, tag)
+        clauses.append(sql.replace("path IN", "p.path IN"))
+        params += tag_params
+
+    person_id = request.param("person_id", type=int)
+    if person_id is not None:
+        clauses.append(
+            "p.path IN (SELECT photo_path FROM faces WHERE person_id = ?)")
+        params.append(person_id)
+
+    date_from = request.param("date_from")
+    if date_from:
+        clauses.append("p.date_taken >= ?")
+        params.append(date_from)
+    date_to = request.param("date_to")
+    if date_to:
+        clauses.append("p.date_taken <= ?")
+        params.append(date_to + "￿")
+
+    for param, column, op in _RANGE_FILTERS:
+        val = request.param(param, type=float)
+        if val is not None:
+            if column.startswith("@"):
+                column = _pref_expr(request, column[1:])
+            clauses.append(f"{column} {op} ?")
+            params.append(val)
+
+    defaults = ctx.config.viewer_defaults()
+    if request.param("hide_blinks", default=defaults.get("hide_blinks", True),
+                     type=bool):
+        clauses.append("(p.is_blink = 0 OR p.is_blink IS NULL)")
+    if request.param("hide_bursts", default=defaults.get("hide_bursts", True),
+                     type=bool):
+        clauses.append("(p.is_burst_lead = 1 OR p.is_burst_lead IS NULL)")
+    if request.param("hide_duplicates",
+                     default=defaults.get("hide_duplicates", True), type=bool):
+        clauses.append("(p.duplicate_group_id IS NULL OR p.is_duplicate_lead = 1)")
+    if request.param("hide_rejected",
+                     default=defaults.get("hide_rejected", True), type=bool):
+        clauses.append(f"{_pref_expr(request, 'is_rejected')} = 0")
+    if request.param("favorites_only", default=False, type=bool):
+        clauses.append(f"{_pref_expr(request, 'is_favorite')} = 1")
+    if request.param("monochrome_only", default=False, type=bool):
+        clauses.append("p.is_monochrome = 1")
+
+    vis_sql, vis_params = visibility_clause(request)
+    where = " AND ".join(clauses) + vis_sql
+    return where, params + vis_params
+
+
+def register(app, ctx):
+    @app.get("/api/photos")
+    def api_photos(request):
+        pagination = ctx.config.pagination()
+        page = max(1, request.param("page", 1, int))
+        page_size = min(request.param("page_size",
+                                      pagination.get("default_page_size", 100), int),
+                        pagination.get("max_page_size", 500))
+        sort = request.param("sort", ctx.config.viewer_defaults().get("sort", "aggregate"))
+        order = request.param("order", ctx.config.viewer_defaults().get("order", "desc"))
+        if sort not in SORTABLE:
+            raise HTTPError(400, f"unsupported sort column '{sort}'")
+        direction = "ASC" if str(order).lower() == "asc" else "DESC"
+
+        with ctx.connection() as conn:
+            where, params = build_where(request, conn, ctx)
+            _, special_order = type_filter_sql(request.param("type"))
+            order_sql = special_order or f"p.{sort} {direction}"
+            if sort == "star_rating":
+                order_sql = f"{_pref_expr(request, 'star_rating')} {direction}"
+
+            pref_cols, pref_params = preference_columns(request)
+            join, join_params = preference_join(request)
+            total = get_cached_count(conn, where, join_params + params
+                                     if join else params, ctx.config.db_path) \
+                if not join else conn.execute(
+                    f"SELECT COUNT(*) FROM photos p{join} WHERE {where}",
+                    join_params + params).fetchone()[0]
+
+            rows = conn.execute(
+                f"SELECT {PHOTO_FIELDS}, {pref_cols} FROM photos p{join}"
+                f" WHERE {where} ORDER BY {order_sql}, p.path"
+                f" LIMIT ? OFFSET ?",
+                join_params + params + [page_size, (page - 1) * page_size]
+            ).fetchall()
+            photos = [dict(r) for r in rows]
+            split_tags_field(photos)
+            attach_person_data(conn, photos)
+
+        return {
+            "photos": photos,
+            "total": total,
+            "page": page,
+            "page_size": page_size,
+            "pages": max(1, -(-total // page_size)),
+        }
+
+    @app.get("/api/type_counts")
+    def api_type_counts(request):
+        with ctx.connection() as conn:
+            return type_counts(conn)
+
+    @app.get("/api/similar_photos/{path:path}")
+    def api_similar(request, path):
+        limit = request.param("limit", 24, int)
+        max_distance = request.param("max_distance", 14, int)
+        with ctx.connection() as conn:
+            row = conn.execute("SELECT phash FROM photos WHERE path = ?",
+                               ("/" + path if not path.startswith("/") else path,)
+                               ).fetchone()
+            if row is None or not row[0]:
+                raise HTTPError(404, "photo not found or not hashed")
+            target = row[0]
+            candidates = conn.execute(
+                "SELECT path, filename, phash, aggregate FROM photos"
+                " WHERE phash IS NOT NULL AND path != ?",
+                ("/" + path if not path.startswith("/") else path,)).fetchall()
+        scored = []
+        for cand in candidates:
+            d = hamming_distance(target, cand["phash"])
+            if d <= max_distance:
+                scored.append({"path": cand["path"], "filename": cand["filename"],
+                               "aggregate": cand["aggregate"], "distance": d})
+        scored.sort(key=lambda r: r["distance"])
+        return {"similar": scored[:limit]}
+
+    @app.get("/api/config")
+    def api_config(request):
+        viewer = ctx.config.viewer
+        return {
+            "quality_thresholds": ctx.config.quality_thresholds(),
+            "pagination": ctx.config.pagination(),
+            "defaults": ctx.config.viewer_defaults(),
+            "sort_options": viewer.get("sort_options", {}),
+            "features": ctx.config.features(),
+            "comparison_mode": viewer.get("comparison_mode", {}),
+            "multi_user": ctx.config.multi_user,
+            "auth_required": ctx.auth.auth_required(),
+            "role": request.state.get("role"),
+        }

@@ -1,0 +1,158 @@
+"""Persons + faces router: person management, ratings, user flags.
+
+(reference: api/routers/persons.py + faces.py — rename/merge/delete/assign,
+ratings/favorite/rejected, shared person pages)
+"""
+
+from facet_tpu.api.auth import check_share_token, make_share_token, require_role
+from facet_tpu.web.framework import HTTPError
+
+
+def register(app, ctx):
+    @app.get("/api/persons")
+    def list_persons(request):
+        with ctx.connection() as conn:
+            rows = conn.execute(
+                "SELECT p.id, p.name, p.face_count, p.auto_clustered,"
+                " p.representative_face_id,"
+                " (SELECT COUNT(DISTINCT photo_path) FROM faces f"
+                "   WHERE f.person_id = p.id) AS photo_count"
+                " FROM persons p WHERE p.face_count > 0"
+                " ORDER BY p.face_count DESC").fetchall()
+        return {"persons": [dict(r) for r in rows]}
+
+    @app.get("/api/persons/{person_id:int}")
+    def person_detail(request, person_id):
+        with ctx.connection() as conn:
+            person = conn.execute("SELECT id, name, face_count FROM persons"
+                                  " WHERE id = ?", (person_id,)).fetchone()
+            if person is None:
+                raise HTTPError(404, "person not found")
+            photos = conn.execute(
+                "SELECT DISTINCT f.photo_path, p.aggregate, p.filename"
+                " FROM faces f JOIN photos p ON p.path = f.photo_path"
+                " WHERE f.person_id = ? ORDER BY p.aggregate DESC",
+                (person_id,)).fetchall()
+        return {"person": dict(person),
+                "photos": [dict(r) for r in photos],
+                "share_token": make_share_token(person_id, ctx.config.share_secret)}
+
+    @app.post("/api/persons/{person_id:int}/rename")
+    def rename_person(request, person_id):
+        require_role(request, "admin")
+        name = (request.json().get("name") or "").strip()
+        with ctx.connection() as conn:
+            cur = conn.execute(
+                "UPDATE persons SET name = ?, auto_clustered = 0 WHERE id = ?",
+                (name or None, person_id))
+            if cur.rowcount == 0:
+                raise HTTPError(404, "person not found")
+            conn.commit()
+        return {"status": "ok", "id": person_id, "name": name}
+
+    @app.post("/api/persons/merge")
+    def merge(request):
+        require_role(request, "admin")
+        body = request.json()
+        keep = body.get("keep_id")
+        merge_ids = body.get("merge_ids") or []
+        if not keep or not merge_ids:
+            raise HTTPError(400, "keep_id and merge_ids required")
+        from facet_tpu.faces.merge_analyzer import merge_persons
+
+        merge_persons(ctx.config.db_path, keep, merge_ids)
+        return {"status": "ok", "kept": keep, "merged": merge_ids}
+
+    @app.delete("/api/persons/{person_id:int}")
+    def delete_person(request, person_id):
+        require_role(request, "admin")
+        with ctx.connection() as conn:
+            conn.execute("UPDATE faces SET person_id = NULL WHERE person_id = ?",
+                         (person_id,))
+            cur = conn.execute("DELETE FROM persons WHERE id = ?", (person_id,))
+            conn.commit()
+        if cur.rowcount == 0:
+            raise HTTPError(404, "person not found")
+        return {"status": "ok"}
+
+    @app.post("/api/faces/{face_id:int}/assign")
+    def assign_face(request, face_id):
+        require_role(request, "admin")
+        person_id = request.json().get("person_id")
+        with ctx.connection() as conn:
+            cur = conn.execute("UPDATE faces SET person_id = ? WHERE id = ?",
+                               (person_id, face_id))
+            if cur.rowcount == 0:
+                raise HTTPError(404, "face not found")
+            from facet_tpu.faces.clusterer import FaceClusterer
+
+            FaceClusterer.refresh_person_stats(conn)
+            conn.commit()
+        return {"status": "ok"}
+
+    @app.get("/api/faces/{path:path}")
+    def faces_for_photo(request, path):
+        full = path if path.startswith("/") else "/" + path
+        with ctx.connection() as conn:
+            rows = conn.execute(
+                "SELECT f.id, f.face_index, f.bbox_x1, f.bbox_y1, f.bbox_x2,"
+                " f.bbox_y2, f.confidence, f.person_id, p.name AS person_name"
+                " FROM faces f LEFT JOIN persons p ON p.id = f.person_id"
+                " WHERE f.photo_path = ? ORDER BY f.face_index", (full,)).fetchall()
+        return {"faces": [dict(r) for r in rows]}
+
+    @app.get("/api/merge_suggestions")
+    def merge_suggestions(request):
+        threshold = request.param("threshold", 0.55, float)
+        from facet_tpu.faces.merge_analyzer import find_merge_suggestions
+
+        return {"suggestions": find_merge_suggestions(ctx.config.db_path, threshold)}
+
+    @app.get("/api/shared/person/{person_id:int}")
+    def shared_person(request, person_id):
+        token = request.param("token")
+        if not check_share_token(person_id, token, ctx.config.share_secret):
+            raise HTTPError(403, "invalid share token")
+        return person_detail(request, person_id)
+
+    # ------------------------------------------------------- user ratings
+
+    def _set_preference(request, column, value):
+        path = request.json().get("path")
+        if not path:
+            raise HTTPError(400, "path required")
+        user = request.state.get("user")
+        with ctx.connection() as conn:
+            if ctx.config.multi_user and user not in (None, "anonymous",
+                                                      "viewer", "editor"):
+                conn.execute(
+                    "INSERT INTO user_preferences (user_id, photo_path)"
+                    " VALUES (?, ?) ON CONFLICT(user_id, photo_path) DO NOTHING",
+                    (user, path))
+                conn.execute(
+                    f"UPDATE user_preferences SET {column} = ?"
+                    " WHERE user_id = ? AND photo_path = ?", (value, user, path))
+            else:
+                cur = conn.execute(
+                    f"UPDATE photos SET {column} = ? WHERE path = ?", (value, path))
+                if cur.rowcount == 0:
+                    raise HTTPError(404, "photo not found")
+            conn.commit()
+        return {"status": "ok", "path": path, column: value}
+
+    @app.post("/api/photos/rating")
+    def set_rating(request):
+        rating = request.json().get("rating", 0)
+        if not isinstance(rating, int) or not 0 <= rating <= 5:
+            raise HTTPError(400, "rating must be 0-5")
+        return _set_preference(request, "star_rating", rating)
+
+    @app.post("/api/photos/favorite")
+    def set_favorite(request):
+        return _set_preference(request, "is_favorite",
+                               1 if request.json().get("favorite") else 0)
+
+    @app.post("/api/photos/rejected")
+    def set_rejected(request):
+        return _set_preference(request, "is_rejected",
+                               1 if request.json().get("rejected") else 0)

@@ -159,10 +159,26 @@ class AggregateScorer:
         names = [self.category_names[i] for i in category_idx]
         return np.asarray(jax.device_get(scores)), names
 
+    def metric_values(self, rows):
+        """(N, 16) clamped metric-value matrix in METRIC_KEYS order.
 
-@functools.partial(jax.jit, static_argnames=("consts",))
-def _score_kernel(a, cat, tables, consts):
-    c = dict(consts)
+        The per-metric inputs to the weighted sum — what the preference
+        optimizer learns weights over.
+        """
+        if not rows:
+            return np.zeros((0, len(METRIC_KEYS)), np.float32)
+        arrays, category_idx = self.build_inputs(rows)
+        values = _values_kernel(
+            {k: jnp.asarray(v) for k, v in arrays.items()},
+            jnp.asarray(category_idx),
+            self.tables,
+            tuple(sorted(self.consts.items())),
+        )
+        return np.asarray(jax.device_get(values))
+
+
+def _compute_values(a, cat, tables, c):
+    """Shared metric-value computation for scoring and weight learning."""
 
     # EXIF adjustments
     iso = a["iso"]
@@ -227,8 +243,31 @@ def _score_kernel(a, cat, tables, consts):
         isolation_score,
     ], axis=1)                                # (N, 16)
 
+    penalties = {
+        "clipping": clipping_penalty,
+        "noise": noise_penalty,
+        "bimodality": bimod_penalty,
+        "oversaturation": oversat_penalty,
+    }
+    return jnp.clip(values, 0.0, 10.0), penalties
+
+
+@functools.partial(jax.jit, static_argnames=("consts",))
+def _values_kernel(a, cat, tables, consts):
+    values, _ = _compute_values(a, cat, tables, dict(consts))
+    return values
+
+
+@functools.partial(jax.jit, static_argnames=("consts",))
+def _score_kernel(a, cat, tables, consts):
+    c = dict(consts)
+    clamped, pen = _compute_values(a, cat, tables, c)
+    clipping_penalty = pen["clipping"]
+    noise_penalty = pen["noise"]
+    bimod_penalty = pen["bimodality"]
+    oversat_penalty = pen["oversaturation"]
+
     w = tables["w"][cat]                      # (N, 16)
-    clamped = jnp.clip(values, 0.0, 10.0)
     score = jnp.sum(jnp.where(w > 0, clamped * w, 0.0), axis=1)
 
     blink = tables["apply_blink"][cat] * a["is_blink"]

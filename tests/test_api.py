@@ -1,0 +1,316 @@
+"""API tests: every router through the in-process WSGI test client."""
+
+import numpy as np
+import pytest
+
+from facet_tpu.db.connection import get_connection
+
+
+@pytest.fixture
+def seeded_db(tmp_db):
+    """A database with a small scored library + faces + persons."""
+    rng = np.random.default_rng(0)
+    import io
+    from PIL import Image
+
+    def thumb(color):
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 48), color).save(buf, "JPEG")
+        return buf.getvalue()
+
+    with get_connection(tmp_db) as conn:
+        for i in range(12):
+            path = f"/pics/img{i:02d}.jpg"
+            conn.execute(
+                "INSERT INTO photos (path, filename, date_taken, camera_model,"
+                " lens_model, iso, f_stop, aggregate, aesthetic, comp_score,"
+                " tech_sharpness, face_count, face_ratio, face_quality,"
+                " is_blink, is_monochrome, is_burst_lead, category, tags,"
+                " thumbnail, phash, mean_luminance, star_rating)"
+                " VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?,"
+                " ?, ?, ?, ?, ?, ?)",
+                (path, f"img{i:02d}.jpg", f"2026:0{i % 9 + 1}:10 12:00:00",
+                 "CamA" if i % 2 else "CamB", "50mm", 100 * (i + 1),
+                 2.8, 4.0 + i * 0.5, 5.0 + i * 0.3, 6.0, 7.0,
+                 1 if i < 4 else 0, 0.2 if i < 4 else 0.0,
+                 7.5 if i < 4 else None, 1 if i == 3 else 0,
+                 1 if i == 5 else 0, 1, "portrait" if i < 4 else "landscape",
+                 "sunset, beach" if i >= 4 else "",
+                 thumb((i * 20 % 255, 100, 150)),
+                 f"{i:016x}", 0.5, i % 6))
+            if i >= 4:
+                conn.execute(
+                    "INSERT INTO photo_tags (photo_path, tag) VALUES (?, 'sunset')",
+                    (path,))
+        # faces + person
+        emb = rng.standard_normal(512).astype(np.float32)
+        emb /= np.linalg.norm(emb)
+        conn.execute("INSERT INTO persons (id, name, face_count, centroid,"
+                     " face_thumbnail) VALUES (1, 'Alice', 2, ?, ?)",
+                     (emb.tobytes(), thumb((200, 100, 100))))
+        for i in range(2):
+            conn.execute(
+                "INSERT INTO faces (photo_path, face_index, embedding,"
+                " bbox_x1, bbox_y1, bbox_x2, bbox_y2, confidence, person_id,"
+                " face_thumbnail) VALUES (?, 0, ?, 10, 10, 50, 50, 0.9, 1, ?)",
+                (f"/pics/img{i:02d}.jpg", emb.tobytes(), thumb((50, 50, 50))))
+    return tmp_db
+
+
+@pytest.fixture
+def client(seeded_db, tmp_config):
+    from facet_tpu.api import create_app
+    from facet_tpu.web import TestClient
+
+    app = create_app(db_path=seeded_db, config_path=tmp_config)
+    return TestClient(app)
+
+
+class TestGallery:
+    def test_photos_default(self, client):
+        res = client.get("/api/photos")
+        assert res.status_code == 200
+        data = res.json()
+        assert data["total"] == 11  # viewer defaults hide the blink photo
+        assert len(data["photos"]) == 11
+        everything = client.get("/api/photos",
+                                params={"hide_blinks": "false"}).json()
+        assert everything["total"] == 12
+        # default sort: aggregate desc
+        scores = [p["aggregate"] for p in data["photos"]]
+        assert scores == sorted(scores, reverse=True)
+        assert data["photos"][0]["tags"] == ["sunset", "beach"]
+
+    def test_pagination(self, client):
+        res = client.get("/api/photos", params={"page": 2, "page_size": 5})
+        data = res.json()
+        assert len(data["photos"]) == 5
+        assert data["pages"] == 3
+
+    def test_filters(self, client):
+        assert client.get("/api/photos", params={"camera": "CamA",
+                                                 "hide_blinks": "false"}).json()["total"] == 6
+        assert client.get("/api/photos", params={"category": "portrait",
+                                                 "hide_blinks": "false"}).json()["total"] == 4
+        assert client.get("/api/photos", params={"tag": "sunset"}).json()["total"] == 8
+        assert client.get("/api/photos", params={"min_score": 8.0}).json()["total"] == 4
+        assert client.get("/api/photos", params={"person_id": 1,
+                                                 "hide_blinks": "false"}).json()["total"] == 2
+
+    def test_hide_blinks_default(self, client):
+        data = client.get("/api/photos", params={"category": "portrait"}).json()
+        assert data["total"] == 3  # img03 is a blink
+
+    def test_type_counts(self, client):
+        counts = client.get("/api/type_counts").json()
+        assert counts["all"] == 12
+        assert counts["monochrome"] == 1
+        assert counts["blinks"] == 1
+
+    def test_similar(self, client):
+        res = client.get("/api/similar_photos/pics/img00.jpg",
+                         params={"max_distance": 5})
+        assert res.status_code == 200
+        sim = res.json()["similar"]
+        # neighboring ints differ by few bits
+        assert any(s["path"] == "/pics/img01.jpg" for s in sim)
+
+    def test_bad_sort_rejected(self, client):
+        assert client.get("/api/photos", params={"sort": "path; DROP"}).status_code == 400
+
+    def test_config(self, client):
+        cfg = client.get("/api/config").json()
+        assert "quality_thresholds" in cfg and cfg["role"] == "admin"
+
+
+class TestStats:
+    def test_overview(self, client):
+        data = client.get("/api/stats/overview").json()
+        assert data["total_photos"] == 12
+        assert data["persons"] == 1
+        assert data["quality_counts"]["good"] >= 1
+
+    def test_distribution_and_gear(self, client):
+        dist = client.get("/api/stats/score_distribution").json()
+        assert sum(dist["counts"]) == 12
+        gear = client.get("/api/stats/gear").json()
+        assert {c["camera"] for c in gear["cameras"]} == {"CamA", "CamB"}
+
+    def test_timeline_categories_correlations(self, client):
+        months = client.get("/api/stats/timeline").json()["months"]
+        assert months and all("-" in m["month"] for m in months)
+        cats = client.get("/api/stats/categories").json()["categories"]
+        assert {c["category"] for c in cats} == {"portrait", "landscape"}
+        corr = client.get("/api/stats/correlations").json()
+        assert "aesthetic" in corr["correlation_with_aggregate"]
+
+    def test_update_weights_roundtrip(self, client):
+        res = client.post("/api/stats/update_weights",
+                          json={"category": "landscape",
+                                "weights": {"aesthetic_percent": 40,
+                                            "composition_percent": 20}})
+        assert res.status_code == 200
+        total = sum(v for k, v in res.json()["weights"].items()
+                    if k.endswith("_percent"))
+        assert total == 100  # auto-normalized
+
+
+class TestThumbnails:
+    def test_etag_304(self, client):
+        res = client.get("/api/thumbnail/pics/img00.jpg")
+        assert res.status_code == 200
+        assert res.headers["Content-Type"] == "image/jpeg"
+        etag = res.headers["ETag"]
+        res2 = client.get("/api/thumbnail/pics/img00.jpg",
+                          headers={"If-None-Match": etag})
+        assert res2.status_code == 304
+
+    def test_resize_and_missing(self, client):
+        res = client.get("/api/thumbnail/pics/img00.jpg", params={"size": 32})
+        assert res.status_code == 200
+        assert client.get("/api/thumbnail/nope.jpg").status_code == 404
+
+    def test_person_thumbnail(self, client):
+        assert client.get("/api/person_thumbnail/1").status_code == 200
+
+
+class TestPersons:
+    def test_list_and_detail(self, client):
+        persons = client.get("/api/persons").json()["persons"]
+        assert persons[0]["name"] == "Alice"
+        detail = client.get("/api/persons/1").json()
+        assert len(detail["photos"]) == 2
+        assert detail["share_token"]
+
+    def test_share_token_flow(self, client):
+        token = client.get("/api/persons/1").json()["share_token"]
+        ok = client.get("/api/shared/person/1", params={"token": token})
+        assert ok.status_code == 200
+        bad = client.get("/api/shared/person/1", params={"token": "wrong"})
+        assert bad.status_code == 403
+
+    def test_rename_merge_delete(self, client):
+        assert client.post("/api/persons/1/rename",
+                           json={"name": "Alicia"}).status_code == 200
+        assert client.get("/api/persons/1").json()["person"]["name"] == "Alicia"
+        assert client.delete("/api/persons/999").status_code == 404
+
+    def test_rating_favorite(self, client):
+        res = client.post("/api/photos/rating",
+                          json={"path": "/pics/img00.jpg", "rating": 5})
+        assert res.status_code == 200
+        assert client.post("/api/photos/rating",
+                           json={"path": "/pics/img00.jpg",
+                                 "rating": 9}).status_code == 400
+        assert client.post("/api/photos/favorite",
+                           json={"path": "/pics/img00.jpg",
+                                 "favorite": True}).status_code == 200
+
+    def test_faces_for_photo(self, client):
+        faces = client.get("/api/faces/pics/img00.jpg").json()["faces"]
+        assert len(faces) == 1 and faces[0]["person_name"] == "Alice"
+
+
+class TestComparison:
+    def test_vote_flow(self, client):
+        pair = client.get("/api/comparison/next_pair").json()["pair"]
+        assert pair and len(pair) == 2
+        res = client.post("/api/comparison/submit",
+                          json={"photo_a": pair[0]["path"],
+                                "photo_b": pair[1]["path"], "winner": "a"})
+        assert res.status_code == 200
+        assert res.json()["count"] == 1
+        history = client.get("/api/comparison/history").json()["history"]
+        assert len(history) == 1
+        cov = client.get("/api/comparison/coverage").json()
+        assert cov["comparisons"] == 1
+        assert client.post("/api/comparison/submit",
+                           json={"photo_a": "a", "photo_b": "b",
+                                 "winner": "zzz"}).status_code == 400
+
+    def test_optimize_insufficient(self, client):
+        res = client.post("/api/comparison/optimize", json={})
+        assert res.status_code == 400
+
+
+class TestSystem:
+    def test_filter_options(self, client):
+        opts = client.get("/api/filter_options").json()
+        assert "CamA" in opts["cameras"]
+        assert "sunset" in opts["tags"]
+        assert opts["date_range"]["min"]
+
+    def test_i18n(self, client):
+        langs = client.get("/api/i18n/languages").json()["languages"]
+        assert "fr" in langs
+        fr = client.get("/api/i18n/fr").json()
+        assert fr["language"] == "fr"
+        assert fr["catalog"]["nav.gallery"] == "Galerie"
+        # unknown language falls back to english
+        assert client.get("/api/i18n/xx").json()["language"] == "en"
+
+    def test_auth_open_instance(self, client):
+        me = client.get("/api/auth/me").json()
+        assert me["role"] == "admin" and not me["auth_required"]
+
+    def test_download(self, client):
+        res = client.get("/api/download", params={"format": "csv"})
+        assert res.status_code == 200
+        assert b"aggregate" in res.content
+
+    def test_validate(self, client):
+        checks = client.get("/api/validate").json()["checks"]
+        assert len(checks) == 10
+        names = {c["name"] for c in checks}
+        assert "score_ranges" in names and "referential_integrity" in names
+
+
+class TestAuthModes:
+    def test_password_mode(self, seeded_db, tmp_config):
+        import json as jsonlib
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw["viewer"]["password"] = "hunter2"
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        client = TestClient(create_app(db_path=seeded_db, config_path=tmp_config))
+        assert client.get("/api/photos").status_code == 401
+        bad = client.post("/api/auth/login", json={"password": "wrong"})
+        assert bad.status_code == 401
+        ok = client.post("/api/auth/login", json={"password": "hunter2"})
+        token = ok.json()["token"]
+        res = client.get("/api/photos",
+                         headers={"Authorization": f"Bearer {token}"})
+        assert res.status_code == 200
+
+    def test_multi_user_roles(self, seeded_db, tmp_config):
+        import json as jsonlib
+
+        from facet_tpu.api.config import APIConfig
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw["users"] = {
+            "bob": {"password_hash": APIConfig.hash_password("pw", "s"),
+                    "salt": "s", "role": "user"},
+        }
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        client = TestClient(create_app(db_path=seeded_db, config_path=tmp_config))
+        token = client.post("/api/auth/login",
+                            json={"username": "bob", "password": "pw"}).json()["token"]
+        auth = {"Authorization": f"Bearer {token}"}
+        assert client.get("/api/photos", headers=auth).status_code == 200
+        # plain users cannot change weights
+        res = client.post("/api/stats/update_weights", headers=auth,
+                          json={"category": "default", "weights": {}})
+        assert res.status_code == 403
