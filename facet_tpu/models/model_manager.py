@@ -123,10 +123,32 @@ class ModelManager:
 
             return TOPIQScorer.create(config, cached)
 
+        def make_vlm(config, cached):
+            from facet_tpu.models.vlm_tagger import VLMTagger
+
+            tagger = VLMTagger(config, model_name="qwen2.5-vl-7b")
+            tagger.ensure_loaded()  # raises a clear error when weights absent
+            return tagger
+
+        def make_qwen3(config, cached):
+            from facet_tpu.models.vlm_tagger import VLMTagger
+
+            tagger = VLMTagger(config, model_name="qwen3-vl-2b")
+            tagger.ensure_loaded()
+            return tagger
+
+        def make_clipiqa(config, cached):
+            from facet_tpu.models.iqa import CLIPIQAScorer
+
+            return CLIPIQAScorer.create(config, cached)
+
         self._factories["clip"] = make_clip
         self._factories["samp_net"] = make_samp
         self._factories["insightface"] = make_insightface
         self._factories["topiq"] = make_topiq
+        self._factories["vlm_tagger"] = make_vlm
+        self._factories["qwen3_vl_tagger"] = make_qwen3
+        self._factories["clipiqa"] = make_clipiqa
 
     # ---------------------------------------------------------- lifecycle
 

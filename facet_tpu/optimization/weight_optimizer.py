@@ -213,9 +213,12 @@ class WeightOptimizer:
                 (category, result["comparisons_used"], json.dumps(old),
                  json.dumps(result["new_weights"]),
                  1 - result["accuracy_before"], 1 - result["accuracy_after"]))
+        from facet_tpu.config.category_filter import VALID_WEIGHT_COLUMNS
+
         weights = cat.setdefault("weights", {})
-        for key, val in result["new_weights"].items():
-            weights[f"{key}_percent"] = round(val * 100)
+        for key in VALID_WEIGHT_COLUMNS:
+            weights[f"{key}_percent"] = round(
+                result["new_weights"].get(key, 0.0) * 100)
         self.config.validate_weights(verbose=False)
         self.config.save_config()
         return True

@@ -388,6 +388,21 @@ class Facet:
             except Exception:
                 pass  # no CLIP available: keep stored aesthetic values
 
+        # percentile normalization: re-derive scale-dependent scores from the
+        # stored raw metrics against the library's current percentiles
+        # (reference: config/percentile_normalizer.py via scorer.py:1148+)
+        normalizer = None
+        if self.config.get_normalization_settings().get("method") == "percentile":
+            from facet_tpu.config.percentile_normalizer import (
+                RAW_METRICS,
+                PercentileNormalizer,
+            )
+
+            normalizer = PercentileNormalizer(self.db_path, self.config)
+            normalizer.compute_percentiles()
+            if normalizer.per_category:
+                normalizer.compute_percentiles_per_category()
+
         for row in rows:
             refreshed = exposure_from_histogram_blob(
                 row.get("histogram_data"), shadow_t, highlight_t)
@@ -395,6 +410,14 @@ class Facet:
                 row.update(refreshed)
             fc = row.get("face_count") or 0
             row["is_group_portrait"] = 1 if fc >= group_min else 0
+            if normalizer is not None and normalizer.ready():
+                from facet_tpu.config.percentile_normalizer import RAW_METRICS
+
+                for raw_col, score_col in RAW_METRICS.items():
+                    normalized = normalizer.normalize(
+                        raw_col, row.get(raw_col), row.get("category"))
+                    if normalized is not None:
+                        row[score_col] = round(normalized, 2)
 
         scores, categories = self.aggregate_scorer.score_rows(rows)
 
@@ -403,14 +426,17 @@ class Facet:
                 "UPDATE photos SET aggregate = ?, category = ?, config_version = ?,"
                 " exposure_score = ?, histogram_spread = ?, mean_luminance = ?,"
                 " histogram_bimodality = ?, shadow_clipped = ?, highlight_clipped = ?,"
-                " is_silhouette = ?, is_group_portrait = ?, aesthetic = ?"
+                " is_silhouette = ?, is_group_portrait = ?, aesthetic = ?,"
+                " tech_sharpness = ?, color_score = ?, eye_sharpness = ?"
                 " WHERE path = ?",
                 [(round(float(scores[i]), 2), categories[i], self.config.version_hash,
                   rows[i].get("exposure_score"), rows[i].get("histogram_spread"),
                   rows[i].get("mean_luminance"), rows[i].get("histogram_bimodality"),
                   rows[i].get("shadow_clipped"), rows[i].get("highlight_clipped"),
                   rows[i].get("is_silhouette"), rows[i].get("is_group_portrait"),
-                  rows[i].get("aesthetic"), rows[i]["path"])
+                  rows[i].get("aesthetic"), rows[i].get("tech_sharpness"),
+                  rows[i].get("color_score"), rows[i].get("eye_sharpness"),
+                  rows[i]["path"])
                  for i in range(len(rows))])
         if verbose:
             print(f"recomputed aggregates for {len(rows)} photos")

@@ -104,8 +104,9 @@ class TestRecompute:
         engine.save_photos_batch(rows)
         before = {r["path"]: r["aggregate"] for r in rows}
 
-        # without aesthetic rescoring the aggregate must reproduce exactly
-        # (same stored inputs, same math)
+        # without aesthetic rescoring (and with percentile normalization off)
+        # the aggregate must reproduce exactly: same stored inputs, same math
+        engine.config.config["normalization"]["method"] = "none"
         n = engine.update_all_aggregates(rescore_embeddings=False)
         assert n == 4
         with get_connection(engine.db_path) as conn:
