@@ -26,6 +26,60 @@ def _parse_date(date_str):
     return None
 
 
+class IncrementalBurstProcessor:
+    """Streaming burst grouping for scan-time use (reference: utils/burst.py:8).
+
+    Photos arrive in capture order; each either joins the open burst (same
+    similarity/time rules as process_bursts) or closes it, yielding the
+    finished group so the scan can flag its lead without a full post-pass.
+    """
+
+    def __init__(self, config):
+        settings = config.get_burst_detection_settings()
+        self.max_distance = int(64 * (1 - settings.get(
+            "similarity_threshold_percent", 88) / 100))
+        self.window_seconds = settings.get("time_window_minutes", 60) * 60
+        self.rapid_seconds = settings.get("rapid_burst_seconds", 5)
+        self.open_burst = []
+
+    def _joins(self, item):
+        date, phash = item["date"], item["phash"]
+        if date is None or not phash:
+            return False
+        for member in self.open_burst:
+            if member["date"] is None:
+                continue
+            dt = abs((date - member["date"]).total_seconds())
+            if dt <= self.rapid_seconds and hamming_distance(
+                    phash, member["phash"]) <= self.max_distance * 2:
+                return True
+            if dt <= self.window_seconds and hamming_distance(
+                    phash, member["phash"]) <= self.max_distance:
+                return True
+        return False
+
+    def add(self, path, date_taken, phash, aggregate):
+        """Feed one photo; returns a finished burst group or None."""
+        item = {"path": path, "date": _parse_date(date_taken),
+                "phash": phash, "aggregate": aggregate or 0.0}
+        if not self.open_burst or self._joins(item):
+            self.open_burst.append(item)
+            return None
+        finished = self.flush()
+        self.open_burst = [item]
+        return finished
+
+    def flush(self):
+        """Close the open burst -> {'members': [paths], 'lead': path} or None."""
+        if not self.open_burst:
+            return None
+        lead = max(self.open_burst, key=lambda m: m["aggregate"])
+        group = {"members": [m["path"] for m in self.open_burst],
+                 "lead": lead["path"]}
+        self.open_burst = []
+        return group
+
+
 def process_bursts(db_path, config):
     """Run burst grouping over the whole database. Returns burst-lead count."""
     settings = config.get_burst_detection_settings()
