@@ -81,3 +81,63 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
 @functools.lru_cache(maxsize=32)
 def _cached_matrices(src_h, src_w, target):
     return clip_preprocess_matrices(src_h, src_w, target)
+
+
+class FusedScorer:
+    """Engine-facing wrapper: one device call per shape group computes
+    aesthetic + embedding + pHash + all technical statistics.
+
+    Replaces the separate stats/phash/CLIP calls (3 transfers of the full
+    image batch) with a single transfer + single program.
+    """
+
+    def __init__(self, vision_tower, head, vision_params, head_params):
+        self.vision_tower = vision_tower
+        self.head = head
+        self.vision_params = vision_params
+        self.head_params = head_params
+        self._pipelines = {}
+
+    @classmethod
+    def from_aesthetic_scorer(cls, scorer):
+        return cls(scorer.vision, scorer.head,
+                   scorer.vision_params, scorer.head_params)
+
+    def _pipeline(self, h, w):
+        key = (h, w)
+        if key not in self._pipelines:
+            self._pipelines[key] = build_fused_pipeline(
+                self.vision_tower, self.head, h, w)
+        return self._pipelines[key]
+
+    def score_images(self, images):
+        """List of RGB uint8 arrays -> aligned list of
+        (aesthetic, embedding_bytes, phash_hex, ImageStats)."""
+        from facet_tpu.ops.phash import _bits_to_hex
+        from facet_tpu.ops.stats import ImageStats
+
+        results = [None] * len(images)
+        by_shape = {}
+        for i, img in enumerate(images):
+            by_shape.setdefault(img.shape[:2], []).append(i)
+        for (h, w), idxs in by_shape.items():
+            batch = np.stack([images[i] for i in idxs])
+            out = jax.device_get(self._pipeline(h, w)(
+                self.vision_params, self.head_params, jnp.asarray(batch)))
+            for j, idx in enumerate(idxs):
+                stats = ImageStats(
+                    height=h, width=w,
+                    gray_hist=np.asarray(out["gray_hist"][j]),
+                    sat_sum=int(np.asarray(out["sat_tiles"][j], np.int64).sum()),
+                    hs_entropy=float(out["hs_entropy"][j]),
+                    lap_sum=int(np.asarray(out["lap_tiles"][j], np.int64).sum()),
+                    lap_sumsq=int(np.asarray(out["lapsq_tiles"][j], np.int64).sum()),
+                    imm_abs_sum=int(np.asarray(out["imm_tiles"][j], np.int64).sum()),
+                )
+                results[idx] = (
+                    float(out["aesthetic"][j]),
+                    np.asarray(out["embedding"][j], np.float32).tobytes(),
+                    _bits_to_hex(np.asarray(out["hash_bits"][j])),
+                    stats,
+                )
+        return results

@@ -163,11 +163,26 @@ class ChunkedMultiPassProcessor:
         state = {"paths": ok, "images": images, "pils": pils,
                  "aesthetics": [(None, None)] * n, "faces": [None] * n,
                  "topiq": None, "samp": None, "vlm_tags": None}
-        self._device_prepass(state)
+
+        uses_clip = any("clip" in group for group in self.passes)
+        if uses_clip:
+            # the clip pass runs the FUSED program: aesthetic + embedding +
+            # pHash + technical statistics in one device call per shape
+            t0 = time.time()
+            fused = self.scorer._fused_scorer()
+            outputs = fused.score_images(images)
+            state["tech"] = [self.scorer.technical.metrics_from_stats(o[3])
+                             for o in outputs]
+            state["phash"] = [o[2] for o in outputs]
+            state["aesthetics"] = [(o[0], o[1]) for o in outputs]
+            self.phase_times["inference"] += time.time() - t0
+        else:
+            self._device_prepass(state)
 
         multiple_passes = len(self.passes) > 1
         for group in self.passes:
-            self._run_pass_group(group, state)
+            self._run_pass_group(
+                [m for m in group if not (uses_clip and m == "clip")], state)
             if multiple_passes:
                 self._unload_pass_group(group)
 

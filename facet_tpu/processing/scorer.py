@@ -76,6 +76,7 @@ class Facet:
         self.models = model_manager or ModelManager(self.config)
         self._tagger = None
         self._aggregate_scorer = None
+        self._fused = None
 
         processing = self.config.get_processing_settings()
         thumbs = processing.get("thumbnails", {})
@@ -109,6 +110,13 @@ class Facet:
         if self._aggregate_scorer is None:
             self._aggregate_scorer = AggregateScorer(self.config)
         return self._aggregate_scorer
+
+    def _fused_scorer(self):
+        if self._fused is None:
+            from facet_tpu.processing.device_pipeline import FusedScorer
+
+            self._fused = FusedScorer.from_aesthetic_scorer(self.aesthetic_model)
+        return self._fused
 
     # --------------------------------------------------------------- scoring
 
@@ -147,12 +155,18 @@ class Facet:
                      with_aesthetic=True, with_composition=True, with_tags=True):
         """Score pre-decoded images (the multi-pass chunk path)."""
         n = len(paths)
-        tech = self.technical.analyze_batch(images)
-        hashes = phash_batch(images)
-
-        aesthetics = [(None, None)] * n
         if with_aesthetic and not self.lightweight:
-            aesthetics = self.aesthetic_model.score_batch(images)
+            # fused path: ONE device program per shape computes aesthetic +
+            # embedding + pHash + every technical statistic
+            fused = self._fused_scorer()
+            outputs = fused.score_images(images)
+            tech = [self.technical.metrics_from_stats(o[3]) for o in outputs]
+            hashes = [o[2] for o in outputs]
+            aesthetics = [(o[0], o[1]) for o in outputs]
+        else:
+            tech = self.technical.analyze_batch(images)
+            hashes = phash_batch(images)
+            aesthetics = [(None, None)] * n
 
         face_results = [None] * n
         if with_faces and not self.lightweight:
