@@ -68,14 +68,33 @@ class ChunkedMultiPassProcessor:
     # ------------------------------------------------------------- chunk IO
 
     def _load_chunk(self, paths):
-        """Decode + EXIF for one chunk. Returns (paths, images, pils, exif)."""
+        """Decode + EXIF for one chunk. Returns (paths, images, pils, exif).
+
+        JPEGs decode through the native parallel decoder when built
+        (native/facet_io.cpp); everything else (PNG/RAW/decoder-less builds)
+        takes the PIL path.
+        """
+        from PIL import Image as PILImage
+
+        from facet_tpu.utils import native_decode
+
         t0 = time.time()
         images, pils, ok = [], [], []
-        for path in paths:
-            pil = load_image(path)
-            if pil is None:
-                continue
-            arr = np.asarray(pil, dtype=np.uint8)
+        jpeg_idx = [i for i, p in enumerate(paths)
+                    if p.lower().endswith((".jpg", ".jpeg"))]
+        native = None
+        if jpeg_idx and native_decode.available():
+            native = dict(zip(jpeg_idx, native_decode.decode_jpeg_batch(
+                [paths[i] for i in jpeg_idx]) or []))
+        for i, path in enumerate(paths):
+            arr = native.get(i) if native else None
+            if arr is not None:
+                pil = PILImage.fromarray(arr)
+            else:
+                pil = load_image(path)
+                if pil is None:
+                    continue
+                arr = np.asarray(pil, dtype=np.uint8)
             if arr.ndim != 3 or arr.shape[2] != 3 or min(arr.shape[:2]) < 3:
                 continue
             ok.append(path)
