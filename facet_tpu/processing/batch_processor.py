@@ -52,8 +52,14 @@ class BatchProcessor:
                 continue
             self.queue.put((path, arr, pil))
 
-    def process_stream(self, paths, save_interval=50, verbose=True):
-        """Score paths through the streaming pipeline. Returns count saved."""
+    def process_stream(self, paths, save_interval=50, verbose=True,
+                       calibrate=True):
+        """Score paths through the streaming pipeline. Returns count saved.
+
+        A calibration phase (reference: batch_processor.py:458-604) measures
+        host decode throughput over the first batches and may grow the worker
+        pool via the IO-vs-device tuner before the steady-state run.
+        """
         reporter = MetricsReporter(len(paths), label="single-pass scan")
         monitor = ResourceMonitor().start()
         it = iter(paths)
@@ -62,6 +68,34 @@ class BatchProcessor:
                    for _ in range(self.num_workers)]
         for w in workers:
             w.start()
+
+        calibration_done = not calibrate
+        calibration_start = time.time()
+
+        def maybe_calibrate(processed):
+            nonlocal calibration_done
+            if calibration_done or processed < 2 * self.batch_size:
+                return
+            calibration_done = True
+            elapsed = max(time.time() - calibration_start, 1e-6)
+            host_rate = processed / elapsed
+            from facet_tpu.config.percentile_normalizer import (
+                recalculate_batch_settings,
+            )
+
+            tuned = recalculate_batch_settings(
+                0.0, host_rate, current_workers=self.num_workers)
+            extra = tuned["workers"] - self.num_workers
+            if extra > 0:
+                for _ in range(extra):
+                    w = threading.Thread(target=self._loader, args=(lock, it),
+                                         daemon=True)
+                    w.start()
+                    workers.append(w)
+                self.num_workers = tuned["workers"]
+                if verbose:
+                    print(f"  calibration: {tuned['bottleneck']}-bound,"
+                          f" workers -> {self.num_workers}")
 
         pending_rows = []
         processed = 0
@@ -99,6 +133,7 @@ class BatchProcessor:
                 if len(pending_rows) >= save_interval:
                     self.scorer.save_photos_batch(pending_rows)
                     pending_rows = []
+                maybe_calibrate(processed)
                 reporter.update(processed=processed, queue_stalls=self.stalls,
                                 workers=self.num_workers, batch_size=target)
         finally:

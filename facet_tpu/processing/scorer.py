@@ -456,6 +456,84 @@ class Facet:
             print(f"recomputed aggregates for {len(rows)} photos")
         return len(rows)
 
+    def _stored_thumbnails(self, where="thumbnail IS NOT NULL"):
+        """-> (paths, decoded RGB arrays) for rows with a usable thumbnail."""
+        from facet_tpu.utils.thumbnails import decode_thumbnail
+
+        with get_connection(self.db_path) as conn:
+            rows = conn.execute(
+                f"SELECT path, thumbnail FROM photos WHERE {where}").fetchall()
+        paths, images = [], []
+        for path, blob in rows:
+            arr = decode_thumbnail(blob)
+            if arr is not None and min(arr.shape[:2]) >= 3:
+                paths.append(path)
+                images.append(arr)
+        return paths, images
+
+    def score_topiq_from_thumbnails(self, batch_size=32, verbose=True):
+        """Backfill topiq_score/quality_score from stored thumbnails
+        (reference: photos.py:436-500 --score-topiq). No original-file IO."""
+        model = self.models.load_model("topiq")
+        paths, images = self._stored_thumbnails(
+            "thumbnail IS NOT NULL AND topiq_score IS NULL")
+        done = 0
+        for start in range(0, len(paths), batch_size):
+            chunk_paths = paths[start:start + batch_size]
+            scores = model.score_batch(images[start:start + batch_size])
+            self.update_columns({
+                p: {"topiq_score": s, "quality_score": s,
+                    "scoring_model": "topiq"}
+                for p, s in zip(chunk_paths, scores)})
+            done += len(chunk_paths)
+            if verbose and done % (batch_size * 4) == 0:
+                print(f"  topiq backfill {done}/{len(paths)}")
+        if done:
+            self.update_all_aggregates(rescore_embeddings=False)
+        if verbose:
+            print(f"topiq backfill complete: {done} photos")
+        return done
+
+    def rescan_composition_from_thumbnails(self, batch_size=32, verbose=True):
+        """Re-run SAMP-Net composition from stored thumbnails
+        (reference: processing/scorer.py:1439-1538)."""
+        model = self.models.load_model("samp_net")
+        paths, images = self._stored_thumbnails()
+        done = 0
+        for start in range(0, len(paths), batch_size):
+            chunk_paths = paths[start:start + batch_size]
+            results = model.score_batch(images[start:start + batch_size])
+            self.update_columns({
+                p: {"comp_score": r["score"],
+                    "composition_pattern": r["pattern"],
+                    "power_point_score": r["power_point_score"]}
+                for p, r in zip(chunk_paths, results)})
+            done += len(chunk_paths)
+        if done:
+            self.update_all_aggregates(rescore_embeddings=False)
+        if verbose:
+            print(f"composition rescan complete: {done} photos")
+        return done
+
+    def recompute_categories(self, verbose=True):
+        """Re-run category routing + aggregates only (no normalization)."""
+        with get_connection(self.db_path) as conn:
+            rows = [dict(r) for r in conn.execute(
+                "SELECT * FROM photos WHERE aggregate IS NOT NULL")]
+        if not rows:
+            return 0
+        scores, categories = self.aggregate_scorer.score_rows(rows)
+        with get_connection(self.db_path) as conn:
+            conn.executemany(
+                "UPDATE photos SET category = ?, aggregate = ?,"
+                " config_version = ? WHERE path = ?",
+                [(categories[i], round(float(scores[i]), 2),
+                  self.config.version_hash, rows[i]["path"])
+                 for i in range(len(rows))])
+        if verbose:
+            print(f"recomputed categories for {len(rows)} photos")
+        return len(rows)
+
     def retag_from_embeddings(self, only_untagged=True, verbose=False):
         """Re-run zero-shot tagging from stored CLIP embeddings (no images)."""
         where = "clip_embedding IS NOT NULL"

@@ -41,6 +41,12 @@ def build_parser():
                      help="re-run blink detection from stored landmarks")
     rec.add_argument("--recompute-bursts", action="store_true",
                      help="re-run burst grouping only")
+    rec.add_argument("--recompute-category", action="store_true",
+                     help="re-run category routing + aggregates only")
+    rec.add_argument("--score-topiq", action="store_true",
+                     help="backfill TOPIQ scores from stored thumbnails")
+    rec.add_argument("--rescan-composition", action="store_true",
+                     help="re-run SAMP-Net composition from stored thumbnails")
 
     faces = p.add_argument_group("faces")
     faces.add_argument("--extract-faces", action="store_true",
@@ -116,6 +122,24 @@ def main(argv=None):
 
         leads = process_bursts(db_path, config)
         print(f"burst processing complete: {leads} leads")
+        return 0
+
+    if args.recompute_category:
+        from facet_tpu.processing.scorer import Facet
+
+        Facet(db_path, config, lightweight=True).recompute_categories()
+        return 0
+
+    if args.score_topiq:
+        from facet_tpu.processing.scorer import Facet
+
+        Facet(db_path, config).score_topiq_from_thumbnails()
+        return 0
+
+    if args.rescan_composition:
+        from facet_tpu.processing.scorer import Facet
+
+        Facet(db_path, config).rescan_composition_from_thumbnails()
         return 0
 
     if args.recompute_blinks:
