@@ -107,13 +107,23 @@ def _topiq_factory():
     return TOPIQScorer
 
 
+def _hyperiqa_factory():
+    from facet_tpu.models.iqa_extra import HyperIQAScorer
+
+    return HyperIQAScorer
+
+
+def _dbcnn_factory():
+    from facet_tpu.models.iqa_extra import DBCNNScorer
+
+    return DBCNNScorer
+
+
 IQA_REGISTRY = {
     "topiq": {"srcc": 0.93, "range": (0.0, 1.0), "factory": _topiq_factory},
     "clipiqa+": {"srcc": 0.86, "range": (0.0, 1.0), "factory": lambda: CLIPIQAScorer},
-    "hyperiqa": {"srcc": 0.90, "range": (0.0, 1.0),
-                 "factory": lambda: _pending("hyperiqa", 0.90)},
-    "dbcnn": {"srcc": 0.90, "range": (0.0, 1.0),
-              "factory": lambda: _pending("dbcnn", 0.90)},
+    "hyperiqa": {"srcc": 0.90, "range": (0.0, 1.0), "factory": _hyperiqa_factory},
+    "dbcnn": {"srcc": 0.90, "range": (0.0, 1.0), "factory": _dbcnn_factory},
     "musiq": {"srcc": 0.87, "range": (0.0, 100.0),
               "factory": lambda: _pending("musiq", 0.87)},
 }
