@@ -119,13 +119,18 @@ def _dbcnn_factory():
     return DBCNNScorer
 
 
+def _musiq_factory():
+    from facet_tpu.models.musiq import MUSIQScorer
+
+    return MUSIQScorer
+
+
 IQA_REGISTRY = {
     "topiq": {"srcc": 0.93, "range": (0.0, 1.0), "factory": _topiq_factory},
     "clipiqa+": {"srcc": 0.86, "range": (0.0, 1.0), "factory": lambda: CLIPIQAScorer},
     "hyperiqa": {"srcc": 0.90, "range": (0.0, 1.0), "factory": _hyperiqa_factory},
     "dbcnn": {"srcc": 0.90, "range": (0.0, 1.0), "factory": _dbcnn_factory},
-    "musiq": {"srcc": 0.87, "range": (0.0, 100.0),
-              "factory": lambda: _pending("musiq", 0.87)},
+    "musiq": {"srcc": 0.87, "range": (0.0, 1.0), "factory": _musiq_factory},
 }
 
 

@@ -55,9 +55,18 @@ def test_deep_scorers(tiny_config, name):
     assert 0 <= again[0] <= 10
 
 
-def test_musiq_pending(tiny_config):
-    with pytest.raises(RuntimeError, match="pending"):
-        create_iqa_scorer("musiq", tiny_config)
+def test_musiq(tiny_config):
+    from facet_tpu.models.musiq import MUSIQConfig, MUSIQScorer
+
+    tiny = MUSIQConfig(scales=(64, 48), patch=16, width=32, layers=1, heads=2)
+    scorer = MUSIQScorer.create(tiny_config, musiq_config=tiny)
+    rng = np.random.default_rng(2)
+    scores = scorer.score_batch(
+        [rng.integers(0, 256, (100, 70, 3), dtype=np.uint8) for _ in range(2)])
+    assert len(scores) == 2 and all(0 <= s <= 10 for s in scores)
+
+
+def test_unknown_model_rejected(tiny_config):
     with pytest.raises(KeyError):
         create_iqa_scorer("nope", tiny_config)
 
