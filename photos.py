@@ -70,6 +70,11 @@ def build_parser():
     misc.add_argument("--simulate", action="store_true",
                       help="simulate recommendations (with --compute-recommendations)")
     misc.add_argument("--vacuum", action="store_true", help="vacuum/analyze the database")
+    misc.add_argument("--profile", metavar="DIR", default=None,
+                      help="capture a jax.profiler trace of the scan into DIR")
+    misc.add_argument("--multihost", action="store_true",
+                      help="partition work across jax.distributed hosts"
+                           " (per-host DB shards; merge on host 0 at the end)")
     return p
 
 
@@ -185,10 +190,19 @@ def main(argv=None):
     from facet_tpu.processing.scorer import Facet
     from facet_tpu.utils.image_loading import gather_image_files
 
+    if args.multihost:
+        from facet_tpu.parallel import multihost
+
+        pid, nprocs = multihost.initialize()
+        db_path = multihost.shard_db_path(db_path, pid)
+        print(f"multihost: process {pid}/{nprocs}, shard db {db_path}")
+
     scorer = Facet(db_path, config, multi_pass=not args.single_pass)
     scanning = config.get_scanning_settings()
     files = gather_image_files(args.directory,
                                skip_hidden=scanning.get("skip_hidden_directories", True))
+    if args.multihost:
+        files = multihost.partition_paths(files)
     if not args.force and not args.dry_run:
         done = scorer.get_already_scanned_set()
         files = [f for f in files if os.path.abspath(f) not in done and f not in done]
@@ -212,22 +226,33 @@ def main(argv=None):
             print(f"{os.path.basename(path)[:39]:<40} ERROR: {err}")
         return 0
 
-    if args.pass_name:
-        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+    import contextlib
 
-        proc = ChunkedMultiPassProcessor(scorer)
-        proc.run_single_pass(files, args.pass_name)
-    elif args.single_pass:
-        from facet_tpu.processing.batch_processor import BatchProcessor
+    trace = contextlib.nullcontext()
+    if args.profile:
+        import jax
 
-        proc = BatchProcessor(scorer, batch_size=args.batch_size,
-                              num_workers=args.workers)
-        proc.process_stream(files)
-    else:
-        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+        os.makedirs(args.profile, exist_ok=True)
+        trace = jax.profiler.trace(args.profile)
+        print(f"profiling into {args.profile}")
 
-        proc = ChunkedMultiPassProcessor(scorer)
-        proc.process_directory(files)
+    with trace:
+        if args.pass_name:
+            from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+            proc = ChunkedMultiPassProcessor(scorer)
+            proc.run_single_pass(files, args.pass_name)
+        elif args.single_pass:
+            from facet_tpu.processing.batch_processor import BatchProcessor
+
+            proc = BatchProcessor(scorer, batch_size=args.batch_size,
+                                  num_workers=args.workers)
+            proc.process_stream(files)
+        else:
+            from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+            proc = ChunkedMultiPassProcessor(scorer)
+            proc.process_directory(files)
 
     # post-scan: burst grouping + tag backfill from stored embeddings
     from facet_tpu.utils.burst import process_bursts
