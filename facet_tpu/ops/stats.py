@@ -78,6 +78,15 @@ def _tiled_sum(x2d, tile=SUM_TILE):
         axis=2, dtype=jnp.int32)
 
 
+def _use_pallas():
+    # The standalone pallas kernel (ops/pallas_stats.py) is bit-exact and
+    # compiles 15x faster in isolation, but embedding a pallas_call inside
+    # the large fused program degrades XLA's scheduling badly (measured 20x
+    # slower end-to-end) — keep the XLA formulation in the fused path and the
+    # pallas kernel as the standalone fast-compile alternative.
+    return False
+
+
 def _batch_stats_impl(rgb_batch):
     """(B, H, W, 3) uint8 -> device stats tuple."""
     b, h, w, _ = rgb_batch.shape
@@ -85,26 +94,41 @@ def _batch_stats_impl(rgb_batch):
     gray = rgb_to_gray(rgb_batch)
     hh, ss, _ = rgb_to_hsv(rgb_batch)
 
-    # --- gray histogram: compare-reduce over the bin axis
-    bins = jnp.arange(256, dtype=jnp.int32)
-    gray_hist = jnp.sum(
-        gray.reshape(b, -1)[:, :, None] == bins[None, None, :],
-        axis=1, dtype=jnp.int32)
-
     # --- saturation partial sums
     sat_tiles = _tiled_sum(ss.reshape(b, -1))
 
-    # --- 3x3 stencils with reflect-101 borders (cv2 default)
-    p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
-    lap = (p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2]
-           + p[:, 1:-1, 2:] - 4 * p[:, 1:-1, 1:-1])
-    imm = (p[:, :-2, :-2] - 2 * p[:, :-2, 1:-1] + p[:, :-2, 2:]
-           - 2 * p[:, 1:-1, :-2] + 4 * p[:, 1:-1, 1:-1] - 2 * p[:, 1:-1, 2:]
-           + p[:, 2:, :-2] - 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
-    lap_flat = lap.reshape(b, -1)
-    lap_tiles = _tiled_sum(lap_flat)
-    lapsq_tiles = _tiled_sum(lap_flat * lap_flat)
-    imm_tiles = _tiled_sum(jnp.abs(imm).reshape(b, -1))
+    if _use_pallas():
+        # one double-buffered VMEM pass computes histogram + both stencil
+        # reductions (facet_tpu/ops/pallas_stats.py); compiles ~15x faster
+        # than the XLA formulation of the same reductions
+        from facet_tpu.ops.pallas_stats import _pallas_gray_stats
+
+        padded = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+        gray_hist, gray_sums = _pallas_gray_stats(padded)
+        lap_tiles = gray_sums[:, :, 0]
+        # lap^2 travels as (lo20, hi) pairs so partials stay int32-exact
+        lapsq_tiles = gray_sums[:, :, 1:3]                  # (B, T, 2)
+        imm_tiles = gray_sums[:, :, 3]
+    else:
+        # --- gray histogram: compare-reduce over the bin axis
+        bins = jnp.arange(256, dtype=jnp.int32)
+        gray_hist = jnp.sum(
+            gray.reshape(b, -1)[:, :, None] == bins[None, None, :],
+            axis=1, dtype=jnp.int32)
+
+        # --- 3x3 stencils with reflect-101 borders (cv2 default)
+        p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+        lap = (p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2]
+               + p[:, 1:-1, 2:] - 4 * p[:, 1:-1, 1:-1])
+        imm = (p[:, :-2, :-2] - 2 * p[:, :-2, 1:-1] + p[:, :-2, 2:]
+               - 2 * p[:, 1:-1, :-2] + 4 * p[:, 1:-1, 1:-1] - 2 * p[:, 1:-1, 2:]
+               + p[:, 2:, :-2] - 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+        lap_flat = lap.reshape(b, -1)
+        lap_tiles = _tiled_sum(lap_flat)
+        sq = _tiled_sum(lap_flat * lap_flat)
+        # same (lo20, hi) pair layout as the pallas path
+        lapsq_tiles = jnp.stack([sq & 0xFFFFF, sq >> 20], axis=2)
+        imm_tiles = _tiled_sum(jnp.abs(imm).reshape(b, -1))
 
     # --- H-S joint entropy via one-hot matmul (hist2d = OH_H^T @ OH_S)
     h_bins = jnp.arange(180, dtype=jnp.int32)
@@ -187,7 +211,9 @@ def compute_batch_stats(images):
                     sat_sum=int(np.asarray(sat_t[j], np.int64).sum()),
                     hs_entropy=float(entropy[j]),
                     lap_sum=int(np.asarray(lap_t[j], np.int64).sum()),
-                    lap_sumsq=int(np.asarray(lapsq_t[j], np.int64).sum()),
+                    lap_sumsq=int(
+                        (np.asarray(lapsq_t[j, :, 1], np.int64).sum() << 20)
+                        + np.asarray(lapsq_t[j, :, 0], np.int64).sum()),
                     imm_abs_sum=int(np.asarray(imm_t[j], np.int64).sum()),
                 )
             pos += len(chunk)
