@@ -139,6 +139,96 @@ def convert_aesthetic_head(state_dict):
     }}
 
 
+# --------------------------------------------------------------- ResNet/SAMP
+
+
+def _conv_t(weight):
+    """torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)."""
+    return np.asarray(weight, np.float32).transpose(2, 3, 1, 0)
+
+
+def _bn_t(sd, prefix):
+    return (
+        {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+         "bias": np.asarray(sd[prefix + ".bias"], np.float32)},
+        {"mean": np.asarray(sd[prefix + ".running_mean"], np.float32),
+         "var": np.asarray(sd[prefix + ".running_var"], np.float32)},
+    )
+
+
+def convert_torchvision_resnet18(sd, prefix=""):
+    """torchvision resnet18 (children[:-2]) -> our ResNet18Features trees.
+
+    Returns (params, batch_stats). `prefix` handles wrapped checkpoints
+    (e.g. SAMP-Net's 'backbone.' Sequential naming: backbone.0=conv1,
+    backbone.1=bn1, backbone.4..7=layer1..4).
+    """
+    sd = {k: _to_numpy(v) for k, v in sd.items()}
+    seq = any(k.startswith(prefix + "0.") for k in sd)
+
+    def key(torch_name):
+        if not seq:
+            return prefix + torch_name
+        head_map = {"conv1": "0", "bn1": "1"}
+        part = torch_name.split(".")[0]
+        if part in head_map:
+            return prefix + torch_name.replace(part, head_map[part], 1)
+        # layer1..layer4 -> indices 4..7
+        layer_idx = int(part[5]) + 3
+        return prefix + torch_name.replace(part, str(layer_idx), 1)
+
+    params, stats = {}, {}
+    params["Conv_0"] = {"kernel": _conv_t(sd[key("conv1.weight")])}
+    p, s = _bn_t(sd, key("bn1"))
+    params["BatchNorm_0"], stats["BatchNorm_0"] = p, s
+
+    for stage in range(1, 5):
+        for block in range(2):
+            name = f"layer{stage}_{block}"
+            tp = key(f"layer{stage}.{block}")
+            bp, bs = {}, {}
+            for ci, cname in ((1, "Conv_0"), (2, "Conv_1")):
+                bp[cname] = {"kernel": _conv_t(sd[f"{tp}.conv{ci}.weight"])}
+                pn, sn = _bn_t(sd, f"{tp}.bn{ci}")
+                bname = f"BatchNorm_{ci - 1}"
+                bp[bname], bs[bname] = pn, sn
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["down_conv"] = {"kernel": _conv_t(sd[f"{tp}.downsample.0.weight"])}
+                pn, sn = _bn_t(sd, f"{tp}.downsample.1")
+                bp["down_bn"], bs["down_bn"] = pn, sn
+            params[name], stats[name] = bp, bs
+    return params, stats
+
+
+def convert_samp_net(state_dict):
+    """CADB SAMP-Net checkpoint -> our SAMPNet flax tree.
+
+    Maps the backbone (Sequential resnet18 children), the 8 pattern convs
+    (conv_list.N.0), the pattern-weight layer and the three heads.
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    backbone_p, backbone_s = convert_torchvision_resnet18(sd, prefix="backbone.")
+    params = {"backbone": backbone_p}
+    stats = {"backbone": backbone_s}
+
+    for i in range(8):
+        params[f"pattern_conv{i}"] = {
+            "kernel": _conv_t(sd[f"pattern_module.conv_list.{i}.0.weight"])}
+    params["pattern_weight"] = {
+        "kernel": np.asarray(sd["pattern_weight_layer.3.weight"], np.float32).T}
+    params["att_feature"] = {
+        "kernel": np.asarray(sd["att_feature_layer.0.weight"], np.float32).T}
+    params["att_pred"] = {
+        "kernel": np.asarray(sd["att_pred_layer.0.weight"], np.float32).T}
+    params["com_pred0"] = {
+        "kernel": np.asarray(sd["com_pred_layer.0.weight"], np.float32).T}
+    params["com_pred3"] = {
+        "kernel": np.asarray(sd["com_pred_layer.3.weight"], np.float32).T}
+    params["com_pred5"] = {
+        "kernel": np.asarray(sd["com_pred_layer.5.weight"], np.float32).T}
+    return {"params": params, "batch_stats": stats}
+
+
 # ------------------------------------------------------------ npz save/load
 
 def flatten_tree(tree, prefix=""):

@@ -152,22 +152,40 @@ class ChunkedMultiPassProcessor:
     # ---------------------------------------------------------------- public
 
     def process_directory(self, paths, verbose=True):
-        """Score a list of paths chunk by chunk. Returns processed count."""
+        """Score a list of paths chunk by chunk. Returns processed count.
+
+        Host decode for chunk N+1 runs on a background thread while chunk N
+        occupies the device (double-buffered ingest).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         if self.passes is None:
             self.detect_and_configure(verbose=verbose)
         reporter = MetricsReporter(len(paths), label="multi-pass scan")
         self.monitor.chunk_size = self.chunk_size
         self.monitor.start()
         processed = 0
+        executor = ThreadPoolExecutor(max_workers=1)
         try:
             pos = 0
-            while pos < len(paths):
-                size = max(1, self.monitor.chunk_size)
-                chunk = paths[pos:pos + size]
-                pos += len(chunk)
-                processed += self._process_chunk(chunk)
+            pending = None
+            while pos < len(paths) or pending is not None:
+                if pending is None:
+                    size = max(1, self.monitor.chunk_size)
+                    chunk = paths[pos:pos + size]
+                    pos += len(chunk)
+                    pending = executor.submit(self._load_chunk, chunk)
+                loaded = pending.result()
+                pending = None
+                if pos < len(paths):
+                    size = max(1, self.monitor.chunk_size)
+                    nxt = paths[pos:pos + size]
+                    pos += len(nxt)
+                    pending = executor.submit(self._load_chunk, nxt)
+                processed += self._process_loaded_chunk(*loaded)
                 reporter.update(processed=processed)
         finally:
+            executor.shutdown(wait=False)
             self.monitor.stop()
         if verbose:
             reporter.summary(self.phase_times, self.models.cache_stats())
@@ -175,7 +193,10 @@ class ChunkedMultiPassProcessor:
 
     def _process_chunk(self, paths):
         """Full per-chunk pipeline: IO, device prepass, model passes, save."""
-        ok, images, pils, exif = self._load_chunk(paths)
+        return self._process_loaded_chunk(*self._load_chunk(paths))
+
+    def _process_loaded_chunk(self, ok, images, pils, exif):
+        """Device passes + aggregation + save over a pre-decoded chunk."""
         if not ok:
             return 0
         n = len(ok)

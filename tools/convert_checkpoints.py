@@ -223,6 +223,19 @@ def build_tag_embeddings(out_dir, config_path=None):
     return True
 
 
+def convert_samp(source_dir, out_dir):
+    path = os.path.join(source_dir, "samp_net.pth")
+    if not os.path.exists(path):
+        print("skip: no samp_net.pth")
+        return False
+    from facet_tpu.models.convert import convert_samp_net, save_params
+
+    save_params(convert_samp_net(_load_torch(path)),
+                os.path.join(out_dir, "samp_net.npz"))
+    print("converted samp_net")
+    return True
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -234,8 +247,9 @@ def main():
     convert_clip(args.source, args.out)
     convert_aesthetic(args.source, args.out)
     convert_u2netp(args.source, args.out)
+    convert_samp(args.source, args.out)
     build_tag_embeddings(args.out)
-    print("done; converters for SAMP/TOPIQ/SCRFD/ArcFace follow the same "
+    print("done; TOPIQ/SCRFD/ArcFace converters follow the same "
           "name-mapping pattern — see facet_tpu/models/convert.py")
 
 
