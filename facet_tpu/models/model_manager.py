@@ -142,12 +142,20 @@ class ModelManager:
 
             return CLIPIQAScorer.create(config, cached)
 
+        def make_ram(config, cached):
+            from facet_tpu.models.ram_tagger import RAMTagger
+
+            tagger = RAMTagger(config)
+            tagger.ensure_loaded()
+            return tagger
+
         self._factories["clip"] = make_clip
         self._factories["samp_net"] = make_samp
         self._factories["insightface"] = make_insightface
         self._factories["topiq"] = make_topiq
         self._factories["vlm_tagger"] = make_vlm
         self._factories["qwen3_vl_tagger"] = make_qwen3
+        self._factories["ram_tagger"] = make_ram
         self._factories["clipiqa"] = make_clipiqa
 
     # ---------------------------------------------------------- lifecycle

@@ -32,6 +32,16 @@ PASS_NAMES = {
     "embeddings": ["clip"],
 }
 
+# unavailable-model fallback chains (reference: multi_pass.py:864-885 —
+# vlm -> ram -> clip tagging; big IQA -> topiq -> clip aesthetic)
+FALLBACK_CHAINS = {
+    "vlm_tagger": ["qwen3_vl_tagger", "ram_tagger"],   # then implicit clip
+    "qwen3_vl_tagger": ["ram_tagger"],
+    "ram_tagger": [],
+    "topiq": ["clipiqa"],
+    "clipiqa": [],
+}
+
 
 class ChunkedMultiPassProcessor:
     def __init__(self, scorer, model_manager=None, config=None):
@@ -106,14 +116,24 @@ class ChunkedMultiPassProcessor:
 
     # ---------------------------------------------------------------- passes
 
+    def _load_with_fallback(self, name):
+        """Load a model, walking its unavailability fallback chain."""
+        chain = [name] + FALLBACK_CHAINS.get(name, [])
+        for candidate in chain:
+            try:
+                return candidate, self.models.load_model(candidate)
+            except Exception as exc:
+                tail = FALLBACK_CHAINS.get(candidate, [])
+                nxt = f"; trying {tail[0]}" if tail else "; skipping"
+                print(f"  pass {candidate}: unavailable ({exc}){nxt}")
+        return None, None
+
     def _run_pass_group(self, group, state):
         """Run one pass group's models over the chunk state."""
-        for name in group:
+        for requested in group:
             t0 = time.time()
-            try:
-                model = self.models.load_model(name)
-            except Exception as exc:
-                print(f"  pass {name}: unavailable ({exc}); skipping")
+            name, model = self._load_with_fallback(requested)
+            if model is None:
                 continue
             self.phase_times["model_load"] += time.time() - t0
 
@@ -121,13 +141,13 @@ class ChunkedMultiPassProcessor:
             if name == "clip":
                 results = model.score_batch(state["images"])
                 state["aesthetics"] = results
-            elif name == "topiq":
+            elif name in ("topiq", "clipiqa"):
                 state["topiq"] = model.score_batch(state["images"])
             elif name == "samp_net":
                 state["samp"] = model.score_batch(state["images"])
             elif name in ("insightface",):
                 state["faces"] = model.analyze_batch(state["images"])
-            elif name in ("vlm_tagger", "qwen3_vl_tagger"):
+            elif name in ("vlm_tagger", "qwen3_vl_tagger", "ram_tagger"):
                 state["vlm_tags"] = model.tag_batch(state["pils"])
             self.phase_times["inference"] += time.time() - t0
 
@@ -228,7 +248,11 @@ class ChunkedMultiPassProcessor:
 
         t0 = time.time()
         tag_lists = [[] for _ in range(n)]
-        if self.config.get_tagging_settings().get("enabled", True):
+        if state["vlm_tags"] is not None:
+            # VLM/RAM taggers return plain tag names; normalize to the
+            # (tag, score) pair shape the row assembly expects
+            tag_lists = [[(t, 1.0) for t in tags] for tags in state["vlm_tags"]]
+        elif self.config.get_tagging_settings().get("enabled", True):
             blobs = [b for _, b in state["aesthetics"]]
             if any(b is not None for b in blobs):
                 present = [b for b in blobs if b is not None]
