@@ -6,7 +6,6 @@ keep sessions valid), and exposes the multi-user table.
 """
 
 import hashlib
-import os
 import secrets
 
 from facet_tpu.config.scoring_config import ScoringConfig

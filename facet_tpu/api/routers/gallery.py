@@ -7,7 +7,6 @@
 from facet_tpu.api.db_helpers import (
     attach_person_data,
     get_cached_count,
-    get_photo_columns,
     preference_columns,
     preference_join,
     split_tags_field,

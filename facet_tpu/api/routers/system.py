@@ -3,7 +3,6 @@
 (reference: api/routers/auth.py, i18n.py, filter_options.py, scan.py)
 """
 
-import json
 import os
 import subprocess
 import sys

@@ -20,9 +20,6 @@
     streaming processor's calibration phase.
 """
 
-import json
-import math
-import os
 import shutil
 import time
 

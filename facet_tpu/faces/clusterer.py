@@ -16,11 +16,7 @@ Behavior contract (reference faces/clusterer.py:39-628):
 import numpy as np
 
 from facet_tpu.db.connection import get_connection
-from facet_tpu.faces.distance import (
-    normalize_embeddings,
-    pairwise_cosine,
-    pairwise_euclidean,
-)
+from facet_tpu.faces.distance import normalize_embeddings, pairwise_euclidean
 
 
 class FaceClusterer:

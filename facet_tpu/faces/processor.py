@@ -8,8 +8,6 @@ FaceProcessor roles (faces/processor.py:27-324):
 - 'refill': regenerate face crop thumbnails from stored bboxes.
 """
 
-import numpy as np
-
 from facet_tpu.db.connection import get_connection
 from facet_tpu.utils.image_loading import load_image_rgb
 from facet_tpu.utils.thumbnails import decode_thumbnail
@@ -105,7 +103,6 @@ class FaceProcessor:
 
     def run_refill(self, verbose=True):
         """Regenerate face thumbnails from stored bboxes (RAW-safe scaling)."""
-        import cv2
         import io
         from PIL import Image
 

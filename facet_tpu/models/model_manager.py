@@ -13,7 +13,6 @@ equivalents:
 """
 
 import jax
-import numpy as np
 
 
 def detect_hbm_gb():

@@ -21,7 +21,6 @@ into (H, W) buckets with power-of-two batch padding so XLA compiles one
 program per image shape, not per call.
 """
 
-import functools
 from dataclasses import dataclass
 
 import jax

@@ -21,7 +21,6 @@ import shutil
 import time
 
 import numpy as np
-from PIL import Image
 
 from facet_tpu.analyzers.composition import CompositionAnalyzer
 from facet_tpu.analyzers.technical import TechnicalAnalyzer, exposure_from_histogram_blob

@@ -8,7 +8,6 @@ reader covers the standard fields.
 """
 
 import json
-import os
 import shutil
 import subprocess
 
