@@ -1,0 +1,157 @@
+"""Unit tests for the remaining util components: export, maintenance,
+incremental bursts, silhouette util, EXIF fallback, pair selector,
+comparison manager."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from facet_tpu.db.connection import get_connection
+
+
+class TestExport:
+    def test_csv_and_json(self, tmp_db, tmp_path):
+        from facet_tpu.utils.export import export_photos
+
+        with get_connection(tmp_db) as conn:
+            conn.execute("INSERT INTO photos (path, filename, aggregate, tags)"
+                         " VALUES ('/a.jpg', 'a.jpg', 7.5, 'sunset')")
+        csv_path = export_photos(tmp_db, "csv", str(tmp_path / "out.csv"))
+        text = open(csv_path).read()
+        assert "aggregate" in text and "/a.jpg" in text
+        json_path = export_photos(tmp_db, "json", str(tmp_path / "out.json"))
+        import json
+
+        rows = json.load(open(json_path))
+        assert rows[0]["aggregate"] == 7.5
+        with pytest.raises(ValueError):
+            export_photos(tmp_db, "xml")
+
+
+class TestMaintenance:
+    def test_orphan_cleanup_and_vacuum(self, tmp_db):
+        from facet_tpu.db.maintenance import cleanup_orphaned_persons, vacuum_database
+
+        with get_connection(tmp_db) as conn:
+            conn.execute("INSERT INTO persons (name) VALUES ('ghost')")
+            conn.execute("INSERT INTO photos (path) VALUES ('/p.jpg')")
+            conn.execute("INSERT INTO faces (photo_path, face_index, embedding,"
+                         " person_id) VALUES ('/p.jpg', 0, x'00', 2)")
+            conn.execute("INSERT INTO persons (name) VALUES ('real')")
+        removed = cleanup_orphaned_persons(tmp_db, verbose=False)
+        assert removed == 1
+        vacuum_database(tmp_db, verbose=False)
+
+    def test_viewer_export(self, tmp_db, tmp_path):
+        import io
+
+        from facet_tpu.db.maintenance import export_viewer_db
+
+        buf = io.BytesIO()
+        Image.new("RGB", (640, 480), (10, 20, 30)).save(buf, "JPEG")
+        with get_connection(tmp_db) as conn:
+            conn.execute(
+                "INSERT INTO photos (path, thumbnail, clip_embedding)"
+                " VALUES ('/a.jpg', ?, x'00')", (buf.getvalue(),))
+        out = export_viewer_db(tmp_db, str(tmp_path / "viewer.db"),
+                               thumb_size=100, verbose=False)
+        with get_connection(out) as conn:
+            row = conn.execute("SELECT thumbnail, clip_embedding FROM photos"
+                               ).fetchone()
+        assert row[1] is None  # raw blobs dropped
+        small = Image.open(io.BytesIO(row[0]))
+        assert max(small.size) <= 100
+
+
+class TestIncrementalBurst:
+    def test_grouping(self, scoring_config):
+        from facet_tpu.utils.burst import IncrementalBurstProcessor
+
+        proc = IncrementalBurstProcessor(scoring_config)
+        assert proc.add("/a.jpg", "2026:01:01 12:00:00", "0" * 16, 5.0) is None
+        assert proc.add("/b.jpg", "2026:01:01 12:00:01", "0" * 16, 7.0) is None
+        # a visually different photo hours later closes the burst
+        done = proc.add("/c.jpg", "2026:01:01 18:00:00", "f" * 16, 6.0)
+        assert done["members"] == ["/a.jpg", "/b.jpg"]
+        assert done["lead"] == "/b.jpg"
+        tail = proc.flush()
+        assert tail["members"] == ["/c.jpg"]
+        assert proc.flush() is None
+
+
+class TestSilhouetteUtil:
+    def test_from_histogram(self):
+        from facet_tpu.utils.detection import detect_silhouette
+
+        dark_bright = np.zeros(256, np.int64)
+        dark_bright[5] = 500    # heavy shadows
+        dark_bright[250] = 400  # strong highlights
+        dark_bright[128] = 100
+        assert detect_silhouette(dark_bright) == 1
+        flat = np.full(256, 10, np.int64)
+        assert detect_silhouette(flat) == 0
+        assert detect_silhouette(np.zeros(256)) == 0
+
+
+class TestExifFallback:
+    def test_pil_exif_roundtrip(self, tmp_path):
+        from facet_tpu.utils.exif import get_exif_batch
+
+        path = str(tmp_path / "x.jpg")
+        img = Image.new("RGB", (320, 240), (1, 2, 3))
+        exif = img.getexif()
+        exif[272] = "TestCam"       # Model
+        exif[306] = "2026:05:01 10:00:00"
+        img.save(path, exif=exif)
+        out = get_exif_batch([path])[path]
+        assert out["camera_model"] == "TestCam"
+        assert out["image_width"] == 320
+        assert out["date_taken"].startswith("2026:05:01")
+
+    def test_shutter_format(self):
+        from facet_tpu.utils.exif import _format_shutter
+
+        assert _format_shutter(0.002) == "1/500"
+        assert _format_shutter(2.5) == "2.5"
+        assert _format_shutter(None) is None
+
+
+class TestPairSelector:
+    @pytest.fixture
+    def comparison_db(self, tmp_db):
+        with get_connection(tmp_db) as conn:
+            for i in range(20):
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, thumbnail)"
+                    " VALUES (?, ?, x'FFD8')", (f"/c/{i}.jpg", 4.0 + i * 0.25))
+        return tmp_db
+
+    def test_strategies_produce_new_pairs(self, comparison_db):
+        from facet_tpu.comparison.manager import ComparisonManager
+        from facet_tpu.comparison.pair_selector import PairSelector
+
+        manager = ComparisonManager(comparison_db)
+        seen = set()
+        for strategy in ("uncertainty", "boundary", "active", "random"):
+            pair = PairSelector(comparison_db, strategy, seed=1).next_pair()
+            assert pair is not None and pair[0] != pair[1]
+            manager.submit(pair[0], pair[1], "a")
+            key = tuple(sorted(pair))
+            assert key not in seen  # dedup against already-compared pairs
+            seen.add(key)
+
+    def test_manager_stats(self, comparison_db):
+        from facet_tpu.comparison.manager import ComparisonManager
+
+        manager = ComparisonManager(comparison_db)
+        manager.submit("/c/0.jpg", "/c/19.jpg", "b")
+        manager.submit("/c/1.jpg", "/c/2.jpg", "tie")
+        assert manager.count() == 2
+        stats = manager.statistics()
+        assert stats["by_winner"] == {"b": 1, "tie": 1}
+        # the aggregate ordering agrees with the 'b' vote (19 > 0)
+        assert manager.agreement_accuracy() == 1.0
+        cid = manager.history(limit=1)[0]["id"]
+        assert manager.edit(cid, "a")
+        assert manager.delete(cid)
+        assert not manager.delete(99999)
