@@ -74,7 +74,10 @@ def build_parser():
                       help="capture a jax.profiler trace of the scan into DIR")
     misc.add_argument("--multihost", action="store_true",
                       help="partition work across jax.distributed hosts"
-                           " (per-host DB shards; merge on host 0 at the end)")
+                           " (per-host DB shards; run --merge-shards on the"
+                           " primary host after every host finishes)")
+    misc.add_argument("--merge-shards", action="store_true",
+                      help="fold per-host shard databases into the primary DB")
     return p
 
 
@@ -100,6 +103,20 @@ def main(argv=None):
         from facet_tpu.db.maintenance import vacuum_database
 
         vacuum_database(db_path)
+        return 0
+
+    if args.merge_shards:
+        import glob
+
+        from facet_tpu.parallel.multihost import merge_shards
+
+        root, ext = os.path.splitext(db_path)
+        shards = sorted(glob.glob(f"{root}.shard*{ext}"))
+        if not shards:
+            print("no shard databases found")
+            return 0
+        merged = merge_shards(db_path, shards)
+        print(f"merged {merged} photos from {len(shards)} shards")
         return 0
 
     if args.recompute_average:
