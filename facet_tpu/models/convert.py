@@ -229,6 +229,33 @@ def convert_samp_net(state_dict):
     return {"params": params, "batch_stats": stats}
 
 
+def convert_torchvision_resnet50(sd, prefix=""):
+    """torchvision resnet50 -> our ResNet50Stages trees (TOPIQ + HyperIQA
+    backbones). Returns (params, batch_stats)."""
+    sd = {k: _to_numpy(v) for k, v in sd.items()}
+    params, stats = {}, {}
+    params["Conv_0"] = {"kernel": _conv_t(sd[prefix + "conv1.weight"])}
+    p, s = _bn_t(sd, prefix + "bn1")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = p, s
+
+    blocks_per_stage = (3, 4, 6, 3)
+    for stage, blocks in enumerate(blocks_per_stage, start=1):
+        for block in range(blocks):
+            name = f"layer{stage}_{block}"
+            tp = f"{prefix}layer{stage}.{block}"
+            bp, bs = {}, {}
+            for ci in (1, 2, 3):
+                bp[f"Conv_{ci - 1}"] = {"kernel": _conv_t(sd[f"{tp}.conv{ci}.weight"])}
+                pn, sn = _bn_t(sd, f"{tp}.bn{ci}")
+                bp[f"BatchNorm_{ci - 1}"], bs[f"BatchNorm_{ci - 1}"] = pn, sn
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["down_conv"] = {"kernel": _conv_t(sd[f"{tp}.downsample.0.weight"])}
+                pn, sn = _bn_t(sd, f"{tp}.downsample.1")
+                bp["down_bn"], bs["down_bn"] = pn, sn
+            params[name], stats[name] = bp, bs
+    return params, stats
+
+
 # ------------------------------------------------------------ npz save/load
 
 def flatten_tree(tree, prefix=""):
