@@ -9,7 +9,6 @@
 
 import argparse
 import getpass
-import secrets
 import sys
 
 
@@ -47,11 +46,9 @@ def main():
             print("username required", file=sys.stderr)
             return 1
         password = args.password or getpass.getpass(f"password for {args.username}: ")
-        salt = secrets.token_hex(8)
         users = config.config.setdefault("users", {})
         users[args.username] = {
-            "password_hash": APIConfig.hash_password(password, salt),
-            "salt": salt,
+            "password_hash": APIConfig.hash_password(password),
             "role": args.role,
         }
         config.save_config()

@@ -80,10 +80,12 @@ class AuthManager:
             if role is None:
                 raise HTTPError(401, "invalid credentials")
             return username, role
-        if cfg.edition_password and password == cfg.edition_password:
+        supplied = (password or "").encode()
+        if cfg.edition_password and hmac.compare_digest(
+                supplied, cfg.edition_password.encode()):
             return "editor", "admin"
         if cfg.viewer_password:
-            if password == cfg.viewer_password:
+            if hmac.compare_digest(supplied, cfg.viewer_password.encode()):
                 role = "user" if cfg.edition_password else "admin"
                 return "viewer", role
             raise HTTPError(401, "invalid password")

@@ -6,7 +6,22 @@ keep sessions valid), and exposes the multi-user table.
 """
 
 import hashlib
+import hmac
 import secrets
+
+PBKDF2_ITERATIONS = 100_000
+
+# A share_secret that shipped baked into an early default config (commit
+# 303ab93 blanked it, but it survives in git history and any deployment that
+# copied the old file). Treat it as publicly known: never sign with it.
+_KNOWN_LEAKED_SECRET_SHA256 = (
+    "c067ca5efe8dfae464d8dbe403f186d5a0bfde4edb6b989802c770a8814b9b7c"
+)
+
+
+def is_leaked_secret(secret):
+    digest = hashlib.sha256((secret or "").encode()).hexdigest()
+    return hmac.compare_digest(digest, _KNOWN_LEAKED_SECRET_SHA256)
 
 from facet_tpu.config.scoring_config import ScoringConfig
 from facet_tpu.db.connection import resolve_db_path
@@ -21,6 +36,13 @@ class APIConfig:
 
     def _resolve_secret(self):
         secret = self.scoring.config.get("share_secret") or ""
+        if secret and is_leaked_secret(secret):
+            # This exact value shipped in a published default config: anyone
+            # with repo access can forge admin JWTs signed with it. Rotate.
+            print("WARNING: configured share_secret matches a publicly leaked "
+                  "default; regenerating it (existing sessions/share links "
+                  "are invalidated).")
+            secret = ""
         if not secret:
             secret = secrets.token_hex(32)
             self.scoring.config["share_secret"] = secret
@@ -49,8 +71,32 @@ class APIConfig:
         return bool(self.get_users())
 
     @staticmethod
-    def hash_password(password, salt=""):
-        return hashlib.sha256((salt + password).encode()).hexdigest()
+    def hash_password(password, salt=None):
+        """PBKDF2-HMAC-SHA256, 100k iterations, 'salt_hex:dk_hex' format.
+
+        Matches the reference scheme (api/config.py) so hashes written by
+        either implementation verify in both.
+        """
+        salt_bytes = bytes.fromhex(salt) if salt else secrets.token_bytes(16)
+        dk = hashlib.pbkdf2_hmac("sha256", password.encode(), salt_bytes,
+                                 PBKDF2_ITERATIONS)
+        return f"{salt_bytes.hex()}:{dk.hex()}"
+
+    @staticmethod
+    def check_password(password, stored):
+        """Verify against 'salt_hex:dk_hex'; legacy unsalted SHA-256 hex
+        digests (no colon) still verify so pre-existing users can log in."""
+        if not stored:
+            return False
+        if ":" in stored:
+            salt, _ = stored.split(":", 1)
+            try:
+                computed = APIConfig.hash_password(password, salt)
+            except ValueError:
+                return False
+            return hmac.compare_digest(computed, stored)
+        legacy = hashlib.sha256(password.encode()).hexdigest()
+        return hmac.compare_digest(legacy, stored)
 
     def verify_user(self, username, password):
         """-> role string or None."""
@@ -58,8 +104,7 @@ class APIConfig:
         record = users.get(username)
         if not record:
             return None
-        salt = record.get("salt", "")
-        if self.hash_password(password, salt) == record.get("password_hash"):
+        if self.check_password(password, record.get("password_hash", "")):
             return record.get("role", "user")
         return None
 

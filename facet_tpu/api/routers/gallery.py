@@ -143,9 +143,9 @@ def register(app, ctx):
     def api_photos(request):
         pagination = ctx.config.pagination()
         page = max(1, request.param("page", 1, int))
-        page_size = min(request.param("page_size",
-                                      pagination.get("default_page_size", 100), int),
-                        pagination.get("max_page_size", 500))
+        page_size = max(1, min(request.param("page_size",
+                                             pagination.get("default_page_size", 100), int),
+                               pagination.get("max_page_size", 500)))
         sort = request.param("sort", ctx.config.viewer_defaults().get("sort", "aggregate"))
         order = request.param("order", ctx.config.viewer_defaults().get("order", "desc"))
         if sort not in SORTABLE:

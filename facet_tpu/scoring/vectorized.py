@@ -19,6 +19,7 @@ import numpy as np
 from facet_tpu.scoring.brain import (
     FACE_CATEGORIES,
     METRIC_KEYS,
+    _parse_iso,
     determine_photo_category,
     safe_float,
 )
@@ -128,13 +129,16 @@ class AggregateScorer:
         for i, row in enumerate(rows):
             for key, default in FIELD_DEFAULTS.items():
                 arrays[key][i] = safe_float(row.get(key), default)
-            iso = safe_float(row.get("iso"), None)
-            # ISO can legitimately exceed safe_float's +-100 window
-            raw_iso = row.get("iso")
-            if isinstance(raw_iso, (int, float)) and raw_iso > 0:
-                iso = float(raw_iso)
+            # route through the brain's parsers so string EXIF ('3200',
+            # '2.8') sanitizes identically in both aggregate paths
+            iso = _parse_iso(row.get("iso"))
             extra["iso"][i] = iso if iso else 0.0
             f_stop = row.get("f_stop")
+            if isinstance(f_stop, str):
+                try:
+                    f_stop = float(f_stop)
+                except ValueError:
+                    f_stop = None
             extra["f_stop"][i] = float(f_stop) if isinstance(f_stop, (int, float)) and f_stop > 0 else 0.0
             iso_b = row.get("isolation_bonus")
             extra["isolation_bonus"][i] = float(iso_b) if isinstance(iso_b, (int, float)) else 1.0

@@ -125,7 +125,9 @@ DecodeResult decode_one(const char* path, int max_long_edge) {
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = error_exit;
-  uint8_t* buffer = nullptr;
+  // volatile: mutated between setjmp and a potential longjmp from libjpeg's
+  // error_exit — without it the cleanup free() reads an indeterminate value
+  uint8_t* volatile buffer = nullptr;
   if (setjmp(err.jump)) {
     jpeg_destroy_decompress(&cinfo);
     fclose(fh);

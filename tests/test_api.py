@@ -296,8 +296,8 @@ class TestAuthModes:
         with open(tmp_config) as fh:
             raw = jsonlib.load(fh)
         raw["users"] = {
-            "bob": {"password_hash": APIConfig.hash_password("pw", "s"),
-                    "salt": "s", "role": "user"},
+            "bob": {"password_hash": APIConfig.hash_password("pw"),
+                    "role": "user"},
         }
         with open(tmp_config, "w") as fh:
             jsonlib.dump(raw, fh)
@@ -314,3 +314,36 @@ class TestAuthModes:
         res = client.post("/api/stats/update_weights", headers=auth,
                           json={"category": "default", "weights": {}})
         assert res.status_code == 403
+
+    def test_password_hashing_pbkdf2(self):
+        from facet_tpu.api.config import APIConfig
+
+        stored = APIConfig.hash_password("s3cret")
+        salt, dk = stored.split(":")
+        assert len(salt) == 32 and len(dk) == 64  # 16-byte salt, 32-byte dk
+        assert APIConfig.check_password("s3cret", stored)
+        assert not APIConfig.check_password("wrong", stored)
+        # two hashes of the same password differ (random salt)
+        assert APIConfig.hash_password("s3cret") != stored
+        # legacy unsalted sha256 hex still verifies
+        import hashlib
+        legacy = hashlib.sha256(b"old-pw").hexdigest()
+        assert APIConfig.check_password("old-pw", legacy)
+        assert not APIConfig.check_password("nope", legacy)
+
+    def test_leaked_share_secret_rotated(self, seeded_db, tmp_config):
+        import json as jsonlib
+
+        from facet_tpu.api.config import APIConfig, is_leaked_secret
+
+        leaked = ("5b0c56f011ff5342940872bc1d971149"
+                  "b5926ddd34a3a6aba9e188fe7e584092")
+        assert is_leaked_secret(leaked)
+        assert not is_leaked_secret("some-other-secret")
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw["share_secret"] = leaked
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+        cfg = APIConfig(db_path=seeded_db, config_path=tmp_config)
+        assert cfg.share_secret != leaked
