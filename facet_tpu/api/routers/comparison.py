@@ -76,6 +76,100 @@ def register(app, ctx):
     def coverage(request):
         return manager.coverage()
 
+    @app.post("/api/comparison/reset")
+    def reset(request):
+        """Wipe all comparison-derived data (votes, learned scores, runs)."""
+        require_role(request, "admin")
+        with ctx.connection() as conn:
+            conn.execute("DELETE FROM comparisons")
+            conn.execute("DELETE FROM learned_scores")
+            conn.execute("DELETE FROM weight_optimization_runs")
+            conn.commit()
+        return {"status": "ok", "message": "all comparison data reset"}
+
+    @app.get("/api/comparison/photo_metrics")
+    def photo_metrics(request):
+        """Raw metric columns for up to 2 photos (client-side score preview)."""
+        paths = [p.strip() for p in (request.param("paths") or "").split(",")
+                 if p.strip()]
+        if not paths:
+            raise HTTPError(400, "paths parameter required")
+        if len(paths) > 2:
+            raise HTTPError(400, "maximum 2 paths allowed")
+        cols = ("path, category, aggregate, aesthetic, face_quality,"
+                " eye_sharpness, tech_sharpness, color_score, exposure_score,"
+                " comp_score, isolation_bonus, quality_score, contrast_score,"
+                " dynamic_range_stops, noise_sigma, histogram_bimodality,"
+                " mean_saturation, is_blink, is_silhouette, face_ratio,"
+                " face_count, scoring_model, tags, is_monochrome,"
+                " leading_lines_score, power_point_score, histogram_spread,"
+                " mean_luminance")
+        marks = ",".join("?" for _ in paths)
+        with ctx.connection() as conn:
+            rows = conn.execute(
+                f"SELECT {cols} FROM photos WHERE path IN ({marks})",
+                paths).fetchall()
+        return {r["path"]: dict(r) for r in rows}
+
+    @app.post("/api/comparison/override_category")
+    def override_category(request):
+        """Manually pin a photo's category."""
+        require_role(request, "admin")
+        body = request.json()
+        path, category = body.get("path"), body.get("category")
+        if not path or not category:
+            raise HTTPError(400, "path and category required")
+        if category not in ctx.config.scoring.get_all_category_names():
+            raise HTTPError(400, f"unknown category '{category}'")
+        with ctx.connection() as conn:
+            row = conn.execute("SELECT category FROM photos WHERE path = ?",
+                               (path,)).fetchone()
+            if row is None:
+                raise HTTPError(404, "photo not found")
+            conn.execute("UPDATE photos SET category = ? WHERE path = ?",
+                         (category, path))
+            conn.commit()
+        return {"status": "ok", "path": path,
+                "old_category": row["category"], "new_category": category}
+
+    @app.post("/api/comparison/suggest_filters")
+    def suggest_filters(request):
+        """Explain why a photo doesn't route to a target category and what
+        filter changes would admit it."""
+        body = request.json()
+        path, target = body.get("path"), body.get("target_category")
+        if not path or not target:
+            raise HTTPError(400, "path and target_category required")
+        with ctx.connection() as conn:
+            row = conn.execute("SELECT * FROM photos WHERE path = ?",
+                               (path,)).fetchone()
+        if row is None:
+            raise HTTPError(404, "photo not found")
+        cat = ctx.config.scoring.get_category_config(target)
+        if not cat:
+            raise HTTPError(404, f"unknown category '{target}'")
+        photo = dict(row)
+        if photo.get("category") == target:
+            return {"current_category": target, "target_category": target,
+                    "conflicts": [], "suggestions": [], "no_conflicts": True,
+                    "message": "photo is already in the target category"}
+        from facet_tpu.api.filter_analysis import analyze_category_fit
+
+        conflicts, suggestions = analyze_category_fit(
+            photo, cat.get("filters", {}))
+        return {
+            "current_category": photo.get("category"),
+            "target_category": target,
+            "target_filters": cat.get("filters", {}),
+            "conflicts": conflicts,
+            "suggestions": suggestions,
+            "no_conflicts": not conflicts,
+            "photo_values": {k: photo.get(k) for k in (
+                "face_ratio", "face_count", "is_monochrome", "is_silhouette",
+                "is_group_portrait", "mean_luminance", "iso", "shutter_speed",
+                "focal_length", "f_stop", "tags")},
+        }
+
     @app.get("/api/comparison/statistics")
     def statistics(request):
         stats = manager.statistics()
@@ -111,6 +205,92 @@ def register(app, ctx):
         optimizer.apply_optimized_weights(result)
         return {"status": "applied", "category": result["category"],
                 "new_weights": result["new_weights"]}
+
+    @app.get("/api/comparison/learned_weights")
+    def learned_weights(request):
+        """Suggested weights from the preference optimizer (optionally
+        cross-validated), in the viewer's *_percent vocabulary."""
+        require_role(request, "admin")
+        from facet_tpu.optimization.weight_optimizer import WeightOptimizer
+
+        category = request.param("category")
+        include_ties = (request.param("include_ties", "true") or
+                        "true").lower() == "true"
+        use_cv = (request.param("use_cv", "false") or
+                  "false").lower() == "true"
+        settings = ctx.config.scoring.get_comparison_mode_settings()
+        min_required = settings.get("min_comparisons_for_optimization", 30)
+
+        optimizer = WeightOptimizer(ctx.config.db_path, ctx.config.scoring)
+        kwargs = dict(category=category, min_comparisons=min_required,
+                      include_ties=include_ties)
+        result = (optimizer.optimize_cv(**kwargs) if use_cv
+                  else optimizer.optimize(**kwargs))
+        if result is None:
+            have = manager.count(category)
+            return {"available": False, "comparisons": have,
+                    "min_required": min_required,
+                    "message": f"need at least {min_required} comparisons"
+                               f" (have {have})"}
+
+        def to_percent(weights):
+            return {f"{k}_percent": round(v * 100)
+                    for k, v in weights.items()}
+
+        response = {
+            "available": True,
+            "category": category,
+            "current_weights": to_percent(result["old_weights"]),
+            "suggested_weights": to_percent(result["new_weights"]),
+            "accuracy_before": result["accuracy_before"],
+            "accuracy_after": result["accuracy_after"],
+            "improvement": round(result["accuracy_after"]
+                                 - result["accuracy_before"], 4),
+            "suggest_changes": result["suggest"],
+            "comparisons_used": result["comparisons_used"],
+            "method": result.get("method", "direct_preference_optimization"),
+        }
+        for key in ("cv_accuracy", "cv_std", "fold_results"):
+            if key in result:
+                response[key] = result[key]
+        return response
+
+    @app.get("/api/comparison/confidence")
+    def confidence(request):
+        """Bootstrap confidence intervals for the learned weights."""
+        require_role(request, "admin")
+        from facet_tpu.optimization.weight_optimizer import WeightOptimizer
+
+        optimizer = WeightOptimizer(ctx.config.db_path, ctx.config.scoring)
+        result = optimizer.weight_confidence(
+            category=request.param("category"),
+            n_bootstrap=min(500, request.param("n_bootstrap", 100, int)))
+        if "error" in result:
+            return {"available": False, "message": result["error"]}
+        pct = lambda d: {f"{k}_percent": round(v * 100) for k, v in d.items()}
+        return {
+            "available": True,
+            "weights": pct(result["weights"]),
+            "lower_bounds": pct(result["lower_bounds"]),
+            "upper_bounds": pct(result["upper_bounds"]),
+            "confidence_intervals": pct(result["confidence_intervals"]),
+            "stable_components": result["stable_components"],
+            "n_bootstrap": result["n_bootstrap"],
+            "comparisons_used": result["comparisons_used"],
+        }
+
+    @app.post("/api/recalculate")
+    def recalculate(request):
+        """Recompute every category + aggregate from stored raw metrics
+        (same logic as `photos.py --recompute-average`), in-process."""
+        require_role(request, "admin")
+        from facet_tpu.processing.scorer import Facet
+
+        engine = Facet(ctx.config.db_path, ctx.config.scoring,
+                       lightweight=True)
+        n = engine.update_all_aggregates(rescore_embeddings=False)
+        return {"status": "ok", "photos_recomputed": n,
+                "message": "recalculation complete"}
 
     @app.get("/api/comparison/snapshots")
     def snapshots(request):

@@ -63,6 +63,144 @@ def register(app, ctx):
         merge_persons(ctx.config.db_path, keep, merge_ids)
         return {"status": "ok", "kept": keep, "merged": merge_ids}
 
+    @app.post("/api/persons/merge_batch")
+    def merge_batch(request):
+        """Merge several persons into one target in a single transaction."""
+        require_role(request, "admin")
+        body = request.json()
+        target = body.get("target_id")
+        sources = body.get("source_ids") or []
+        if not target or not sources:
+            raise HTTPError(400, "target_id and source_ids required")
+        if target in sources:
+            raise HTTPError(400, "target cannot be in source list")
+        marks = ",".join("?" for _ in sources)
+        with ctx.connection() as conn:
+            if conn.execute("SELECT 1 FROM persons WHERE id = ?",
+                            (target,)).fetchone() is None:
+                raise HTTPError(404, "target person not found")
+            conn.execute(
+                f"UPDATE faces SET person_id = ? WHERE person_id IN ({marks})",
+                [target] + sources)
+            conn.execute(f"DELETE FROM persons WHERE id IN ({marks})", sources)
+            from facet_tpu.faces.clusterer import FaceClusterer
+
+            FaceClusterer.refresh_person_stats(conn)
+            new_count = conn.execute(
+                "SELECT face_count FROM persons WHERE id = ?",
+                (target,)).fetchone()[0]
+            conn.commit()
+        return {"status": "ok", "target_id": target,
+                "merged_count": len(sources), "new_count": new_count}
+
+    @app.post("/api/persons/delete_batch")
+    def delete_batch(request):
+        """Delete several persons, unassigning their faces."""
+        require_role(request, "admin")
+        ids = request.json().get("person_ids") or []
+        if not ids:
+            raise HTTPError(400, "person_ids required")
+        marks = ",".join("?" for _ in ids)
+        with ctx.connection() as conn:
+            conn.execute(
+                f"UPDATE faces SET person_id = NULL WHERE person_id IN ({marks})",
+                ids)
+            cur = conn.execute(f"DELETE FROM persons WHERE id IN ({marks})", ids)
+            conn.commit()
+        return {"status": "ok", "deleted_count": cur.rowcount}
+
+    @app.get("/api/persons/{person_id:int}/faces")
+    def person_faces(request, person_id):
+        with ctx.connection() as conn:
+            rows = conn.execute(
+                "SELECT f.id, f.photo_path, f.face_index, f.confidence,"
+                " f.bbox_x1, f.bbox_y1, f.bbox_x2, f.bbox_y2"
+                " FROM faces f WHERE f.person_id = ?"
+                " ORDER BY f.confidence DESC", (person_id,)).fetchall()
+        return {"faces": [dict(r) for r in rows]}
+
+    @app.post("/api/persons/{person_id:int}/avatar")
+    def set_avatar(request, person_id):
+        """Pin a face as the person's representative thumbnail."""
+        require_role(request, "admin")
+        face_id = request.json().get("face_id")
+        if not face_id:
+            raise HTTPError(400, "face_id required")
+        with ctx.connection() as conn:
+            face = conn.execute(
+                "SELECT id, face_thumbnail FROM faces"
+                " WHERE id = ? AND person_id = ?",
+                (face_id, person_id)).fetchone()
+            if face is None:
+                raise HTTPError(404, "face not found for this person")
+            conn.execute(
+                "UPDATE persons SET representative_face_id = ?,"
+                " face_thumbnail = ? WHERE id = ?",
+                (face_id, face["face_thumbnail"], person_id))
+            conn.commit()
+        return {"status": "ok", "person_id": person_id, "face_id": face_id}
+
+    @app.get("/api/persons/{person_id:int}/share-token")
+    def share_token(request, person_id):
+        require_role(request, "admin")
+        with ctx.connection() as conn:
+            if conn.execute("SELECT 1 FROM persons WHERE id = ?",
+                            (person_id,)).fetchone() is None:
+                raise HTTPError(404, "person not found")
+        token = make_share_token(person_id, ctx.config.share_secret)
+        return {"person_id": person_id, "token": token,
+                "url": f"/api/shared/person/{person_id}?token={token}"}
+
+    @app.post("/api/photos/assign_all_faces")
+    def assign_all_faces(request):
+        """Assign every unassigned face in a photo to one person."""
+        require_role(request, "admin")
+        body = request.json()
+        path, person_id = body.get("path"), body.get("person_id")
+        if not path or not person_id:
+            raise HTTPError(400, "path and person_id required")
+        with ctx.connection() as conn:
+            cur = conn.execute(
+                "UPDATE faces SET person_id = ?"
+                " WHERE photo_path = ? AND person_id IS NULL",
+                (person_id, path))
+            if cur.rowcount == 0:
+                raise HTTPError(404, "no unassigned faces in photo")
+            from facet_tpu.faces.clusterer import FaceClusterer
+
+            FaceClusterer.refresh_person_stats(conn)
+            conn.commit()
+        return {"status": "ok", "assigned_count": cur.rowcount}
+
+    @app.post("/api/photos/unassign_person")
+    def unassign_person(request):
+        """Detach all of one person's faces from a photo; drop the person
+        entirely when that leaves them with zero faces."""
+        require_role(request, "admin")
+        body = request.json()
+        path, person_id = body.get("path"), body.get("person_id")
+        if not path or not person_id:
+            raise HTTPError(400, "path and person_id required")
+        with ctx.connection() as conn:
+            cur = conn.execute(
+                "UPDATE faces SET person_id = NULL"
+                " WHERE photo_path = ? AND person_id = ?", (path, person_id))
+            if cur.rowcount == 0:
+                raise HTTPError(404, "no faces of this person in photo")
+            remaining = conn.execute(
+                "SELECT COUNT(*) FROM faces WHERE person_id = ?",
+                (person_id,)).fetchone()[0]
+            person_deleted = remaining == 0
+            if person_deleted:
+                conn.execute("DELETE FROM persons WHERE id = ?", (person_id,))
+            else:
+                from facet_tpu.faces.clusterer import FaceClusterer
+
+                FaceClusterer.refresh_person_stats(conn)
+            conn.commit()
+        return {"status": "ok", "unassigned_count": cur.rowcount,
+                "person_deleted": person_deleted}
+
     @app.delete("/api/persons/{person_id:int}")
     def delete_person(request, person_id):
         require_role(request, "admin")

@@ -163,6 +163,125 @@ def register(app, ctx):
                 out[metric] = None
         return {"correlation_with_aggregate": out, "samples": len(rows)}
 
+    # weight-key -> photos column carrying that metric (for per-category
+    # correlation/metric endpoints; reference: stats.py:701-920)
+    WEIGHT_METRIC_COLUMNS = {
+        "aesthetic": "aesthetic",
+        "face_quality": "face_quality",
+        "eye_sharpness": "eye_sharpness",
+        "tech_sharpness": "tech_sharpness",
+        "exposure": "exposure_score",
+        "composition": "comp_score",
+        "color": "color_score",
+        "quality": "quality_score",
+        "contrast": "contrast_score",
+        "dynamic_range": "dynamic_range_stops",
+        "isolation": "isolation_bonus",
+        "leading_lines": "leading_lines_score",
+    }
+
+    @app.get("/api/stats/category_correlations")
+    def category_correlations(request):
+        """Per-category Pearson r between each weight dimension and the
+        aggregate, next to the configured weight percentages."""
+        results = {}
+        with ctx.connection() as conn:
+            for key, col in WEIGHT_METRIC_COLUMNS.items():
+                rows = conn.execute(
+                    f"SELECT category, COUNT(*), SUM({col}), SUM(aggregate),"
+                    f" SUM({col} * aggregate), SUM({col} * {col}),"
+                    f" SUM(aggregate * aggregate) FROM photos"
+                    f" WHERE {col} IS NOT NULL AND aggregate IS NOT NULL"
+                    f" AND category IS NOT NULL AND category != ''"
+                    f" GROUP BY category HAVING COUNT(*) >= 10").fetchall()
+                for cat, n, sx, sy, sxy, sx2, sy2 in rows:
+                    denom = math.sqrt(max((n * sx2 - sx * sx), 0.0)
+                                      * max((n * sy2 - sy * sy), 0.0))
+                    r = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+                    results.setdefault(cat, {})[key] = round(r, 3)
+        configured = {}
+        for name in ctx.config.scoring.get_all_category_names():
+            cat = ctx.config.scoring.get_category_config(name) or {}
+            weights = cat.get("weights", {})
+            configured[name] = {k: weights.get(f"{k}_percent", 0)
+                                for k in WEIGHT_METRIC_COLUMNS}
+        return {"correlations": results, "configured_weights": configured,
+                "dimensions": list(WEIGHT_METRIC_COLUMNS)}
+
+    @app.get("/api/stats/category_metrics")
+    def category_metrics(request):
+        """Raw metric vectors for one category (client-side what-if preview)."""
+        category = request.param("category")
+        if not category:
+            raise HTTPError(400, "category required")
+        cols = list(WEIGHT_METRIC_COLUMNS.values())
+        col_sql = ", ".join(cols)
+        with ctx.connection() as conn:
+            rows = conn.execute(
+                f"SELECT {col_sql}, aggregate FROM photos"
+                f" WHERE category = ? LIMIT 5000", (category,)).fetchall()
+        metrics = {k: [] for k in WEIGHT_METRIC_COLUMNS}
+        aggregate = []
+        for row in rows:
+            for i, key in enumerate(WEIGHT_METRIC_COLUMNS):
+                metrics[key].append(row[i] if row[i] is not None else 0)
+            aggregate.append(row[len(cols)] if row[len(cols)] is not None else 0)
+        return {"category": category, "count": len(aggregate),
+                "metrics": metrics, "current_aggregate": aggregate}
+
+    @app.get("/api/stats/category_overlap")
+    def category_overlap(request):
+        """Which category filters each photo *could* match: overlap pairs,
+        per-category matched-vs-assigned counts, uncategorized tally."""
+        from collections import defaultdict
+
+        from facet_tpu.config.category_filter import CategoryFilter
+        from facet_tpu.scoring.brain import parse_shutter_speed
+
+        cats = []
+        for cat_cfg in ctx.config.scoring.get_categories():
+            cats.append((cat_cfg["name"], cat_cfg.get("priority", 100),
+                         CategoryFilter(cat_cfg.get("filters", {}))))
+        with ctx.connection() as conn:
+            rows = conn.execute(
+                "SELECT tags, face_count, face_ratio, is_silhouette,"
+                " is_group_portrait, is_monochrome, mean_luminance, iso,"
+                " shutter_speed, focal_length, f_stop, category"
+                " FROM photos").fetchall()
+        keys = ("tags", "face_count", "face_ratio", "is_silhouette",
+                "is_group_portrait", "is_monochrome", "mean_luminance", "iso",
+                "shutter_speed", "focal_length", "f_stop", "category")
+        overlap_pairs = defaultdict(int)
+        match_counts = defaultdict(int)
+        assigned_counts = defaultdict(int)
+        uncategorized = 0
+        for row in rows:
+            photo = dict(zip(keys, row))
+            photo["shutter_speed"] = parse_shutter_speed(photo["shutter_speed"])
+            assigned = photo.get("category") or ""
+            if assigned:
+                assigned_counts[assigned] += 1
+            else:
+                uncategorized += 1
+            matched = [name for name, _, filt in cats if filt.matches(photo)]
+            for name in matched:
+                match_counts[name] += 1
+            for i in range(len(matched)):
+                for j in range(i + 1, len(matched)):
+                    overlap_pairs[tuple(sorted((matched[i], matched[j])))] += 1
+        overlaps = [{"pair": list(pair), "count": count}
+                    for pair, count in sorted(overlap_pairs.items(),
+                                              key=lambda kv: -kv[1])][:50]
+        per_category = [{
+            "name": name, "priority": priority,
+            "assigned": assigned_counts.get(name, 0),
+            "matched": match_counts.get(name, 0),
+            "captured_by_higher": max(
+                0, match_counts.get(name, 0) - assigned_counts.get(name, 0)),
+        } for name, priority, _ in cats]
+        return {"overlaps": overlaps, "per_category": per_category,
+                "uncategorized": uncategorized, "total": len(rows)}
+
     @app.post("/api/stats/update_weights")
     def update_weights(request):
         require_role(request, "admin")

@@ -46,8 +46,13 @@ MODEL_HBM_REQUIREMENTS = {
     "samp_net": 0.6,        # U2-Net-P + SAMP-Net
     "insightface": 0.8,     # SCRFD + landmarks + ArcFace
     "topiq": 1.5,           # ResNet50 + cross-scale attention
+    "hyperiqa": 1.5,        # ResNet50 + hyper network
+    "dbcnn": 1.2,           # VGG16 + SCNN bilinear pooling
+    "musiq": 0.8,           # multi-scale patch transformer
+    "clipiqa": 2.0,         # CLIP towers + antonym prompts
     "vlm_tagger": 18.0,     # Qwen2.5-VL-7B bf16
     "qwen3_vl_tagger": 7.0, # Qwen3-VL-2B bf16
+    "ram_tagger": 14.0,     # RAM++ swin-L @384px
 }
 
 # Host-RAM footprints used when no accelerator is present (CPU mode).
@@ -57,20 +62,46 @@ MODEL_RAM_REQUIREMENTS = {
     "samp_net": 1.0,
     "insightface": 1.2,
     "topiq": 2.0,
+    "hyperiqa": 2.0,
+    "dbcnn": 1.8,
+    "musiq": 1.5,
+    "clipiqa": 3.0,
     "vlm_tagger": 30.0,
     "qwen3_vl_tagger": 9.0,
+    "ram_tagger": 16.0,
 }
+
+# Quality (NR-IQA) models whose score replaces the CLIP aesthetic in the
+# aggregate, in the reference's preference order (multi_pass.py:989-1028).
+QUALITY_MODELS = ("topiq", "hyperiqa", "dbcnn", "musiq", "clipiqa")
 
 # Accuracy metadata surfaced by --list-models (README/docs claims of the
 # underlying published models).
 MODEL_INFO = {
     "topiq": {"srcc": 0.93, "task": "aesthetic", "desc": "TOPIQ NR-IQA (ResNet50)"},
+    "hyperiqa": {"srcc": 0.90, "task": "aesthetic", "desc": "HyperIQA (ResNet50 + hyper net)"},
+    "dbcnn": {"srcc": 0.90, "task": "aesthetic", "desc": "DBCNN (VGG16 + SCNN bilinear)"},
+    "musiq": {"srcc": 0.87, "task": "aesthetic", "desc": "MUSIQ multi-scale transformer"},
+    "clipiqa": {"srcc": 0.86, "task": "aesthetic", "desc": "CLIP-IQA+ antonym prompts"},
     "clip": {"srcc": 0.76, "task": "aesthetic", "desc": "CLIP ViT-L/14 + MLP head"},
     "samp_net": {"srcc": None, "task": "composition", "desc": "SAMP-Net (8 pooling patterns)"},
     "insightface": {"srcc": None, "task": "faces", "desc": "SCRFD det + 106 landmarks + ArcFace"},
     "vlm_tagger": {"srcc": None, "task": "tagging", "desc": "Qwen2.5-VL-7B tagger"},
     "qwen3_vl_tagger": {"srcc": None, "task": "tagging", "desc": "Qwen3-VL-2B tagger"},
+    "ram_tagger": {"srcc": None, "task": "tagging", "desc": "RAM++ open-vocabulary tagger"},
     "clip_aesthetic": {"srcc": 0.76, "task": "aesthetic", "desc": "aesthetic head on stored embeddings"},
+}
+
+# Config vocabulary -> factory name for the quality ("aesthetic") task.
+QUALITY_MODEL_ALIASES = {
+    "topiq": "topiq",
+    "hyperiqa": "hyperiqa",
+    "dbcnn": "dbcnn",
+    "musiq": "musiq",
+    "musiq-koniq": "musiq",
+    "clipiqa": "clipiqa",
+    "clipiqa+": "clipiqa",
+    "clip-iqa+": "clipiqa",
 }
 
 
@@ -141,6 +172,21 @@ class ModelManager:
 
             return CLIPIQAScorer.create(config, cached)
 
+        def make_hyperiqa(config, cached):
+            from facet_tpu.models.iqa_extra import HyperIQAScorer
+
+            return HyperIQAScorer.create(config, cached)
+
+        def make_dbcnn(config, cached):
+            from facet_tpu.models.iqa_extra import DBCNNScorer
+
+            return DBCNNScorer.create(config, cached)
+
+        def make_musiq(config, cached):
+            from facet_tpu.models.musiq import MUSIQScorer
+
+            return MUSIQScorer.create(config, cached)
+
         def make_ram(config, cached):
             from facet_tpu.models.ram_tagger import RAMTagger
 
@@ -156,6 +202,9 @@ class ModelManager:
         self._factories["qwen3_vl_tagger"] = make_qwen3
         self._factories["ram_tagger"] = make_ram
         self._factories["clipiqa"] = make_clipiqa
+        self._factories["hyperiqa"] = make_hyperiqa
+        self._factories["dbcnn"] = make_dbcnn
+        self._factories["musiq"] = make_musiq
 
     # ---------------------------------------------------------- lifecycle
 
@@ -253,8 +302,10 @@ class ModelManager:
         config = config or self.config
         models = ["clip"]
         if config is not None:
-            if config.get_model_for_task("aesthetic") == "topiq":
-                models.append("topiq")
+            quality = QUALITY_MODEL_ALIASES.get(
+                config.get_model_for_task("aesthetic"))
+            if quality:
+                models.append(quality)
             if config.is_using_samp_net():
                 models.append("samp_net")
             tagging = config.get_model_for_task("tagging")

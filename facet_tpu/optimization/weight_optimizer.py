@@ -62,10 +62,12 @@ class WeightOptimizer:
 
     # ---------------------------------------------------------------- data
 
-    def load_training_data(self, category=None, user_id=None):
+    def load_training_data(self, category=None, user_id=None,
+                           include_ties=True):
         """-> (values_a (N,16), values_b (N,16), outcomes (N,)) where outcome
         is 0 = a wins, 1 = b wins, 2 = tie."""
-        where = "c.winner IN ('a', 'b', 'tie')"
+        where = ("c.winner IN ('a', 'b', 'tie')" if include_ties
+                 else "c.winner IN ('a', 'b')")
         params = []
         if category:
             where += " AND c.category = ?"
@@ -98,37 +100,58 @@ class WeightOptimizer:
     # ------------------------------------------------------------- training
 
     @staticmethod
-    def _loss_fn(w, va, vb, outcome, w0):
+    def _loss_fn(w, va, vb, outcome, w0, sample_weight=None):
         sa = va @ w / TEMPERATURE
         sb = vb @ w / TEMPERATURE
         # Davidson: logits for (a wins, b wins, tie)
         tie_logit = jnp.log(TIE_NU) + (sa + sb) / 2.0
         logits = jnp.stack([sa, sb, tie_logit], axis=1)
         log_probs = jax.nn.log_softmax(logits, axis=1)
-        nll = -jnp.mean(jnp.take_along_axis(log_probs, outcome[:, None], 1))
+        ll = jnp.take_along_axis(log_probs, outcome[:, None], 1)[:, 0]
+        if sample_weight is None:
+            nll = -jnp.mean(ll)
+        else:
+            # weighted NLL: CV fold masks (0/1) and bootstrap multinomial
+            # counts are both just per-sample weights
+            nll = -jnp.sum(sample_weight * ll) / jnp.maximum(
+                jnp.sum(sample_weight), 1.0)
         return nll + L2_PULL * jnp.sum((w - w0) ** 2)
 
-    def _train_once(self, w_init, va, vb, outcome, w0):
+    def _train_many(self, starts, va, vb, outcome, w0, sample_weights):
+        """Train every (start, sample_weight) replica in ONE vmapped device
+        program: restarts, CV folds and bootstrap resamples all map to this
+        (a bootstrap resample-with-replacement IS a multinomial count
+        vector used as per-sample weights)."""
         optimizer = optax.adam(LEARNING_RATE)
+        va = jnp.asarray(va)
+        vb = jnp.asarray(vb)
+        outcome = jnp.asarray(outcome)
+        w0 = jnp.asarray(w0)
 
-        @jax.jit
-        def run(w_start):
+        def train_one(w_start, sw):
             state = optimizer.init(w_start)
 
             def step(carry, _):
                 w, state = carry
                 loss, grads = jax.value_and_grad(self._loss_fn)(
-                    w, va, vb, outcome, w0)
+                    w, va, vb, outcome, w0, sw)
                 updates, state = optimizer.update(grads, state)
                 w = project_capped_simplex(w + updates)
                 return (w, state), loss
 
-            (w, _), losses = jax.lax.scan(step, (w_start, state),
-                                          jnp.arange(STEPS))
-            final_loss = self._loss_fn(w, va, vb, outcome, w0)
-            return w, final_loss
+            (w, _), _ = jax.lax.scan(step, (w_start, state),
+                                     jnp.arange(STEPS))
+            return w, self._loss_fn(w, va, vb, outcome, w0, sw)
 
-        return run(jnp.asarray(w_init, jnp.float32))
+        return jax.jit(jax.vmap(train_one))(
+            jnp.asarray(starts, jnp.float32),
+            jnp.asarray(sample_weights, jnp.float32))
+
+    def _train_once(self, w_init, va, vb, outcome, w0):
+        ones = np.ones((1, len(outcome)), np.float32)
+        ws, losses = self._train_many(np.asarray(w_init, np.float32)[None],
+                                      va, vb, outcome, w0, ones)
+        return ws[0], losses[0]
 
     @staticmethod
     def accuracy(w, va, vb, outcome):
@@ -150,9 +173,10 @@ class WeightOptimizer:
                                                      1 / len(SCORE_COMPONENTS),
                                                      np.float32)
 
-    def optimize(self, category=None, min_comparisons=20, seed=42):
+    def optimize(self, category=None, min_comparisons=20, seed=42,
+                 include_ties=True):
         """-> result dict or None when there is not enough data."""
-        data = self.load_training_data(category)
+        data = self.load_training_data(category, include_ties=include_ties)
         if data is None or len(data[2]) < min_comparisons:
             return None
         va, vb, outcome = data
@@ -163,15 +187,13 @@ class WeightOptimizer:
         for _ in range(3):
             starts.append(rng.dirichlet(np.ones(len(w0))).astype(np.float32))
 
-        va_j, vb_j = jnp.asarray(va), jnp.asarray(vb)
-        out_j = jnp.asarray(outcome)
-        w0_j = jnp.asarray(w0)
-        best_w, best_loss = None, np.inf
-        for start in starts:
-            w, loss = self._train_once(start, va_j, vb_j, out_j, w0_j)
-            if float(loss) < best_loss:
-                best_loss = float(loss)
-                best_w = np.asarray(w)
+        # all 5 restarts train concurrently in one vmapped program
+        ones = np.ones((len(starts), len(outcome)), np.float32)
+        ws, losses = self._train_many(np.stack(starts), va, vb, outcome,
+                                      w0, ones)
+        best = int(np.argmin(np.asarray(losses)))
+        best_w = np.asarray(ws[best])
+        best_loss = float(losses[best])
 
         acc_before = self.accuracy(w0, va, vb, outcome)
         acc_after = self.accuracy(best_w, va, vb, outcome)
@@ -187,6 +209,86 @@ class WeightOptimizer:
             "accuracy_after": round(acc_after, 4),
             "loss": round(best_loss, 6),
             "suggest": bool(improved),
+        }
+
+    def optimize_cv(self, category=None, k_folds=5, min_comparisons=30,
+                    seed=42, include_ties=True):
+        """K-fold cross-validated optimization (reference:
+        weight_optimizer.py:650+ optimize_weights_with_cv). Folds train
+        concurrently in one vmapped program; held-out accuracy measures how
+        well the learned weights generalize."""
+        data = self.load_training_data(category, include_ties=include_ties)
+        if data is None or len(data[2]) < max(min_comparisons, k_folds * 4):
+            return None
+        va, vb, outcome = data
+        n = len(outcome)
+        w0 = self.current_weights(category)
+
+        rng = np.random.default_rng(seed)
+        fold_id = np.zeros(n, np.int32)
+        fold_id[rng.permutation(n)] = np.arange(n) % k_folds
+        train_masks = np.stack([(fold_id != f).astype(np.float32)
+                                for f in range(k_folds)])
+        starts = np.tile(w0, (k_folds, 1))
+        ws, _ = self._train_many(starts, va, vb, outcome, w0, train_masks)
+        ws = np.asarray(ws)
+
+        accs, fold_results = [], []
+        for f in range(k_folds):
+            hold = fold_id == f
+            acc = self.accuracy(ws[f], va[hold], vb[hold], outcome[hold])
+            accs.append(acc)
+            fold_results.append({"fold": f, "holdout_accuracy": round(acc, 4),
+                                 "holdout_size": int(hold.sum())})
+        result = self.optimize(category, min_comparisons=min_comparisons,
+                               seed=seed, include_ties=include_ties)
+        if result is None:
+            return None
+        result.update({
+            "method": "cross_validated",
+            "cv_accuracy": round(float(np.mean(accs)), 4),
+            "cv_std": round(float(np.std(accs)), 4),
+            "fold_results": fold_results,
+        })
+        return result
+
+    def weight_confidence(self, category=None, n_bootstrap=100,
+                          min_comparisons=30, seed=42):
+        """Bootstrap confidence intervals for the learned weights
+        (reference: weight_optimizer.py:856+). All replicas train in one
+        vmapped program: a resample-with-replacement is exactly a
+        multinomial count vector used as per-sample weights."""
+        data = self.load_training_data(category)
+        if data is None or len(data[2]) < min_comparisons:
+            have = 0 if data is None else len(data[2])
+            return {"error": f"need at least {min_comparisons} comparisons"
+                             f" (have {have})"}
+        va, vb, outcome = data
+        n = len(outcome)
+        w0 = self.current_weights(category)
+        rng = np.random.default_rng(seed)
+        counts = rng.multinomial(n, np.full(n, 1.0 / n),
+                                 size=n_bootstrap).astype(np.float32)
+        starts = np.tile(w0, (n_bootstrap, 1))
+        ws, _ = self._train_many(starts, va, vb, outcome, w0, counts)
+        ws = np.asarray(ws)
+
+        mean_w = ws.mean(axis=0)
+        lower = np.percentile(ws, 2.5, axis=0)
+        upper = np.percentile(ws, 97.5, axis=0)
+        ci = upper - lower
+        stable = [k for k, m, c in zip(SCORE_COMPONENTS, mean_w, ci)
+                  if m > 0.02 and c < 0.15]
+        rounded = lambda arr: {k: round(float(v), 4)
+                               for k, v in zip(SCORE_COMPONENTS, arr)}
+        return {
+            "weights": rounded(mean_w),
+            "lower_bounds": rounded(lower),
+            "upper_bounds": rounded(upper),
+            "confidence_intervals": rounded(ci),
+            "stable_components": stable,
+            "n_bootstrap": int(n_bootstrap),
+            "comparisons_used": int(n),
         }
 
     # ---------------------------------------------------------------- apply

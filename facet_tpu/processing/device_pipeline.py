@@ -6,9 +6,15 @@ the CLIP crop (separable-matmul resize), the ViT forward and the aesthetic
 head. One host->device transfer in, a few KB of results out — the TPU-first
 shape of the engine's hot path (vs the reference's per-stage host round
 trips).
+
+On a multi-chip slice the batch is sharded over a 1-D 'dp' mesh (params
+replicated): every op in the program is per-image, so XLA partitions it with
+zero collectives and each chip scores batch/n_devices images. Single-device
+backends (the 1-chip bench harness) take the unsharded path unchanged.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +89,18 @@ def _cached_matrices(src_h, src_w, target):
     return clip_preprocess_matrices(src_h, src_w, target)
 
 
+def default_mesh():
+    """1-D data-parallel mesh over all local devices, or None when a single
+    device (or FACET_DISABLE_DP=1) makes sharding pointless."""
+    if os.environ.get("FACET_DISABLE_DP"):
+        return None
+    from facet_tpu.parallel.mesh import get_mesh, local_device_count
+
+    if local_device_count() <= 1:
+        return None
+    return get_mesh(tp=1)
+
+
 class FusedScorer:
     """Engine-facing wrapper: one device call per shape group computes
     aesthetic + embedding + pHash + all technical statistics.
@@ -91,17 +109,20 @@ class FusedScorer:
     image batch) with a single transfer + single program.
     """
 
-    def __init__(self, vision_tower, head, vision_params, head_params):
+    def __init__(self, vision_tower, head, vision_params, head_params,
+                 mesh="auto"):
         self.vision_tower = vision_tower
         self.head = head
         self.vision_params = vision_params
         self.head_params = head_params
+        self.mesh = default_mesh() if mesh == "auto" else mesh
+        self._mesh_params = None  # params replicated onto the mesh, lazily
         self._pipelines = {}
 
     @classmethod
-    def from_aesthetic_scorer(cls, scorer):
+    def from_aesthetic_scorer(cls, scorer, mesh="auto"):
         return cls(scorer.vision, scorer.head,
-                   scorer.vision_params, scorer.head_params)
+                   scorer.vision_params, scorer.head_params, mesh=mesh)
 
     def _pipeline(self, h, w):
         key = (h, w)
@@ -109,6 +130,32 @@ class FusedScorer:
             self._pipelines[key] = build_fused_pipeline(
                 self.vision_tower, self.head, h, w)
         return self._pipelines[key]
+
+    def _placed_params(self):
+        """Params replicated onto every mesh device (one transfer, cached)."""
+        if self._mesh_params is None:
+            from facet_tpu.parallel.mesh import replicated_sharding
+
+            sharding = replicated_sharding(self.mesh)
+            self._mesh_params = (
+                jax.device_put(self.vision_params, sharding),
+                jax.device_put(self.head_params, sharding),
+            )
+        return self._mesh_params
+
+    def _run(self, h, w, batch):
+        """One fused program call; batch-sharded over 'dp' on a mesh."""
+        if self.mesh is None:
+            return jax.device_get(self._pipeline(h, w)(
+                self.vision_params, self.head_params, jnp.asarray(batch)))
+        from facet_tpu.parallel.mesh import shard_batch
+
+        sharded, _ = shard_batch(batch, self.mesh)
+        vp, hp = self._placed_params()
+        # jit propagates the input shardings: per-image math partitions
+        # over 'dp' with no collectives; padding rows are sliced off by the
+        # caller (it indexes only the real images)
+        return jax.device_get(self._pipeline(h, w)(vp, hp, sharded))
 
     def score_images(self, images):
         """List of RGB uint8 arrays -> aligned list of
@@ -122,8 +169,7 @@ class FusedScorer:
             by_shape.setdefault(img.shape[:2], []).append(i)
         for (h, w), idxs in by_shape.items():
             batch = np.stack([images[i] for i in idxs])
-            out = jax.device_get(self._pipeline(h, w)(
-                self.vision_params, self.head_params, jnp.asarray(batch)))
+            out = self._run(h, w, batch)
             for j, idx in enumerate(idxs):
                 stats = ImageStats(
                     height=h, width=w,

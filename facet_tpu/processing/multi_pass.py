@@ -33,14 +33,19 @@ PASS_NAMES = {
 }
 
 # unavailable-model fallback chains (reference: multi_pass.py:864-885 —
-# vlm -> ram -> clip tagging; big IQA -> topiq -> clip aesthetic)
+# vlm -> ram -> clip tagging; musiq/hyperiqa/dbcnn -> topiq -> clip aesthetic)
 FALLBACK_CHAINS = {
     "vlm_tagger": ["qwen3_vl_tagger", "ram_tagger"],   # then implicit clip
     "qwen3_vl_tagger": ["ram_tagger"],
     "ram_tagger": [],
+    "musiq": ["topiq", "clipiqa"],
+    "hyperiqa": ["topiq", "clipiqa"],
+    "dbcnn": ["topiq", "clipiqa"],
     "topiq": ["clipiqa"],
     "clipiqa": [],
 }
+
+QUALITY_PASS_MODELS = ("topiq", "hyperiqa", "dbcnn", "musiq", "clipiqa")
 
 
 class ChunkedMultiPassProcessor:
@@ -141,8 +146,9 @@ class ChunkedMultiPassProcessor:
             if name == "clip":
                 results = model.score_batch(state["images"])
                 state["aesthetics"] = results
-            elif name in ("topiq", "clipiqa"):
+            elif name in QUALITY_PASS_MODELS:
                 state["topiq"] = model.score_batch(state["images"])
+                state["quality_model"] = name
             elif name == "samp_net":
                 state["samp"] = model.score_batch(state["images"])
             elif name in ("insightface",):
@@ -261,19 +267,17 @@ class ChunkedMultiPassProcessor:
 
         rows = []
         for i, path in enumerate(ok):
-            row = self.scorer.assemble_row(
+            # quality + SAMP results go INTO row assembly so the aggregate is
+            # computed from them (the quality model's score replaces the CLIP
+            # aesthetic, as in the reference's update_quality_scores —
+            # processing/scorer.py:1755-1765)
+            rows.append(self.scorer.assemble_row(
                 path, images[i], pils[i], exif.get(path, {}), state["tech"][i],
                 state["phash"][i], state["aesthetics"][i], state["faces"][i],
-                tag_lists[i])
-            if state["topiq"] is not None:
-                row["topiq_score"] = state["topiq"][i]
-                row["quality_score"] = state["topiq"][i]
-                row["scoring_model"] = "topiq"
-            if state["samp"] is not None:
-                samp = state["samp"][i]
-                row["comp_score"] = samp["score"]
-                row["composition_pattern"] = samp["pattern"]
-            rows.append(row)
+                tag_lists[i],
+                quality_score=None if state["topiq"] is None else state["topiq"][i],
+                quality_model=state.get("quality_model"),
+                samp_result=None if state["samp"] is None else state["samp"][i]))
         self.phase_times["aggregate"] += time.time() - t0
 
         t0 = time.time()

@@ -192,9 +192,17 @@ class Facet:
         return rows
 
     def assemble_row(self, path, image, pil, exif, tech, phash,
-                      aesthetic_pair, faces, tag_hits, with_composition=True):
+                      aesthetic_pair, faces, tag_hits, with_composition=True,
+                      quality_score=None, quality_model=None, samp_result=None):
+        """Build one photos row, computing the aggregate LAST so every model
+        output influences it. When a quality (NR-IQA) model ran, its score
+        replaces the CLIP aesthetic in the aggregate, as in the reference
+        (processing/scorer.py:1755-1765 update_quality_scores); a SAMP-Net
+        result replaces the rule-based comp_score the same way."""
         h, w = image.shape[:2]
         aesthetic, embedding = aesthetic_pair
+        if quality_score is not None:
+            aesthetic = quality_score
 
         m = dict(tech)
         m["aesthetic"] = aesthetic
@@ -227,7 +235,13 @@ class Facet:
             face_bbox = None
 
         # Composition block
-        if with_composition:
+        composition_pattern = None
+        if samp_result is not None:
+            m["comp_score"] = samp_result["score"]
+            m["power_point_score"] = samp_result.get("power_point_score")
+            m["leading_lines_score"] = None
+            composition_pattern = samp_result.get("pattern")
+        elif with_composition:
             comp = self.composition.analyze(image, face_bbox)
             m["comp_score"] = CompositionAnalyzer.integrate_leading_lines(
                 comp["score"], comp["leading_lines_score"], bool(face_bbox))
@@ -241,7 +255,10 @@ class Facet:
         m["isolation_bonus"] = 1.0
         aggregate, category = calculate_aggregate(m, self.config)
 
-        scoring_model = "clip-mlp" if aesthetic is not None else None
+        if quality_score is not None:
+            scoring_model = quality_model or "quality"
+        else:
+            scoring_model = "clip-mlp" if aesthetic is not None else None
         row = {
             "path": path,
             "filename": os.path.basename(path),
@@ -293,11 +310,11 @@ class Facet:
             "phash": phash,
             "config_version": self.config.version_hash,
             "tags": m["tags"],
-            "quality_score": None,
-            "topiq_score": None,
+            "quality_score": quality_score,
+            "topiq_score": quality_score,
             "composition_explanation": None,
             "scoring_model": scoring_model,
-            "composition_pattern": None,
+            "composition_pattern": composition_pattern,
             "category": category,
             "_faces": faces["rows"] if faces else [],
         }
@@ -390,6 +407,11 @@ class Facet:
                 scorer = self.models.load_model("clip")
                 embs, idxs = [], []
                 for i, row in enumerate(rows):
+                    # rows scored by a quality model keep that aesthetic —
+                    # re-deriving from the CLIP embedding would silently
+                    # downgrade them to the weaker CLIP-MLP signal
+                    if row.get("scoring_model") not in (None, "", "clip-mlp"):
+                        continue
                     blob = row.get("clip_embedding")
                     if blob and len(blob) == 768 * 4:
                         embs.append(np.frombuffer(blob, np.float32))
@@ -480,8 +502,10 @@ class Facet:
         for start in range(0, len(paths), batch_size):
             chunk_paths = paths[start:start + batch_size]
             scores = model.score_batch(images[start:start + batch_size])
+            # the quality score also replaces aesthetic so it drives the
+            # aggregate (reference: processing/scorer.py:1755-1765)
             self.update_columns({
-                p: {"topiq_score": s, "quality_score": s,
+                p: {"topiq_score": s, "quality_score": s, "aesthetic": s,
                     "scoring_model": "topiq"}
                 for p, s in zip(chunk_paths, scores)})
             done += len(chunk_paths)

@@ -232,6 +232,214 @@ class TestComparison:
         res = client.post("/api/comparison/optimize", json={})
         assert res.status_code == 400
 
+    def test_photo_metrics(self, client):
+        res = client.get("/api/comparison/photo_metrics",
+                         params={"paths": "/pics/img00.jpg,/pics/img01.jpg"})
+        assert res.status_code == 200
+        data = res.json()
+        assert set(data) == {"/pics/img00.jpg", "/pics/img01.jpg"}
+        assert "aesthetic" in data["/pics/img00.jpg"]
+        assert client.get("/api/comparison/photo_metrics").status_code == 400
+        assert client.get("/api/comparison/photo_metrics",
+                          params={"paths": "a,b,c"}).status_code == 400
+
+    def test_override_category(self, client):
+        res = client.post("/api/comparison/override_category",
+                          json={"path": "/pics/img00.jpg",
+                                "category": "street"})
+        assert res.status_code == 200
+        body = res.json()
+        assert body["old_category"] == "portrait"
+        assert body["new_category"] == "street"
+        detail = client.get("/api/comparison/photo_metrics",
+                            params={"paths": "/pics/img00.jpg"}).json()
+        assert detail["/pics/img00.jpg"]["category"] == "street"
+        assert client.post("/api/comparison/override_category",
+                           json={"path": "/pics/img00.jpg",
+                                 "category": "nope"}).status_code == 400
+        assert client.post("/api/comparison/override_category",
+                           json={"path": "/nope.jpg",
+                                 "category": "street"}).status_code == 404
+
+    def test_suggest_filters(self, client):
+        # portrait photo -> macro (requires macro-ish tags): conflicts
+        res = client.post("/api/comparison/suggest_filters",
+                          json={"path": "/pics/img00.jpg",
+                                "target_category": "silhouette"})
+        assert res.status_code == 200
+        body = res.json()
+        assert body["target_category"] == "silhouette"
+        assert isinstance(body["conflicts"], list)
+        assert body["conflicts"], "silhouette requires is_silhouette"
+        assert not body["no_conflicts"]
+        assert client.post("/api/comparison/suggest_filters",
+                           json={"path": "/pics/img00.jpg",
+                                 "target_category": "nope"}).status_code == 404
+
+    def test_reset(self, client):
+        pair = client.get("/api/comparison/next_pair").json()["pair"]
+        client.post("/api/comparison/submit",
+                    json={"photo_a": pair[0]["path"],
+                          "photo_b": pair[1]["path"], "winner": "a"})
+        res = client.post("/api/comparison/reset", json={})
+        assert res.status_code == 200
+        assert client.get("/api/comparison/coverage").json()["comparisons"] == 0
+
+    def test_learned_weights_insufficient(self, client):
+        res = client.get("/api/comparison/learned_weights")
+        assert res.status_code == 200
+        body = res.json()
+        assert body["available"] is False
+        assert body["min_required"] > 0
+
+    def test_confidence_insufficient(self, client):
+        res = client.get("/api/comparison/confidence")
+        assert res.status_code == 200
+        assert res.json()["available"] is False
+
+    def test_recalculate(self, client):
+        res = client.post("/api/recalculate", json={})
+        assert res.status_code == 200
+        assert res.json()["photos_recomputed"] == 12
+
+
+class TestLearnedWeightsWithVotes:
+    def test_learned_weights_and_confidence(self, client):
+        """Seed enough decisive votes for the optimizer to run end-to-end."""
+        import itertools
+
+        paths = [f"/pics/img{i:02d}.jpg" for i in range(12)]
+        pairs = list(itertools.combinations(paths, 2))[:55]
+        for a, b in pairs:
+            # prefer the higher-index photo (aggregates ascend with index)
+            client.post("/api/comparison/submit",
+                        json={"photo_a": a, "photo_b": b, "winner": "b"})
+        res = client.get("/api/comparison/learned_weights").json()
+        assert res["available"] is True
+        assert abs(sum(res["suggested_weights"].values()) - 100) <= 2
+        assert res["comparisons_used"] == 55
+        assert 0 <= res["accuracy_after"] <= 1
+
+        cv = client.get("/api/comparison/learned_weights",
+                        params={"use_cv": "true"}).json()
+        assert cv["available"] is True
+        assert cv["method"] == "cross_validated"
+        assert len(cv["fold_results"]) == 5
+        assert 0 <= cv["cv_accuracy"] <= 1
+
+        conf = client.get("/api/comparison/confidence",
+                          params={"n_bootstrap": 16}).json()
+        assert conf["available"] is True
+        assert conf["n_bootstrap"] == 16
+        for key, lo in conf["lower_bounds"].items():
+            assert lo <= conf["upper_bounds"][key]
+
+
+class TestPersonBatchOps:
+    def _add_person(self, db, pid, n_faces=1):
+        import numpy as np
+
+        rng = np.random.default_rng(pid)
+        emb = rng.standard_normal(512).astype(np.float32)
+        emb /= np.linalg.norm(emb)
+        with get_connection(db) as conn:
+            conn.execute("INSERT INTO persons (id, name, face_count, centroid)"
+                         " VALUES (?, ?, ?, ?)",
+                         (pid, f"P{pid}", n_faces, emb.tobytes()))
+            for i in range(n_faces):
+                conn.execute(
+                    "INSERT INTO faces (photo_path, face_index, embedding,"
+                    " confidence, person_id) VALUES (?, ?, ?, 0.9, ?)",
+                    (f"/pics/img{(pid + i) % 12:02d}.jpg", pid * 10 + i,
+                     emb.tobytes(), pid))
+
+    def test_merge_batch(self, client, seeded_db):
+        self._add_person(seeded_db, 2)
+        self._add_person(seeded_db, 3)
+        res = client.post("/api/persons/merge_batch",
+                          json={"target_id": 1, "source_ids": [2, 3]})
+        assert res.status_code == 200
+        assert res.json()["new_count"] == 4  # 2 original + 2 merged
+        assert client.post("/api/persons/merge_batch",
+                           json={"target_id": 1,
+                                 "source_ids": [1]}).status_code == 400
+
+    def test_delete_batch(self, client, seeded_db):
+        self._add_person(seeded_db, 4)
+        self._add_person(seeded_db, 5)
+        res = client.post("/api/persons/delete_batch",
+                          json={"person_ids": [4, 5]})
+        assert res.status_code == 200
+        assert res.json()["deleted_count"] == 2
+        persons = client.get("/api/persons").json()["persons"]
+        assert {p["id"] for p in persons} == {1}
+
+    def test_avatar(self, client, seeded_db):
+        with get_connection(seeded_db) as conn:
+            face_id = conn.execute(
+                "SELECT id FROM faces WHERE person_id = 1").fetchone()[0]
+        res = client.post("/api/persons/1/avatar", json={"face_id": face_id})
+        assert res.status_code == 200
+        with get_connection(seeded_db) as conn:
+            rep = conn.execute("SELECT representative_face_id FROM persons"
+                               " WHERE id = 1").fetchone()[0]
+        assert rep == face_id
+        assert client.post("/api/persons/1/avatar",
+                           json={"face_id": 9999}).status_code == 404
+
+    def test_share_token_endpoint(self, client):
+        res = client.get("/api/persons/1/share-token")
+        assert res.status_code == 200
+        token = res.json()["token"]
+        assert client.get("/api/shared/person/1",
+                          params={"token": token}).status_code == 200
+
+    def test_person_faces(self, client):
+        faces = client.get("/api/persons/1/faces").json()["faces"]
+        assert len(faces) == 2
+
+    def test_assign_and_unassign(self, client, seeded_db):
+        with get_connection(seeded_db) as conn:
+            conn.execute(
+                "INSERT INTO faces (photo_path, face_index, embedding,"
+                " confidence, person_id) VALUES ('/pics/img06.jpg', 0, ?,"
+                " 0.8, NULL)",
+                (b"\x00" * 2048,))
+        res = client.post("/api/photos/assign_all_faces",
+                          json={"path": "/pics/img06.jpg", "person_id": 1})
+        assert res.status_code == 200
+        assert res.json()["assigned_count"] == 1
+        res = client.post("/api/photos/unassign_person",
+                          json={"path": "/pics/img06.jpg", "person_id": 1})
+        assert res.status_code == 200
+        assert res.json()["person_deleted"] is False
+
+
+class TestCategoryStats:
+    def test_category_correlations(self, client):
+        res = client.get("/api/stats/category_correlations")
+        assert res.status_code == 200
+        body = res.json()
+        assert "correlations" in body
+        assert set(body["dimensions"]) >= {"aesthetic", "composition"}
+        assert "portrait" in body["configured_weights"]
+
+    def test_category_metrics(self, client):
+        res = client.get("/api/stats/category_metrics",
+                         params={"category": "landscape"})
+        assert res.status_code == 200
+        body = res.json()
+        assert body["count"] == 8
+        assert len(body["metrics"]["aesthetic"]) == 8
+        assert client.get("/api/stats/category_metrics").status_code == 400
+
+    def test_category_overlap(self, client):
+        res = client.get("/api/stats/category_overlap")
+        assert res.status_code == 200
+        body = res.json()
+        assert body["total"] == 12
+        assert any(c["name"] == "default" for c in body["per_category"])
+
 
 class TestSystem:
     def test_filter_options(self, client):

@@ -205,6 +205,113 @@ class TestMultiPass:
         assert any("clip" in group for group in passes)
 
 
+class _FakeQuality:
+    """Stand-in NR-IQA scorer returning a constant score."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def score_batch(self, images):
+        return [self.value] * len(images)
+
+
+class TestQualityWiring:
+    """The quality model's score must DRIVE the aggregate, not ride along
+    cosmetically (reference: scorer.py:1755-1765 update_quality_scores)."""
+
+    def _scan(self, engine, files, quality_value):
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        engine.models.loaded.pop("topiq", None)
+        engine.models.register(
+            "topiq", lambda config, cached: _FakeQuality(quality_value))
+        proc = ChunkedMultiPassProcessor(engine)
+        proc.selected_models = ["clip", "topiq"]
+        proc.passes = engine.models.group_passes(proc.selected_models)
+        proc.process_directory(files, verbose=False)
+
+    def test_quality_score_drives_aggregate(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        files = [f for f in gather_image_files(photo_dir)
+                 if "broken" not in f][:3]
+
+        self._scan(engine, files, 9.0)
+        with get_connection(engine.db_path) as conn:
+            high = {r[0]: r[1:] for r in conn.execute(
+                "SELECT path, aggregate, aesthetic, topiq_score,"
+                " quality_score, scoring_model FROM photos")}
+        for agg, aes, topiq, quality, model in high.values():
+            assert topiq == 9.0 and quality == 9.0
+            assert aes == 9.0  # quality replaces the CLIP aesthetic
+            assert model == "topiq"
+
+        self._scan(engine, files, 1.0)
+        with get_connection(engine.db_path) as conn:
+            low = dict(conn.execute("SELECT path, aggregate FROM photos"))
+        for path, agg in low.items():
+            assert agg < high[path][0]  # aggregate follows the quality score
+
+    def test_recompute_preserves_quality_aesthetic(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        files = [f for f in gather_image_files(photo_dir)
+                 if "broken" not in f][:2]
+        self._scan(engine, files, 8.5)
+        engine.config.config["normalization"]["method"] = "none"
+        engine.update_all_aggregates(rescore_embeddings=True)
+        with get_connection(engine.db_path) as conn:
+            rows = conn.execute(
+                "SELECT aesthetic, scoring_model FROM photos").fetchall()
+        for aes, model in rows:
+            assert model == "topiq"
+            assert aes == 8.5  # not clobbered by the CLIP-embedding rescore
+
+    def test_musiq_profile_end_to_end(self, tmp_path, tiny_config, photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+        from facet_tpu.processing.scorer import Facet
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        profiles = tiny_config.config["models"]["profiles"]
+        profiles["16gb"]["aesthetic_model"] = "musiq"
+        profiles["16gb"]["composition_model"] = "rule-based"
+        tiny_config.config["models"]["vram_profile"] = "16gb"
+        engine = Facet(str(tmp_path / "musiq.db"), tiny_config)
+        proc = ChunkedMultiPassProcessor(engine)
+        proc.detect_and_configure(verbose=False)
+        assert "musiq" in proc.selected_models
+        files = [f for f in gather_image_files(photo_dir)
+                 if "broken" not in f][:2]
+        n = proc.process_directory(files, verbose=False)
+        assert n == 2
+        with get_connection(engine.db_path) as conn:
+            rows = conn.execute(
+                "SELECT aggregate, quality_score, scoring_model FROM photos").fetchall()
+        for agg, quality, model in rows:
+            assert model == "musiq"
+            assert quality is not None and 0 <= quality <= 10
+            assert agg is not None
+
+    def test_list_models_includes_all_iqa(self):
+        from facet_tpu.models.model_manager import ModelManager
+
+        names = {row[0] for row in ModelManager.list_available_models()}
+        assert {"topiq", "hyperiqa", "dbcnn", "musiq", "clipiqa",
+                "clip", "samp_net", "insightface"} <= names
+
+    def test_quality_alias_selection(self, tiny_config):
+        from facet_tpu.models.model_manager import ModelManager
+
+        profiles = tiny_config.config["models"]["profiles"]
+        profiles["16gb"]["aesthetic_model"] = "clipiqa+"
+        tiny_config.config["models"]["vram_profile"] = "16gb"
+        mm = ModelManager(tiny_config, hbm_gb=16.0)
+        assert "clipiqa" in mm.select_models()
+
+
 class TestModelManager:
     def test_bin_packing(self):
         from facet_tpu.models.model_manager import ModelManager

@@ -1,0 +1,119 @@
+"""Multi-device sharding of the fused scoring pipeline.
+
+Runs on the 8-virtual-CPU-device mesh (conftest). The sharded path must be
+numerically identical to the single-device path, including when the batch is
+not a multiple of the device count (zero-padding sliced off).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+TINY_ARCH = {"image_size": 28, "patch_size": 14, "width": 32, "layers": 1,
+             "heads": 2, "projection_dim": 768}
+
+
+@pytest.fixture(scope="module")
+def fused_pair():
+    """(sharded FusedScorer, single-device FusedScorer) on a tiny CLIP."""
+    import jax.numpy as jnp
+
+    from facet_tpu.models.aesthetic import AestheticHead
+    from facet_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+    from facet_tpu.processing.device_pipeline import FusedScorer, default_mesh
+
+    config = CLIPVisionConfig(**TINY_ARCH)
+    vision = CLIPVisionTower(config, dtype=jnp.float32)
+    head = AestheticHead()
+    vp = vision.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 28, 28, 3), jnp.float32))
+    hp = head.init(jax.random.PRNGKey(1), jnp.zeros((1, 768), jnp.float32))
+    sharded = FusedScorer(vision, head, vp, hp)  # mesh="auto" -> 8-dev mesh
+    single = FusedScorer(vision, head, vp, hp, mesh=None)
+    return sharded, single
+
+
+def _images(n, seed=0, h=40, w=56):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+class TestShardedFusedPipeline:
+    def test_mesh_is_active(self, fused_pair):
+        sharded, _ = fused_pair
+        assert len(jax.devices()) == 8
+        assert sharded.mesh is not None
+        assert sharded.mesh.shape["dp"] == 8
+
+    @pytest.mark.parametrize("n", [8, 16])
+    def test_even_batch_matches_single_device(self, fused_pair, n):
+        sharded, single = fused_pair
+        images = _images(n)
+        a = sharded.score_images(images)
+        b = single.score_images(images)
+        for (sa, ea, ha, ta), (sb, eb, hb, tb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-5)
+            np.testing.assert_allclose(np.frombuffer(ea, np.float32),
+                                       np.frombuffer(eb, np.float32),
+                                       atol=1e-5)
+            assert ha == hb
+            np.testing.assert_array_equal(ta.gray_hist, tb.gray_hist)
+            assert ta.lap_sumsq == tb.lap_sumsq
+            assert ta.imm_abs_sum == tb.imm_abs_sum
+
+    @pytest.mark.parametrize("n", [1, 3, 5, 11])
+    def test_uneven_batch_padding_sliced(self, fused_pair, n):
+        """Batches that don't divide the 8-way mesh pad with zeros; the
+        padding must never leak into results."""
+        sharded, single = fused_pair
+        images = _images(n, seed=n)
+        a = sharded.score_images(images)
+        b = single.score_images(images)
+        assert len(a) == n and all(r is not None for r in a)
+        for (sa, ea, ha, ta), (sb, eb, hb, tb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-5)
+            assert ha == hb
+            assert int(ta.gray_hist.sum()) == 40 * 56  # every pixel counted
+
+    def test_mixed_shapes(self, fused_pair):
+        sharded, single = fused_pair
+        images = _images(3, seed=7, h=40, w=56) + _images(2, seed=8, h=32, w=48)
+        a = sharded.score_images(images)
+        b = single.score_images(images)
+        for (sa, *_), (sb, *_) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-5)
+
+    def test_output_is_sharded_on_device(self, fused_pair):
+        """The fused program's outputs must actually be partitioned over the
+        dp axis (not silently replicated/gathered on one device)."""
+        from facet_tpu.parallel.mesh import shard_batch
+
+        sharded, _ = fused_pair
+        images = _images(8, seed=9)
+        batch = np.stack(images)
+        dev_batch, _ = shard_batch(batch, sharded.mesh)
+        vp, hp = sharded._placed_params()
+        out = sharded._pipeline(40, 56)(vp, hp, dev_batch)
+        emb = out["embedding"]
+        assert len(emb.sharding.device_set) == 8
+        # batch axis split 8 ways -> each shard holds one image's embedding
+        shard_shapes = {s.data.shape for s in emb.addressable_shards}
+        assert shard_shapes == {(1, 768)}
+
+
+class TestEngineUsesShardedPath:
+    def test_engine_fused_scorer_gets_mesh(self, tmp_path, tmp_config):
+        """The production engine path must score through the mesh."""
+        import json
+
+        from facet_tpu.config.scoring_config import ScoringConfig
+        from facet_tpu.processing.scorer import Facet
+
+        with open(tmp_config) as fh:
+            cfg = json.load(fh)
+        cfg["models"]["clip"]["architecture"] = TINY_ARCH
+        with open(tmp_config, "w") as fh:
+            json.dump(cfg, fh)
+        engine = Facet(str(tmp_path / "t.db"), ScoringConfig(tmp_config))
+        fused = engine._fused_scorer()
+        assert fused.mesh is not None and fused.mesh.shape["dp"] == 8
