@@ -1,17 +1,24 @@
 #!/usr/bin/env python3
-"""Benchmark: full-ensemble scoring throughput on one TPU chip.
+"""Benchmark: FULL-ensemble scoring throughput on one TPU chip.
 
-Measures the fused device pipeline — classical metric statistics (histogram
-reductions + stencils), pHash, CLIP ViT-L/14 aesthetic forward — over 1.5 MP
-images, steady-state after compilation.
+Measures every ensemble member the default 16gb-profile scan runs, with
+resident device inputs, steady-state after compilation:
 
-Headline metric: device-pipeline throughput with resident inputs (the
-framework's compute capability; in production, host JPEG decode and the
-host->device copy run double-buffered under this). Also reported:
-ingest-limited throughput including the host->device copy on THIS machine's
-link, and the measured link bandwidth, so the two bottlenecks are visible
-separately. (This harness reaches its TPU through a ~50 MB/s relay; a real
-v5e VM moves batches over local DMA at GB/s.)
+- clip_fused: the fused program — classical metric statistics (histogram
+  reductions + stencils), pHash, CLIP ViT-L/14 bf16 aesthetic forward;
+- topiq: 384px bucketed resize + TOPIQ (CFANet/ResNet50) forward;
+- samp: 224px resize + U2-Net-P saliency + SAMP-Net composition;
+- faces: 640px device letterbox + SCRFD detect + device top-k decode.
+
+The headline `full_ensemble` number times ONE loop that runs all four
+members per batch (sequential device calls, as the engine does); per-member
+throughput is also reported, plus the CLIP-only figure for continuity with
+round 1.
+
+Also reported: p50 whole-ensemble single-image latency, ingest-limited
+throughput including the host->device copy on THIS machine's link, and the
+measured link bandwidth. (This harness reaches its TPU through a ~50 MB/s
+relay; a real v5e VM moves batches over local DMA at GB/s.)
 
 Prints ONE JSON line. vs_baseline is relative to the only throughput number
 the reference ships: its auto-tuner's assumed 6.5 img/s batched-GPU constant
@@ -28,6 +35,108 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 6.5
 
 
+def build_members(args):
+    """-> {name: jitted fn(resident_uint8_batch) -> small host results}."""
+    import jax
+    import jax.numpy as jnp
+
+    from facet_tpu.models.aesthetic import AestheticHead
+    from facet_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+    from facet_tpu.models.face_models import (
+        DetectorConfig,
+        SCRFDDetector,
+        decode_topk,
+    )
+    from facet_tpu.models.samp_net import IMAGENET_MEAN, IMAGENET_STD, SAMPNet
+    from facet_tpu.models.topiq import TOPIQConfig, TOPIQNet
+    from facet_tpu.models.u2netp import U2NETP
+    from facet_tpu.ops.resize import resample_matrix
+    from facet_tpu.processing.device_pipeline import build_fused_pipeline
+
+    h, w = args.height, args.width
+    members = {}
+
+    # --- clip_fused: stats + pHash + ViT-L/14 + aesthetic head
+    config = CLIPVisionConfig()
+    vision = CLIPVisionTower(config, dtype=jnp.bfloat16)
+    head = AestheticHead()
+    vp = vision.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, config.image_size, config.image_size, 3),
+                               jnp.float32))
+    hp = head.init(jax.random.PRNGKey(1),
+                   jnp.zeros((1, config.projection_dim), jnp.float32))
+    fused = build_fused_pipeline(vision, head, h, w)
+    members["clip_fused"] = lambda buf: jax.device_get(fused(vp, hp, buf))
+
+    if args.members != "clip":
+        # --- topiq: bucketed 384px eval, like TOPIQScorer.score_batch
+        tcfg = TOPIQConfig()
+        tnet = TOPIQNet(tcfg)
+        tparams = tnet.init(jax.random.PRNGKey(30),
+                            jnp.zeros((1, tcfg.input_size, tcfg.input_size, 3),
+                                      jnp.float32))
+        t_rows = jnp.asarray(resample_matrix(h, tcfg.input_size, method="linear"))
+        t_cols = jnp.asarray(resample_matrix(w, tcfg.input_size, method="linear"))
+        from facet_tpu.models.topiq import IMAGENET_MEAN as TM, IMAGENET_STD as TS
+
+        @jax.jit
+        def topiq_fwd(params, buf):
+            x = buf.astype(jnp.float32)
+            x = jnp.einsum("rh,bhwc->brwc", t_rows, x)
+            x = jnp.einsum("sw,brwc->brsc", t_cols, x) / 255.0
+            return tnet.apply(params, (x - TM) / TS)
+
+        members["topiq"] = lambda buf: jax.device_get(topiq_fwd(tparams, buf))
+
+        # --- samp: 224px resize + U2NetP saliency + SAMPNet heads
+        samp = SAMPNet()
+        u2 = U2NETP()
+        sp = samp.init(jax.random.PRNGKey(20),
+                       jnp.zeros((1, 224, 224, 3), jnp.float32),
+                       jnp.zeros((1, 224, 224, 1), jnp.float32))
+        up = u2.init(jax.random.PRNGKey(21), jnp.zeros((1, 224, 224, 3),
+                                                       jnp.float32))
+        s_rows = jnp.asarray(resample_matrix(h, 224, method="linear"))
+        s_cols = jnp.asarray(resample_matrix(w, 224, method="linear"))
+
+        @jax.jit
+        def samp_fwd(samp_params, u2_params, buf):
+            x = buf.astype(jnp.float32)
+            x = jnp.einsum("rh,bhwc->brwc", s_rows, x)
+            x = jnp.einsum("sw,brwc->brsc", s_cols, x) / 255.0
+            norm = (x - IMAGENET_MEAN) / IMAGENET_STD
+            saliency = u2.apply(u2_params, norm)
+            return samp.apply(samp_params, norm, saliency)
+
+        members["samp"] = lambda buf: jax.device_get(samp_fwd(sp, up, buf))
+
+        # --- faces: device letterbox + SCRFD + device top-k decode
+        dcfg = DetectorConfig()
+        det = SCRFDDetector(dcfg)
+        dp = det.init(jax.random.PRNGKey(10),
+                      jnp.zeros((1, dcfg.input_size, dcfg.input_size, 3),
+                                jnp.float32))
+        size = dcfg.input_size
+        scale = size / max(h, w)
+        nh, nw = round(h * scale), round(w * scale)
+        f_rows = jnp.asarray(resample_matrix(h, nh, method="linear"))
+        f_cols = jnp.asarray(resample_matrix(w, nw, method="linear"))
+
+        @jax.jit
+        def face_fwd(params, buf):
+            x = buf.astype(jnp.float32)
+            x = jnp.einsum("rh,bhwc->brwc", f_rows, x)
+            x = jnp.einsum("sw,brwc->brsc", f_cols, x)
+            canvas = jnp.pad(x, ((0, 0), (0, size - nh), (0, size - nw),
+                                 (0, 0)))
+            canvas = (canvas - 127.5) / 128.0
+            return decode_topk(det.apply(params, canvas))
+
+        members["faces"] = lambda buf: jax.device_get(face_fwd(dp, buf))
+
+    return members
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=64)
@@ -35,25 +144,14 @@ def main():
     parser.add_argument("--width", type=int, default=1536)
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--repeats", type=int, default=2)
+    parser.add_argument("--members", default="all", choices=["all", "clip"],
+                        help="'clip' benches only the fused CLIP program")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from facet_tpu.models.aesthetic import AestheticHead
-    from facet_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
-    from facet_tpu.processing.device_pipeline import build_fused_pipeline
-
-    config = CLIPVisionConfig()  # full ViT-L/14
-    vision = CLIPVisionTower(config, dtype=jnp.bfloat16)
-    head = AestheticHead()
-    vision_params = vision.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32))
-    head_params = head.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, config.projection_dim), jnp.float32))
-
-    pipeline = build_fused_pipeline(vision, head, args.height, args.width)
+    members = build_members(args)
 
     # resident synthetic inputs (2 rotating buffers, generated on device)
     @jax.jit
@@ -67,49 +165,71 @@ def main():
     for buf in buffers:
         _ = jax.device_get(jnp.sum(buf.astype(jnp.int32)))  # force materialize
 
-    def run(buf):
-        out = pipeline(vision_params, head_params, buf)
-        # fetch the full result struct like the engine does (histograms etc.)
-        return jax.device_get(out)
+    # compile + warmup each member
+    compile_s = {}
+    for name, fn in members.items():
+        t0 = time.perf_counter()
+        fn(buffers[0])
+        compile_s[name] = round(time.perf_counter() - t0, 1)
 
-    run(buffers[0])  # compile + warmup
+    # --- per-member steady-state throughput
+    member_rates = {}
+    for name, fn in members.items():
+        best = 0.0
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                fn(buffers[i % 2])
+            best = max(best, args.steps * args.batch
+                       / (time.perf_counter() - t0))
+        member_rates[name] = round(best, 2)
 
-    # --- headline: device pipeline throughput (resident inputs)
+    # --- headline: ALL members over each batch in one timed loop
     best = 0.0
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         for i in range(args.steps):
-            run(buffers[i % 2])
-        rate = args.steps * args.batch / (time.perf_counter() - t0)
-        best = max(best, rate)
+            buf = buffers[i % 2]
+            for fn in members.values():
+                fn(buf)
+        best = max(best, args.steps * args.batch / (time.perf_counter() - t0))
 
-    # --- p50 single-image latency (resident input)
+    # --- p50 single-image whole-ensemble latency (resident input)
     single = buffers[0][:1]
-    run(single)  # compile the b=1 shape
+    for fn in members.values():
+        fn(single)  # compile the b=1 shapes
     lat = []
     for _ in range(10):
         t0 = time.perf_counter()
-        run(single)
+        for fn in members.values():
+            fn(single)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1000)
 
     # --- ingest-limited rate on this machine's host->device link
     host_batch = np.asarray(jax.device_get(buffers[0]))
     t0 = time.perf_counter()
-    for i in range(3):
+    for i in range(2):
         buf = jax.device_put(host_batch)
-        run(buf)
-    ingest_rate = 3 * args.batch / (time.perf_counter() - t0)
+        for fn in members.values():
+            fn(buf)
+    ingest_rate = 2 * args.batch / (time.perf_counter() - t0)
     link_mbps = ingest_rate * host_batch.nbytes / args.batch / 1e6
 
+    metric = ("full_ensemble_images_per_second_per_chip"
+              if args.members == "all"
+              else "clip_fused_images_per_second_per_chip")
     result = {
-        "metric": "full_ensemble_images_per_second_per_chip",
+        "metric": metric,
         "value": round(best, 2),
         "unit": "images/sec",
         "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 2),
+        "members": member_rates,
+        "clip_only_images_per_second": member_rates.get("clip_fused"),
         "p50_latency_ms": round(p50_ms, 2),
         "ingest_limited_images_per_second": round(ingest_rate, 2),
         "h2d_link_mb_per_second": round(link_mbps, 1),
+        "compile_seconds": compile_s,
         "image_shape": [args.height, args.width],
         "batch": args.batch,
         "device": str(jax.devices()[0]),

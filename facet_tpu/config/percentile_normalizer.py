@@ -27,12 +27,27 @@ import numpy as np
 
 from facet_tpu.db.connection import get_connection
 
-# raw metric column -> the score column it normalizes into
+# raw metric column -> the score column it normalizes into (applied during
+# --recompute-average)
 RAW_METRICS = {
     "raw_sharpness_variance": "tech_sharpness",
     "raw_color_entropy": "color_score",
     "raw_eye_sharpness": "eye_sharpness",
 }
+
+# all columns percentiles are computed for (reference tracks 5:
+# percentile_normalizer.py:38-42 — histogram_spread and mean_luminance feed
+# the recommendation analysis even though no score column rewrites from them)
+PERCENTILE_METRICS = list(RAW_METRICS) + ["histogram_spread", "mean_luminance"]
+
+# metrics whose expectations genuinely differ by category (reference
+# CATEGORY_NORMALIZED_METRICS: macro vs landscape sharpness, night spread...)
+CATEGORY_NORMALIZED_METRICS = [
+    "raw_sharpness_variance",
+    "raw_color_entropy",
+    "histogram_spread",
+    "raw_eye_sharpness",
+]
 
 DAMPING_MAX_POINTS = 3       # max weight-percent change per run
 OSCILLATION_WINDOW = 5       # history entries examined per target
@@ -53,9 +68,9 @@ class PercentileNormalizer:
     # ------------------------------------------------------- percentiles
 
     def compute_percentiles(self):
-        """Global P_target per raw metric."""
+        """Global P_target per tracked metric."""
         with get_connection(self.db_path) as conn:
-            for raw_col in RAW_METRICS:
+            for raw_col in PERCENTILE_METRICS:
                 values = [r[0] for r in conn.execute(
                     f"SELECT {raw_col} FROM photos WHERE {raw_col} IS NOT NULL"
                     f" AND typeof({raw_col}) IN ('real', 'integer')")]
@@ -70,7 +85,7 @@ class PercentileNormalizer:
                 " GROUP BY category HAVING COUNT(*) >= ?", (self.min_samples,))]
             for category in categories:
                 per = {}
-                for raw_col in RAW_METRICS:
+                for raw_col in CATEGORY_NORMALIZED_METRICS:
                     values = [r[0] for r in conn.execute(
                         f"SELECT {raw_col} FROM photos WHERE category = ?"
                         f" AND {raw_col} IS NOT NULL"
@@ -104,7 +119,8 @@ class PercentileNormalizer:
         with get_connection(self.db_path) as conn:
             return [dict(r) for r in conn.execute(
                 "SELECT aggregate, aesthetic, exposure_score, tech_sharpness,"
-                " color_score, comp_score, contrast_score, category"
+                " color_score, comp_score, contrast_score, quality_score,"
+                " face_quality, category"
                 " FROM photos WHERE aggregate IS NOT NULL")]
 
     @staticmethod
@@ -113,6 +129,66 @@ class PercentileNormalizer:
         if len(xs) < 3 or xs.std() == 0 or ys.std() == 0:
             return None
         return float(np.corrcoef(xs, ys)[0, 1])
+
+    @staticmethod
+    def _spearman(xs, ys):
+        """Rank correlation (average ranks for ties) — captures monotonic,
+        not just linear, metric->aggregate relationships (reference:
+        percentile_normalizer.py:193-224)."""
+        xs, ys = np.asarray(xs, float), np.asarray(ys, float)
+        if len(xs) < 3:
+            return None
+
+        def rank(v):
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(len(v))
+            sv = v[order]
+            i = 0
+            while i < len(v):
+                j = i
+                while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                    j += 1
+                ranks[order[i:j + 1]] = (i + j) / 2 + 1
+                i = j + 1
+            return ranks
+
+        return PercentileNormalizer._correlation(rank(xs), rank(ys))
+
+    def _metric_correlation(self, xs, ys):
+        """Spearman for big samples (robust to nonlinearity), Pearson below."""
+        return self._spearman(xs, ys) if len(xs) > 100 \
+            else self._correlation(xs, ys)
+
+    @staticmethod
+    def expected_correlation(weight, num_metrics, metric_std, aggregate_std):
+        """Variance-aware expectation for a metric's correlation with the
+        aggregate: r ~= weight * sqrt(num_metrics) * metric_std/aggregate_std,
+        capped at 0.95 (reference: percentile_normalizer.py:226-244)."""
+        if aggregate_std <= 0 or num_metrics == 0:
+            return weight
+        expected = weight * np.sqrt(num_metrics) * (metric_std / aggregate_std)
+        return float(min(0.95, max(0.0, expected)))
+
+    @staticmethod
+    def _damp(current, proposed):
+        """Cap a weight-percent change at DAMPING_MAX_POINTS per run."""
+        delta = proposed - current
+        if abs(delta) > DAMPING_MAX_POINTS:
+            return current + (DAMPING_MAX_POINTS if delta > 0
+                              else -DAMPING_MAX_POINTS)
+        return proposed
+
+    # metric column -> category weight key
+    METRIC_WEIGHT_KEYS = {
+        "aesthetic": "aesthetic",
+        "exposure_score": "exposure",
+        "tech_sharpness": "tech_sharpness",
+        "color_score": "color",
+        "comp_score": "composition",
+        "contrast_score": "contrast",
+        "quality_score": "quality",
+        "face_quality": "face_quality",
+    }
 
     def analyze_scoring_issues(self):
         """-> list of issue dicts with proposed, damped config changes."""
@@ -140,32 +216,105 @@ class PercentileNormalizer:
                 "priority": 2,
             })
 
-        # 2. dominant metric: one component explains the aggregate
-        dominant_threshold = analysis.get("correlation_dominant_threshold", 0.5)
-        for metric in ("aesthetic", "exposure_score", "tech_sharpness",
-                       "color_score", "comp_score", "contrast_score"):
-            pairs = [(r["aggregate"], r[metric]) for r in rows
-                     if r[metric] is not None]
-            if len(pairs) < 10:
-                continue
-            corr = self._correlation([p[0] for p in pairs], [p[1] for p in pairs])
-            if corr is not None and corr > max(0.85, dominant_threshold + 0.3):
-                key = {"aesthetic": "aesthetic", "exposure_score": "exposure",
-                       "tech_sharpness": "tech_sharpness",
-                       "color_score": "color", "comp_score": "composition",
-                       "contrast_score": "contrast"}[metric]
-                current = self._current_weight("default", key)
-                if current > DAMPING_MAX_POINTS:
+        # 2. correlation analysis per scope (global + per-category with
+        # enough samples): a metric whose measured correlation far exceeds
+        # its variance-aware expectation dominates; one whose weight is high
+        # but correlation is near zero is dead weight. Spearman is used on
+        # large samples to catch monotonic (nonlinear) relationships.
+        low_corr_weight = analysis.get("low_corr_weight_threshold", 0.15)
+        low_corr_r = analysis.get("low_corr_r_threshold", 0.2)
+        min_cat = analysis.get("category_min_samples", self.min_samples)
+        num_metrics = len(self.METRIC_WEIGHT_KEYS)
+
+        scopes = [("default", rows)]
+        by_category_rows = {}
+        for r in rows:
+            by_category_rows.setdefault(r["category"], []).append(r)
+        for cat, cat_rows in by_category_rows.items():
+            if cat and cat != "default" and len(cat_rows) >= min_cat:
+                scopes.append((cat, cat_rows))
+
+        for scope, scope_rows in scopes:
+            scope_aggs = [r["aggregate"] for r in scope_rows]
+            scope_agg_std = float(np.std(scope_aggs)) or 1.0
+            weights = self.config.get_weights(scope)
+            for metric, key in self.METRIC_WEIGHT_KEYS.items():
+                pairs = [(r["aggregate"], r[metric]) for r in scope_rows
+                         if isinstance(r.get(metric), (int, float))]
+                if len(pairs) < 10:
+                    continue
+                xs = [p[1] for p in pairs]
+                ys = [p[0] for p in pairs]
+                corr = self._metric_correlation(xs, ys)
+                if corr is None:
+                    continue
+                weight = weights.get(key, 0.0)
+                expected = self.expected_correlation(
+                    weight, num_metrics, float(np.std(xs)), scope_agg_std)
+                current = self._current_weight(scope, key)
+                scope_label = "" if scope == "default" else f" in '{scope}'"
+                dominant_threshold = analysis.get(
+                    "correlation_dominant_threshold", 0.5)
+                # dominant: measured correlation well above the variance-aware
+                # expectation for this weight (reference: pn.py:683-686)
+                if corr > dominant_threshold and corr > expected + 0.15 \
+                        and current > DAMPING_MAX_POINTS:
                     issues.append({
                         "issue_type": "dominant_metric",
                         "detail": f"{metric} correlates {corr:.2f} with the"
-                                  " aggregate — reduce its weight",
-                        "target_category": "default",
+                                  f" aggregate{scope_label} (expected"
+                                  f" ~{expected:.2f}) — reduce its weight",
+                        "target_category": scope,
                         "target_key": f"{key}_percent",
                         "old_value": current,
-                        "proposed_value": current - DAMPING_MAX_POINTS,
+                        "proposed_value": self._damp(
+                            current, current - DAMPING_MAX_POINTS),
                         "priority": 1,
                     })
+                # dead weight: big weight, no relationship to the aggregate
+                elif weight >= low_corr_weight and abs(corr) < low_corr_r \
+                        and current > DAMPING_MAX_POINTS:
+                    issues.append({
+                        "issue_type": "low_correlation",
+                        "detail": f"{metric} holds {current}% weight"
+                                  f"{scope_label} but correlates only"
+                                  f" {corr:.2f} with the aggregate — dead"
+                                  " weight",
+                        "target_category": scope,
+                        "target_key": f"{key}_percent",
+                        "old_value": current,
+                        "proposed_value": self._damp(
+                            current, current - DAMPING_MAX_POINTS),
+                        "priority": 2,
+                    })
+
+        # 2b. underutilized signal: the quality model scores high on average
+        # but carries little weight (reference: underutilized_signal)
+        quality_vals = [r["quality_score"] for r in rows
+                        if isinstance(r.get("quality_score"), (int, float))]
+        if quality_vals:
+            qual_avg = float(np.mean(quality_vals))
+            qual_corr = self._metric_correlation(
+                quality_vals,
+                [r["aggregate"] for r in rows
+                 if isinstance(r.get("quality_score"), (int, float))]) or 0.0
+            qual_weight = self._current_weight("default", "quality")
+            if qual_avg > analysis.get("quality_avg_threshold", 7.5) \
+                    and qual_weight <= analysis.get(
+                        "quality_weight_threshold_percent", 10) \
+                    and qual_corr <= analysis.get(
+                        "correlation_dominant_threshold", 0.5):
+                issues.append({
+                    "issue_type": "underutilized_signal",
+                    "detail": f"quality model averages {qual_avg:.2f} but"
+                              f" holds only {qual_weight}% weight — raise it",
+                    "target_category": "default",
+                    "target_key": "quality_percent",
+                    "old_value": qual_weight,
+                    "proposed_value": self._damp(
+                        qual_weight, qual_weight + DAMPING_MAX_POINTS),
+                    "priority": 2,
+                })
 
         # 3. score clustering: everything lands in a narrow band
         if agg_std < analysis.get("score_clustering_std_threshold", 1.0):

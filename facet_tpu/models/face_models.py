@@ -129,28 +129,53 @@ class _DetHead(nn.Module):
                 kps.reshape(b, h, w, a, 10))
 
 
-def decode_detections(outputs, input_size, score_threshold=0.5):
-    """Per-stride head outputs -> per-image list of (score, bbox, kps5).
+def decode_topk(outputs, k=64):
+    """Device-side candidate selection: decode every anchor's bbox/kps and
+    keep the top-k by score per image.
 
-    Distance-based decode: bbox = center +- pred * stride (SCRFD convention).
-    Host-side; batch sizes here are tiny.
+    Shrinks the detector's device->host transfer from the full score/box/kps
+    maps (~0.5 MB/image at 640px) to k small rows (~1 KB/image); host NMS
+    then runs over k candidates instead of every anchor. jit-safe.
     """
-    batch = outputs[0][0].shape[0]
-    results = [[] for _ in range(batch)]
+    all_scores, all_boxes, all_kps = [], [], []
     for (scores, boxes, kps), stride in zip(outputs, DET_STRIDES):
-        s = np.asarray(scores)
-        b = np.asarray(boxes)
-        k = np.asarray(kps)
-        hits = np.nonzero(s >= score_threshold)
-        for bi, yi, xi, ai in zip(*hits):
-            cx, cy = (xi + 0.5) * stride, (yi + 0.5) * stride
-            d = b[bi, yi, xi, ai] * stride
-            x1, y1 = cx - d[0], cy - d[1]
-            x2, y2 = cx + d[2], cy + d[3]
-            pts = k[bi, yi, xi, ai].reshape(5, 2) * stride
-            pts = pts + np.array([cx, cy])
-            results[bi].append((float(s[bi, yi, xi, ai]),
-                                np.array([x1, y1, x2, y2], np.float32), pts))
+        b, h, w, a = scores.shape
+        cx = jnp.broadcast_to(((jnp.arange(w) + 0.5) * stride)[None, None, :, None],
+                              (b, h, w, a))
+        cy = jnp.broadcast_to(((jnp.arange(h) + 0.5) * stride)[None, :, None, None],
+                              (b, h, w, a))
+        d = boxes * stride
+        box = jnp.stack([cx - d[..., 0], cy - d[..., 1],
+                         cx + d[..., 2], cy + d[..., 3]], axis=-1)
+        pts = kps.reshape(b, h, w, a, 5, 2) * stride \
+            + jnp.stack([cx, cy], axis=-1)[..., None, :]
+        all_scores.append(scores.reshape(b, -1))
+        all_boxes.append(box.reshape(b, -1, 4))
+        all_kps.append(pts.reshape(b, -1, 5, 2))
+    scores = jnp.concatenate(all_scores, axis=1)
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    kps = jnp.concatenate(all_kps, axis=1)
+    k = min(k, scores.shape[1])
+    top, idx = jax.lax.top_k(scores, k)
+    bb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    kk = jnp.take_along_axis(kps, idx[..., None, None], axis=1)
+    return top, bb, kk
+
+
+def topk_to_detections(top, boxes, kps, score_threshold=0.5):
+    """Host side of decode_topk: -> per-image list of (score, bbox, kps5)."""
+    top = np.asarray(top)
+    boxes = np.asarray(boxes)
+    kps = np.asarray(kps)
+    results = []
+    for bi in range(top.shape[0]):
+        dets = []
+        for j in range(top.shape[1]):
+            if top[bi, j] < score_threshold:
+                break  # top_k is sorted descending
+            dets.append((float(top[bi, j]), boxes[bi, j].astype(np.float32),
+                         kps[bi, j].astype(np.float32)))
+        results.append(dets)
     return results
 
 

@@ -31,8 +31,9 @@ from facet_tpu.models.face_models import (
     IResNet,
     LandmarkNet,
     SCRFDDetector,
-    decode_detections,
+    decode_topk,
     nms,
+    topk_to_detections,
     umeyama_similarity,
 )
 
@@ -76,7 +77,10 @@ class FacePipeline:
         fp = config.get_face_processing_settings() if config else {}
         self.crop_padding = fp.get("crop_padding", 0.3)
 
-        self._detect = jax.jit(self.detector.apply)
+        # detection + device-side top-k decode in one program: only k
+        # candidate rows per image cross back to the host (not full maps)
+        self._detect = jax.jit(
+            lambda params, batch: decode_topk(self.detector.apply(params, batch)))
         self._landmarks = jax.jit(self.landmark_net.apply)
         self._embed = jax.jit(self.embedder.apply)
 
@@ -135,10 +139,8 @@ class FacePipeline:
             canvases.append(canvas)
             scales.append(scale)
         batch = jnp.asarray(np.stack(canvases))
-        outputs = self._detect(self.det_params, batch)
-        decoded = decode_detections(
-            [tuple(np.asarray(o) for o in level) for level in outputs],
-            self.det_config.input_size, score_threshold=0.5)
+        top, boxes, kps5 = jax.device_get(self._detect(self.det_params, batch))
+        decoded = topk_to_detections(top, boxes, kps5, score_threshold=0.5)
         for i, dets in enumerate(decoded):
             kept = nms(dets)
             faces = []

@@ -73,20 +73,112 @@ class TestRecommendations:
         from facet_tpu.config.percentile_normalizer import PercentileNormalizer
 
         rng = np.random.default_rng(1)
-        # aggregate == aesthetic -> perfectly dominant metric
+        # aggregate == contrast_score: a LOW-weight metric (8%) perfectly
+        # driving the aggregate — way above its variance-aware expectation
         with get_connection(tmp_db) as conn:
             for i in range(80):
-                aes = float(np.clip(rng.normal(6, 2), 0, 10))
+                val = float(np.clip(rng.normal(6, 2), 0, 10))
                 conn.execute(
-                    "INSERT INTO photos (path, aggregate, aesthetic,"
-                    " exposure_score, category) VALUES (?, ?, ?, 6.0, 'default')",
-                    (f"/d/p{i}.jpg", aes, aes))
+                    "INSERT INTO photos (path, aggregate, contrast_score,"
+                    " aesthetic, exposure_score, category)"
+                    " VALUES (?, ?, ?, 6.0, 6.0, 'default')",
+                    (f"/d/p{i}.jpg", val, val))
         norm = PercentileNormalizer(tmp_db, scoring_config)
         issues = norm.analyze_scoring_issues()
-        assert any(i["issue_type"] == "dominant_metric" for i in issues)
-        dom = next(i for i in issues if i["issue_type"] == "dominant_metric")
-        # damped: at most 3 points of change
-        assert abs(dom["proposed_value"] - dom["old_value"]) <= 3
+        doms = [i for i in issues if i["issue_type"] == "dominant_metric"]
+        assert doms
+        assert any(i["target_key"] == "contrast_percent" for i in doms)
+        # a metric at its expected correlation is NOT flagged: aesthetic at
+        # 30% weight with constant value has no correlation at all
+        assert not any(i["target_key"] == "aesthetic_percent" for i in doms)
+        for dom in doms:
+            # damped: at most 3 points of change
+            assert abs(dom["proposed_value"] - dom["old_value"]) <= 3
+
+    def test_spearman_and_expected_correlation(self):
+        from facet_tpu.config.percentile_normalizer import PercentileNormalizer
+
+        # monotonic but nonlinear: Spearman = 1, Pearson < 1
+        xs = list(range(1, 40))
+        ys = [x ** 3 for x in xs]
+        s = PercentileNormalizer._spearman(xs, ys)
+        p = PercentileNormalizer._correlation(xs, ys)
+        assert s == pytest.approx(1.0)
+        assert p < 0.95
+        # ties get average ranks
+        assert PercentileNormalizer._spearman(
+            [1, 1, 2, 3], [1, 1, 2, 3]) == pytest.approx(1.0)
+        # expected correlation scales with weight and std ratio, capped
+        e = PercentileNormalizer.expected_correlation(0.1, 8, 1.0, 2.0)
+        assert 0 < e < 0.5
+        assert PercentileNormalizer.expected_correlation(0.9, 8, 2.0, 1.0) == 0.95
+
+    def test_low_correlation_dead_weight(self, tmp_db, scoring_config):
+        from facet_tpu.config.percentile_normalizer import PercentileNormalizer
+
+        rng = np.random.default_rng(3)
+        # aesthetic holds 30% weight but is pure noise vs the aggregate
+        with get_connection(tmp_db) as conn:
+            for i in range(150):
+                agg = float(np.clip(rng.normal(6, 1.5), 0, 10))
+                noise = float(np.clip(rng.normal(5, 2), 0, 10))
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, aesthetic, category)"
+                    " VALUES (?, ?, ?, 'default')",
+                    (f"/d/p{i}.jpg", agg, noise))
+        norm = PercentileNormalizer(tmp_db, scoring_config)
+        issues = norm.analyze_scoring_issues()
+        low = [i for i in issues if i["issue_type"] == "low_correlation"]
+        assert any(i["target_key"] == "aesthetic_percent" for i in low)
+
+    def test_underutilized_quality_signal(self, tmp_db, scoring_config):
+        from facet_tpu.config.percentile_normalizer import PercentileNormalizer
+
+        rng = np.random.default_rng(4)
+        with get_connection(tmp_db) as conn:
+            for i in range(60):
+                agg = float(np.clip(rng.normal(6, 1.5), 0, 10))
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, quality_score,"
+                    " category) VALUES (?, ?, ?, 'default')",
+                    (f"/d/p{i}.jpg", agg, float(np.clip(rng.normal(8.5, 0.5),
+                                                        0, 10))))
+        norm = PercentileNormalizer(tmp_db, scoring_config)
+        issues = norm.analyze_scoring_issues()
+        under = [i for i in issues
+                 if i["issue_type"] == "underutilized_signal"]
+        assert under and under[0]["target_key"] == "quality_percent"
+        assert under[0]["proposed_value"] - under[0]["old_value"] <= 3
+
+    def test_per_category_targeting(self, tmp_db, scoring_config):
+        from facet_tpu.config.percentile_normalizer import PercentileNormalizer
+
+        rng = np.random.default_rng(5)
+        with get_connection(tmp_db) as conn:
+            # portrait: contrast (low weight there too) drives the aggregate
+            for i in range(60):
+                val = float(np.clip(rng.normal(6, 2), 0, 10))
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, contrast_score,"
+                    " category) VALUES (?, ?, ?, 'portrait')",
+                    (f"/d/port{i}.jpg", val, val))
+            # landscape: healthy noise
+            for i in range(60):
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, contrast_score,"
+                    " category) VALUES (?, ?, ?, 'landscape')",
+                    (f"/d/land{i}.jpg",
+                     float(np.clip(rng.normal(6, 1.5), 0, 10)),
+                     float(np.clip(rng.normal(5, 2), 0, 10))))
+        norm = PercentileNormalizer(tmp_db, scoring_config)
+        norm.min_samples = 50
+        issues = norm.analyze_scoring_issues()
+        targeted = [i for i in issues
+                    if i["issue_type"] == "dominant_metric"
+                    and i["target_category"] == "portrait"]
+        assert targeted, "per-category dominance must target that category"
+        assert not any(i["target_category"] == "landscape" for i in issues
+                       if i["issue_type"] == "dominant_metric")
 
     def test_health_and_apply_and_oscillation(self, tmp_db, scoring_config):
         from facet_tpu.config.percentile_normalizer import PercentileNormalizer
