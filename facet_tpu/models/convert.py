@@ -256,6 +256,320 @@ def convert_torchvision_resnet50(sd, prefix=""):
     return params, stats
 
 
+# -------------------------------------------------------------------- TOPIQ
+
+
+def convert_topiq(state_dict, width=256, heads=4):
+    """pyiqa TOPIQ (cfanet_nr_koniq_res50) checkpoint -> our TOPIQNet tree.
+
+    The backbone maps exactly: pyiqa's `semantic_model` is a timm resnet50
+    (same state-dict vocabulary as torchvision's), verified by
+    tests/test_convert_resnet50.py. Head keys are mapped from the layout
+    transcribed in docs/CONVERTERS.md; any source key this map does not
+    consume is reported so a one-time run against the real checkpoint
+    surfaces naming drift immediately.
+
+    Returns (tree, unmapped_keys).
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    consumed = set()
+
+    backbone_sd = {}
+    for key in sd:
+        if key.startswith("semantic_model."):
+            backbone_sd[key[len("semantic_model."):]] = sd[key]
+            consumed.add(key)
+    bp, bs = convert_torchvision_resnet50(backbone_sd)
+    params = {"backbone": bp}
+    stats = {"backbone": bs}
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    def dense(prefix):
+        return {"kernel": np.asarray(take(prefix + ".weight"), np.float32).T,
+                "bias": np.asarray(take(prefix + ".bias"), np.float32)}
+
+    def layernorm(prefix):
+        return {"scale": np.asarray(take(prefix + ".weight"), np.float32),
+                "bias": np.asarray(take(prefix + ".bias"), np.float32)}
+
+    def mha(prefix):
+        """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+        in_w = np.asarray(take(prefix + ".in_proj_weight"), np.float32)
+        in_b = np.asarray(take(prefix + ".in_proj_bias"), np.float32)
+        out_w = np.asarray(take(prefix + ".out_proj.weight"), np.float32)
+        out_b = np.asarray(take(prefix + ".out_proj.bias"), np.float32)
+        dim = in_w.shape[1]
+        head_dim = dim // heads
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+        proj = lambda w: w.T.reshape(dim, heads, head_dim)
+        return {
+            "query": {"kernel": proj(qw), "bias": qb.reshape(heads, head_dim)},
+            "key": {"kernel": proj(kw), "bias": kb.reshape(heads, head_dim)},
+            "value": {"kernel": proj(vw), "bias": vb.reshape(heads, head_dim)},
+            "out": {"kernel": out_w.T.reshape(heads, head_dim, dim),
+                    "bias": out_b},
+        }
+
+    n_scales = 0
+    while f"dim_reduce.{n_scales}.0.weight" in sd:
+        n_scales += 1
+    for i in range(n_scales):
+        params[f"proj{i}"] = {
+            "kernel": _conv_t(take(f"dim_reduce.{i}.0.weight")),
+            "bias": np.asarray(take(f"dim_reduce.{i}.0.bias"), np.float32)}
+
+    def attn_block(prefix):
+        """One (self|cross) attention block in the transcribed layout:
+        norm1/attn/norm2/linear1/linear2 (pre-LN, GELU MLP)."""
+        block = {}
+        if f"{prefix}.norm1.weight" in sd:
+            block["LayerNorm_0"] = layernorm(f"{prefix}.norm1")
+        if f"{prefix}.norm2.weight" in sd:
+            block["LayerNorm_1"] = layernorm(f"{prefix}.norm2")
+        if f"{prefix}.norm3.weight" in sd:
+            block["LayerNorm_2"] = layernorm(f"{prefix}.norm3")
+        if f"{prefix}.attn.in_proj_weight" in sd:
+            block["cross"] = mha(f"{prefix}.attn")
+        elif f"{prefix}.self_attn.in_proj_weight" in sd:
+            block["cross"] = mha(f"{prefix}.self_attn")
+        if f"{prefix}.linear1.weight" in sd:
+            block["Dense_0"] = dense(f"{prefix}.linear1")
+            block["Dense_1"] = dense(f"{prefix}.linear2")
+        return block
+
+    if "sa_attn_blks.0.norm1.weight" in sd \
+            or "sa_attn_blks.0.self_attn.in_proj_weight" in sd:
+        params["self_top"] = attn_block("sa_attn_blks.0")
+    for level in range(max(0, n_scales - 1)):
+        prefix = f"attn_blks.{level}"
+        if f"{prefix}.attn.in_proj_weight" in sd \
+                or f"{prefix}.norm1.weight" in sd:
+            params[f"cross{level}"] = attn_block(prefix)
+
+    if "attn_pool.weight" in sd:
+        params["pool_gate"] = dense("attn_pool")
+    if "score_linear.0.weight" in sd:
+        params["head_norm"] = layernorm("score_linear.0")
+        params["head0"] = dense("score_linear.1")
+        params["head1"] = dense(f"score_linear.{_last_linear(sd)}")
+
+    unmapped = sorted(k for k in sd if k not in consumed
+                      and not k.endswith("num_batches_tracked"))
+    return {"params": params, "batch_stats": stats}, unmapped
+
+
+def _last_linear(sd):
+    """Index of the final Linear inside pyiqa's score_linear Sequential."""
+    idx = 1
+    for i in range(2, 12):
+        if f"score_linear.{i}.weight" in sd \
+                and sd[f"score_linear.{i}.weight"].ndim == 2:
+            idx = i
+    return idx
+
+
+def synthetic_resnet50_state_dict(rng=None, prefix=""):
+    """torchvision/timm resnet50 key names + shapes (no egress needed)."""
+    rng = rng or np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        scale = 1.0 / np.sqrt(cin * k * k)
+        sd[prefix + name + ".weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32) * scale
+
+    def bn(name, c):
+        sd[prefix + name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[prefix + name + ".bias"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[prefix + name + ".running_mean"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[prefix + name + ".running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    cin = 64
+    for stage, (feats, blocks) in enumerate(
+            zip((64, 128, 256, 512), (3, 4, 6, 3)), start=1):
+        for i in range(blocks):
+            tp = f"layer{stage}.{i}"
+            conv(f"{tp}.conv1", feats, cin, 1)
+            bn(f"{tp}.bn1", feats)
+            conv(f"{tp}.conv2", feats, feats, 3)
+            bn(f"{tp}.bn2", feats)
+            conv(f"{tp}.conv3", feats * 4, feats, 1)
+            bn(f"{tp}.bn3", feats * 4)
+            if i == 0:  # torchvision: first block of every stage downsamples
+                conv(f"{tp}.downsample.0", feats * 4, cin, 1)
+                bn(f"{tp}.downsample.1", feats * 4)
+            cin = feats * 4
+    return sd
+
+
+def synthetic_topiq_state_dict(rng=None, width=256, heads=4):
+    """A state dict in the transcribed pyiqa CFANet layout (see
+    docs/CONVERTERS.md for the per-key provenance and verification status).
+    Backbone keys are exact timm resnet50 names under `semantic_model.`."""
+    rng = rng or np.random.default_rng(0)
+    sd = synthetic_resnet50_state_dict(rng, prefix="semantic_model.")
+
+    def linear(name, cout, cin):
+        sd[name + ".weight"] = rng.standard_normal(
+            (cout, cin)).astype(np.float32) / np.sqrt(cin)
+        sd[name + ".bias"] = np.zeros(cout, np.float32)
+
+    def ln(name, c):
+        sd[name + ".weight"] = np.ones(c, np.float32)
+        sd[name + ".bias"] = np.zeros(c, np.float32)
+
+    def attn(prefix):
+        sd[prefix + ".in_proj_weight"] = rng.standard_normal(
+            (3 * width, width)).astype(np.float32) / np.sqrt(width)
+        sd[prefix + ".in_proj_bias"] = np.zeros(3 * width, np.float32)
+        linear(prefix + ".out_proj", width, width)
+
+    for i, dim in enumerate((256, 512, 1024, 2048)):
+        sd[f"dim_reduce.{i}.0.weight"] = rng.standard_normal(
+            (width, dim, 1, 1)).astype(np.float32) / np.sqrt(dim)
+        sd[f"dim_reduce.{i}.0.bias"] = np.zeros(width, np.float32)
+
+    def block(prefix, self_attn=False):
+        ln(prefix + ".norm1", width)
+        ln(prefix + ".norm2", width)
+        ln(prefix + ".norm3", width)
+        attn(prefix + (".self_attn" if self_attn else ".attn"))
+        linear(prefix + ".linear1", width * 2, width)
+        linear(prefix + ".linear2", width, width * 2)
+
+    block("sa_attn_blks.0", self_attn=True)
+    for level in range(3):
+        block(f"attn_blks.{level}")
+
+    linear("attn_pool", 1, width)
+    ln("score_linear.0", width)
+    linear("score_linear.1", width, width)
+    linear("score_linear.3", 1, width)
+    return sd
+
+
+# ------------------------------------------------------------------ ArcFace
+
+IRESNET50_LAYERS = (3, 4, 14, 3)
+
+
+def convert_arcface_iresnet50(state_dict):
+    """arcface_torch iresnet50 state dict -> our IResNet flax tree.
+
+    Verified key map against the published backbone
+    (insightface/recognition/arcface_torch/backbones/iresnet.py, the source
+    of buffalo_l's w600k_r50.onnx export):
+
+      conv1.weight / bn1.* / prelu.weight          -> conv1 / bn1 / prelu
+      layer{s}.{i}.{bn1,conv1,bn2,prelu,conv2,bn3} -> layer{s}_{i}.*
+      layer{s}.{i}.downsample.{0,1}                -> layer{s}_{i}.down_{conv,bn}
+      bn2.* / fc.* / features.*                    -> bn2 / fc / features
+
+    fc.weight is (512, 512*7*7) over a channel-first flatten; our module
+    transposes to channel-first before flattening so the kernel maps as a
+    plain transpose. features is a BatchNorm1d (affine + running stats).
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    params, stats = {}, {}
+    params["conv1"] = {"kernel": _conv_t(sd["conv1.weight"])}
+    params["bn1"], stats["bn1"] = _bn_t(sd, "bn1")
+    params["prelu"] = {"alpha": np.asarray(sd["prelu.weight"], np.float32)}
+    for stage, blocks in enumerate(IRESNET50_LAYERS, start=1):
+        for i in range(blocks):
+            tp = f"layer{stage}.{i}"
+            name = f"layer{stage}_{i}"
+            bp, bs = {}, {}
+            bp["bn1"], bs["bn1"] = _bn_t(sd, f"{tp}.bn1")
+            bp["conv1"] = {"kernel": _conv_t(sd[f"{tp}.conv1.weight"])}
+            bp["bn2"], bs["bn2"] = _bn_t(sd, f"{tp}.bn2")
+            bp["prelu"] = {"alpha": np.asarray(sd[f"{tp}.prelu.weight"],
+                                               np.float32)}
+            bp["conv2"] = {"kernel": _conv_t(sd[f"{tp}.conv2.weight"])}
+            bp["bn3"], bs["bn3"] = _bn_t(sd, f"{tp}.bn3")
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["down_conv"] = {
+                    "kernel": _conv_t(sd[f"{tp}.downsample.0.weight"])}
+                bp["down_bn"], bs["down_bn"] = _bn_t(sd, f"{tp}.downsample.1")
+            params[name], stats[name] = bp, bs
+    params["bn2"], stats["bn2"] = _bn_t(sd, "bn2")
+    params["fc"] = {"kernel": np.asarray(sd["fc.weight"], np.float32).T,
+                    "bias": np.asarray(sd["fc.bias"], np.float32)}
+    params["features"], stats["features"] = _bn_t(sd, "features")
+    return {"params": params, "batch_stats": stats}
+
+
+def synthetic_arcface_state_dict(rng=None):
+    """A state dict with EXACTLY the published iresnet50 key names/shapes
+    (for converter round-trip tests without network egress)."""
+    rng = rng or np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        scale = 1.0 / np.sqrt(cin * k * k)  # keep activations O(1) over depth
+        sd[name + ".weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32) * scale
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".bias"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[name + ".running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    conv("conv1", 64, 3, 3)
+    bn("bn1", 64)
+    sd["prelu.weight"] = rng.uniform(0.1, 0.4, 64).astype(np.float32)
+    cin = 64
+    for stage, (blocks, feats) in enumerate(
+            zip(IRESNET50_LAYERS, (64, 128, 256, 512)), start=1):
+        for i in range(blocks):
+            tp = f"layer{stage}.{i}"
+            bn(f"{tp}.bn1", cin)
+            conv(f"{tp}.conv1", feats, cin, 3)
+            bn(f"{tp}.bn2", feats)
+            sd[f"{tp}.prelu.weight"] = rng.uniform(0.1, 0.4, feats).astype(np.float32)
+            conv(f"{tp}.conv2", feats, feats, 3)
+            bn(f"{tp}.bn3", feats)
+            if i == 0:  # every stage's first block strides and widens
+                conv(f"{tp}.downsample.0", feats, cin, 1)
+                bn(f"{tp}.downsample.1", feats)
+            cin = feats
+    bn("bn2", 512)
+    sd["fc.weight"] = rng.standard_normal((512, 512 * 7 * 7)).astype(np.float32) * 0.01
+    sd["fc.bias"] = np.zeros(512, np.float32)
+    bn("features", 512)
+    return sd
+
+
+def merge_into_init(init_tree, converted_tree):
+    """Overlay converted leaves onto a module's init tree.
+
+    Guarantees the result loads into the module (exact structure); any init
+    leaf the converter did not provide keeps its init value and is returned
+    in `missing` for the conversion report. Shape mismatches raise.
+    """
+    init_flat = flatten_tree(init_tree)
+    conv_flat = flatten_tree(converted_tree)
+    merged, missing = {}, []
+    for path, leaf in init_flat.items():
+        if path in conv_flat:
+            got = np.asarray(conv_flat[path])
+            if got.shape != tuple(np.shape(leaf)):
+                raise ValueError(f"{path}: converted shape {got.shape} != "
+                                 f"module shape {np.shape(leaf)}")
+            merged[path] = got
+        else:
+            merged[path] = np.asarray(leaf)
+            missing.append(path)
+    extra = sorted(set(conv_flat) - set(init_flat))
+    return unflatten_tree(merged), missing, extra
+
+
 # ------------------------------------------------------------ npz save/load
 
 def flatten_tree(tree, prefix=""):

@@ -208,47 +208,82 @@ def nms(detections, iou_threshold=0.4):
 # ---------------------------------------------------------------------------
 
 
+class ChannelPReLU(nn.Module):
+    """Per-channel PReLU, matching torch nn.PReLU(num_parameters=C)."""
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25),
+                           (x.shape[-1],))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
 class IRBlock(nn.Module):
+    """IBasicBlock, transcribed exactly from the published arcface_torch
+    backbone (insightface/recognition/arcface_torch/backbones/iresnet.py):
+    bn1 -> conv1(3x3 s1) -> bn2 -> prelu -> conv2(3x3 stride) -> bn3, with a
+    conv1x1+bn downsample shortcut. Explicit (1,1) padding matches torch's
+    padding=1 semantics for strided convs (flax "SAME" pads asymmetrically)."""
+
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(y)
-        y = nn.PReLU()(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                         name="bn1")(x)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                         name="bn2")(y)
+        y = ChannelPReLU(name="prelu")(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                         name="bn3")(y)
         if x.shape[-1] != self.features or self.stride != 1:
-            x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
-                        use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+            x = nn.Conv(self.features, (1, 1),
+                        strides=(self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype, name="down_conv")(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                             name="down_bn")(x)
         return x + y
 
 
 class IResNet(nn.Module):
-    """ArcFace iresnet: 112x112 -> 512-d embedding."""
+    """ArcFace iresnet-50: 112x112 aligned crop -> 512-d embedding.
+
+    Exact transcription of arcface_torch's IResNet (the buffalo_l
+    w600k_r50.onnx graph is exported from it): conv1 3x3 s1 -> bn -> prelu,
+    four stages of IBasicBlocks (3/4/14/3, first block of each stage
+    stride 2), bn2, channel-first flatten, fc 25088->512, features BN1d.
+    Module names mirror the torch attribute names so the converter's key
+    map is 1:1 (tools/convert_checkpoints.py convert_arcface)."""
 
     layers: tuple = (3, 4, 14, 3)   # iresnet50
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        x = nn.PReLU()(x)
-        for stage, (blocks, feats) in enumerate(zip(self.layers, (64, 128, 256, 512))):
-            for i in range(blocks):
-                x = IRBlock(feats, stride=2 if i == 0 else 1, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(512, dtype=self.dtype)(x)
+        x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
-                         use_scale=True, use_bias=True)(x)
+                         name="bn1")(x)
+        x = ChannelPReLU(name="prelu")(x)
+        for stage, (blocks, feats) in enumerate(
+                zip(self.layers, (64, 128, 256, 512)), start=1):
+            for i in range(blocks):
+                x = IRBlock(feats, stride=2 if i == 0 else 1,
+                            dtype=self.dtype, name=f"layer{stage}_{i}")(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                         name="bn2")(x)
+        # torch flattens (B, C, H, W) channel-first; match so fc weights load
+        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+        x = nn.Dense(512, dtype=self.dtype, name="fc")(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                         use_scale=True, use_bias=True, name="features")(x)
         return x.astype(jnp.float32)
 
 

@@ -119,11 +119,12 @@ class TOPIQNet(nn.Module):
                 w, self.config.heads, name=f"cross{level}")(tokens[level], fused)
 
         # attention pooling
-        gate = nn.Dense(1, name="pool_gate")(nn.LayerNorm()(fused))
+        gate = nn.Dense(1, name="pool_gate")(nn.LayerNorm(name="pool_norm")(fused))
         weights = jax.nn.softmax(gate, axis=1)
         pooled = jnp.sum(fused * weights, axis=1)
 
-        h = nn.Dense(w, name="head0")(pooled)
+        h = nn.LayerNorm(name="head_norm")(pooled)
+        h = nn.Dense(w, name="head0")(h)
         h = nn.gelu(h)
         score = nn.Dense(1, name="head1")(h)[:, 0]
         return jax.nn.sigmoid(score)

