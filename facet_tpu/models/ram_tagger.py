@@ -53,6 +53,13 @@ class RAMTagger:
     def ensure_loaded(self):
         if self._model is not None:
             return True
+        import os
+
+        # probe before the minutes-long torch/transformers import
+        if not os.path.isdir(self.model_path):
+            raise RuntimeError(
+                f"RAM++ tagger unavailable: {self.model_path} is not a local"
+                " model directory; the tagging fallback chain continues")
         try:
             import torch
             from transformers import AutoModel, AutoProcessor

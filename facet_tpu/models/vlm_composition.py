@@ -53,6 +53,13 @@ class VLMCompositionAnalyzer:
     def ensure_loaded(self):
         if self._model is not None:
             return True
+        import os
+
+        # probe before the minutes-long torch/transformers import
+        if not os.path.isdir(self.model_path):
+            raise RuntimeError(
+                f"VLM composition unavailable: {self.model_path} is not a"
+                " local model directory; falling back to rule-based analysis")
         try:
             import torch
             from transformers import AutoModelForVision2Seq, AutoProcessor

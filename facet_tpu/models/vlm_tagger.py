@@ -86,6 +86,15 @@ class VLMTagger:
     def ensure_loaded(self):
         if self._model is not None:
             return True
+        import os
+
+        # cheap existence probe BEFORE importing torch/transformers: on a
+        # weights-less host the imports alone cost minutes, and the fallback
+        # chain probes several taggers per scan
+        if not os.path.isdir(self.model_path):
+            raise RuntimeError(
+                f"VLM tagger unavailable: {self.model_path} is not a local"
+                " model directory; the profile falls back to CLIP tagging")
         try:
             import torch
             from transformers import AutoModelForVision2Seq, AutoProcessor

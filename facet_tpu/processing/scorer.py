@@ -557,6 +557,49 @@ class Facet:
             print(f"recomputed categories for {len(rows)} photos")
         return len(rows)
 
+    def retag_with_vlm(self, only_untagged=False, batch_size=16, verbose=True):
+        """Re-tag photos with the configured VLM tagger from stored
+        thumbnails (reference: photos.py --recompute-tags-vlm). Falls back
+        down the tagger chain when the preferred model is unavailable;
+        categories + aggregates recompute afterwards since tags drive
+        category routing."""
+        from PIL import Image as PILImage
+
+        model = None
+        for name in ("vlm_tagger", "qwen3_vl_tagger", "ram_tagger"):
+            try:
+                model = self.models.load_model(name)
+                break
+            except Exception as exc:
+                if verbose:
+                    print(f"  {name}: unavailable ({exc})")
+        if model is None:
+            print("no VLM/RAM tagger available (weights not installed);"
+                  " use --recompute-tags for CLIP tagging")
+            return 0
+
+        where = "thumbnail IS NOT NULL"
+        if only_untagged:
+            where += " AND (tags IS NULL OR tags = '')"
+        paths, images = self._stored_thumbnails(where)
+        done = 0
+        for start in range(0, len(paths), batch_size):
+            chunk_paths = paths[start:start + batch_size]
+            pils = [PILImage.fromarray(img)
+                    for img in images[start:start + batch_size]]
+            tag_lists = model.tag_batch(pils)
+            self.update_columns({
+                p: {"tags": tags_to_string([(t, 1.0) for t in tags])}
+                for p, tags in zip(chunk_paths, tag_lists)})
+            done += len(chunk_paths)
+            if verbose and done % (batch_size * 4) == 0:
+                print(f"  vlm retag {done}/{len(paths)}")
+        if done:
+            self.recompute_categories(verbose=verbose)
+        if verbose:
+            print(f"vlm retag complete: {done} photos")
+        return done
+
     def retag_from_embeddings(self, only_untagged=True, verbose=False):
         """Re-run zero-shot tagging from stored CLIP embeddings (no images)."""
         where = "clip_embedding IS NOT NULL"

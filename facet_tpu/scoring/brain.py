@@ -159,9 +159,13 @@ def calculate_aggregate(m, config):
     # NOTE: the reference sanitizes ISO through its +-100 range filter
     # (processing/scorer.py:793 via :345-360), which silently disables the
     # documented compensation for every real ISO value. We implement the
-    # documented behavior: boost sharpness above ISO 800.
+    # documented behavior by default: boost sharpness above ISO 800. Setting
+    # exif_adjustments.reference_iso_parity = true in the config reproduces
+    # the reference's effective (no-op) behavior for bit-parity comparisons;
+    # the parity test suite pins it (see tests/test_scoring.py).
     adjusted_sharpness = safe_float(m.get("tech_sharpness"), 5.0)
-    if exif.get("iso_sharpness_compensation", True):
+    if exif.get("iso_sharpness_compensation", True) \
+            and not exif.get("reference_iso_parity", False):
         iso = _parse_iso(m.get("iso"))
         if iso and iso > 800:
             adjusted_sharpness = min(10.0, adjusted_sharpness + 0.5 * np.log2(iso / 800))

@@ -108,7 +108,11 @@ class AggregateScorer:
             "oversat_threshold": penalties.get("oversaturation_threshold", 0.9),
             "oversat_points": penalties.get("oversaturation_penalty_points", 0.5),
             "lines_blend": penalties["leading_lines_blend_percent"] / 100,
-            "iso_compensation": float(exif.get("iso_sharpness_compensation", True)),
+            # reference_iso_parity reproduces the reference's effective
+            # no-op ISO handling (see brain.calculate_aggregate)
+            "iso_compensation": float(
+                exif.get("iso_sharpness_compensation", True)
+                and not exif.get("reference_iso_parity", False)),
             "aperture_boost": float(exif.get("aperture_isolation_boost", True)),
             "silhouette_detection": float(
                 config.get_exposure_settings().get("silhouette_detection", True)),

@@ -1,21 +1,119 @@
-"""EXIF extraction: exiftool subprocess when installed, PIL fallback.
+"""EXIF extraction: persistent exiftool -> subprocess -> PIL.
 
-The reference uses a 3-tier chain (persistent exiftool -> subprocess -> PIL,
-processing/scorer.py:1540-1609 + exiftool/exiftool_batch.py). Here exiftool
-is optional: when the binary exists we run chunked batch subprocess calls
-(50 files per invocation, retry with doubled timeout); otherwise PIL's EXIF
-reader covers the standard fields.
+The same 3-tier chain as the reference (processing/scorer.py:1540-1609 +
+exiftool/exiftool_batch.py:16-163):
+
+- single lookups (API-driven paths) go through one long-lived
+  `exiftool -stay_open True -@ -` process — no per-call process spawn;
+- batch scans use chunked subprocess calls (50 files per invocation, retry
+  with doubled timeout) — cheaper than streaming thousands of files through
+  the stay-open pipe;
+- PIL's EXIF reader covers the standard fields when exiftool is absent.
 """
 
+import atexit
 import json
+import select
 import shutil
 import subprocess
+import threading
 
 from PIL import Image
 from PIL.ExifTags import TAGS
 
 EXIFTOOL_BIN = shutil.which("exiftool")
 _CHUNK = 50
+
+_EXIFTOOL_ARGS = [
+    "-json", "-n",
+    "-DateTimeOriginal", "-Model", "-LensModel", "-LensID", "-ISO",
+    "-FNumber", "-ExposureTime", "-FocalLength",
+    "-FocalLengthIn35mmFormat", "-ImageWidth", "-ImageHeight",
+]
+
+
+class PersistentExifTool:
+    """One `exiftool -stay_open True` process serving single lookups
+    (reference: exiftool/exiftool_batch.py:16-89). Thread-safe; a hung or
+    dead process is restarted on the next call."""
+
+    def __init__(self, binary=None):
+        self.binary = binary or EXIFTOOL_BIN
+        self._proc = None
+        self._lock = threading.Lock()
+        self._seq = 0
+
+    def _start(self):
+        self._proc = subprocess.Popen(
+            [self.binary, "-stay_open", "True", "-@", "-"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL)
+
+    def _stop(self):
+        proc, self._proc = self._proc, None
+        if proc is None:
+            return
+        try:
+            proc.stdin.write(b"-stay_open\nFalse\n")
+            proc.stdin.flush()
+            proc.wait(timeout=2)
+        except Exception:
+            proc.kill()
+
+    def close(self):
+        with self._lock:
+            self._stop()
+
+    def execute(self, args, timeout=10.0):
+        """Run one exiftool command; -> stdout bytes or None on failure."""
+        with self._lock:
+            if self._proc is None or self._proc.poll() is not None:
+                try:
+                    self._start()
+                except Exception:
+                    self._proc = None
+                    return None
+            self._seq += 1
+            marker = f"{{ready{self._seq}}}".encode()
+            try:
+                command = "\n".join(args) + f"\n-execute{self._seq}\n"
+                self._proc.stdin.write(command.encode())
+                self._proc.stdin.flush()
+                output = b""
+                fd = self._proc.stdout.fileno()
+                import time as _time
+
+                deadline = _time.monotonic() + timeout
+                while marker not in output:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        raise TimeoutError("exiftool stay-open timeout")
+                    ready, _, _ = select.select([fd], [], [], remaining)
+                    if not ready:
+                        raise TimeoutError("exiftool stay-open timeout")
+                    chunk = self._proc.stdout.read1(65536)
+                    if not chunk:
+                        raise RuntimeError("exiftool stay-open EOF")
+                    output += chunk
+                return output.split(marker)[0]
+            except Exception:
+                self._stop()  # restart lazily on the next call
+                return None
+
+
+_persistent = None
+_persistent_lock = threading.Lock()
+
+
+def _get_persistent():
+    global _persistent
+    if EXIFTOOL_BIN is None:
+        return None
+    with _persistent_lock:
+        if _persistent is None:
+            _persistent = PersistentExifTool()
+            atexit.register(_persistent.close)
+        return _persistent
 
 FIELDS = [
     "date_taken", "camera_model", "lens_model", "iso", "f_stop",
@@ -40,6 +138,17 @@ def get_exif_batch(paths, timeout=30):
 
 
 def get_exif_single(path):
+    """3-tier single lookup: stay-open process -> subprocess -> PIL."""
+    tool = _get_persistent()
+    if tool is not None:
+        raw = tool.execute(_EXIFTOOL_ARGS + [path])
+        if raw:
+            try:
+                records = json.loads(raw)
+                if records:
+                    return _standardize_exiftool(records[0])
+            except ValueError:
+                pass
     if EXIFTOOL_BIN:
         result = _exiftool_chunk([path], timeout=15)
         return result.get(path, _empty())
@@ -47,10 +156,7 @@ def get_exif_single(path):
 
 
 def _exiftool_chunk(paths, timeout):
-    args = [EXIFTOOL_BIN, "-json", "-n",
-            "-DateTimeOriginal", "-Model", "-LensModel", "-LensID", "-ISO",
-            "-FNumber", "-ExposureTime", "-FocalLength",
-            "-FocalLengthIn35mmFormat", "-ImageWidth", "-ImageHeight"] + paths
+    args = [EXIFTOOL_BIN] + _EXIFTOOL_ARGS + paths
     for attempt in (timeout, timeout * 2):
         try:
             proc = subprocess.run(args, capture_output=True, timeout=attempt)

@@ -35,6 +35,10 @@ def build_parser():
     rec = p.add_argument_group("recompute")
     rec.add_argument("--recompute-average", action="store_true",
                      help="re-score all aggregates from stored raw data")
+    rec.add_argument("--recompute-tags-vlm", action="store_true",
+                     help="re-tag from stored thumbnails with the VLM tagger")
+    rec.add_argument("--fix-thumbnail-rotation", action="store_true",
+                     help="rotate stored thumbnails per source EXIF orientation")
     rec.add_argument("--recompute-tags", action="store_true",
                      help="re-tag all photos from stored CLIP embeddings")
     rec.add_argument("--recompute-blinks", action="store_true",
@@ -56,6 +60,21 @@ def build_parser():
     faces.add_argument("--cluster-faces-force", action="store_true",
                        help="wipe persons and recluster everything")
     faces.add_argument("--refill-face-thumbnails", action="store_true")
+
+    faces.add_argument("--suggest-person-merges", action="store_true",
+                       help="print person-merge suggestions (centroid cosine)")
+    faces.add_argument("--merge-threshold", type=float, default=0.55,
+                       help="cosine threshold for --suggest-person-merges")
+
+    learn = p.add_argument_group("preference learning")
+    learn.add_argument("--optimize-weights", action="store_true",
+                       help="learn category weights from pairwise votes")
+    learn.add_argument("--optimize-category", default=None,
+                       help="category to optimize (default: global)")
+    learn.add_argument("--use-cv", action="store_true",
+                       help="cross-validated optimization")
+    learn.add_argument("--comparison-stats", action="store_true",
+                       help="print pairwise-comparison statistics + coverage")
 
     misc = p.add_argument_group("misc")
     misc.add_argument("--detect-duplicates", action="store_true")
@@ -188,6 +207,84 @@ def main(argv=None):
 
         return run_recommendations(db_path, config, apply=args.apply,
                                    simulate=args.simulate)
+
+    if args.recompute_tags_vlm:
+        from facet_tpu.processing.scorer import Facet
+
+        Facet(db_path, config, multi_pass=True).retag_with_vlm()
+        return 0
+
+    if args.fix_thumbnail_rotation:
+        from facet_tpu.utils.thumbnails import fix_thumbnail_rotation
+
+        fix_thumbnail_rotation(db_path)
+        return 0
+
+    if args.suggest_person_merges:
+        from facet_tpu.faces.merge_analyzer import find_merge_suggestions
+
+        suggestions = find_merge_suggestions(db_path, args.merge_threshold)
+        if not suggestions:
+            print("no merge suggestions above the threshold")
+            return 0
+        for s in suggestions:
+            names = ", ".join(f"{name or '(unnamed)'} #{pid}" for pid, name
+                              in zip(s["person_ids"], s["names"]))
+            print(f"  similarity {s['avg_similarity']:.3f}"
+                  f" (min {s['min_similarity']:.3f}): {names}")
+        print(f"{len(suggestions)} suggestion group(s);"
+              " merge via the API or viewer")
+        return 0
+
+    if args.comparison_stats:
+        from facet_tpu.comparison.manager import ComparisonManager
+
+        manager = ComparisonManager(db_path)
+        stats = manager.statistics()
+        wins = stats.get("by_winner", {})
+        print(f"comparisons: {stats.get('comparisons', 0)}"
+              f" (a: {wins.get('a', 0)}, b: {wins.get('b', 0)},"
+              f" ties: {wins.get('tie', 0)}, skips: {wins.get('skip', 0)})")
+        acc = manager.agreement_accuracy()
+        if acc is not None:
+            print(f"current-weight agreement: {acc:.1%}")
+        print(f"coverage: {stats.get('compared_photos', 0)}/"
+              f"{stats.get('photos', 0)} photos"
+              f" ({stats.get('coverage', 0):.1%})")
+        for cat, count in (stats.get("by_category") or {}).items():
+            print(f"  {cat}: {count}")
+        return 0
+
+    if args.optimize_weights:
+        from facet_tpu.optimization.weight_optimizer import WeightOptimizer
+
+        optimizer = WeightOptimizer(db_path, config)
+        kwargs = dict(category=args.optimize_category)
+        result = (optimizer.optimize_cv(**kwargs) if args.use_cv
+                  else optimizer.optimize(**kwargs))
+        if result is None:
+            print("not enough comparisons to optimize"
+                  " (vote in the comparison view first)")
+            return 1
+        print(f"category: {result['category']}"
+              f" | comparisons: {result['comparisons_used']}")
+        print(f"agreement: {result['accuracy_before']:.1%}"
+              f" -> {result['accuracy_after']:.1%}")
+        if "cv_accuracy" in result:
+            print(f"cross-validated accuracy: {result['cv_accuracy']:.1%}"
+                  f" +- {result['cv_std']:.1%}")
+        for key, new in result["new_weights"].items():
+            old = result["old_weights"].get(key, 0.0)
+            if abs(new - old) >= 0.005:
+                print(f"  {key}: {old:.0%} -> {new:.0%}")
+        if not result["suggest"]:
+            print("no improvement >= 2% — keeping current weights")
+        if args.apply and result["suggest"]:
+            optimizer.apply_optimized_weights(result)
+            print("applied (snapshot saved); run --recompute-average")
+        elif args.apply:
+            print("not applied (improvement below threshold)")
+        return 0
 
     if args.export:
         from facet_tpu.utils.export import export_photos

@@ -70,6 +70,27 @@ class TestBrain:
                                     scoring_config)
         assert hi > lo  # +0.5*log2(4) = +1 on the sharpness input
 
+    def test_reference_iso_parity_flag(self, scoring_config):
+        """exif_adjustments.reference_iso_parity reproduces the reference's
+        effective (no-op) ISO compensation — the one documented divergence
+        from reference aggregates, exempted from parity via this flag."""
+        scoring_config.config.setdefault("exif_adjustments", {})[
+            "reference_iso_parity"] = True
+        lo, _ = calculate_aggregate(base_metrics(tech_sharpness=5.0, iso=800),
+                                    scoring_config)
+        hi, _ = calculate_aggregate(base_metrics(tech_sharpness=5.0, iso=3200),
+                                    scoring_config)
+        assert hi == pytest.approx(lo, abs=1e-9)  # boost disabled
+        # the vectorized recompute path honors the same flag
+        from facet_tpu.scoring.vectorized import AggregateScorer
+
+        scorer = AggregateScorer(scoring_config)
+        rows = [dict(base_metrics(tech_sharpness=5.0, iso=iso))
+                for iso in (800, 3200)]
+        scores, _ = scorer.score_rows(rows)
+        assert scores[0] == pytest.approx(scores[1], abs=1e-5)
+        scoring_config.config["exif_adjustments"]["reference_iso_parity"] = False
+
     def test_aperture_isolation_boost(self, scoring_config):
         # default category has isolation weight > 0
         narrow, _ = calculate_aggregate(base_metrics(f_stop=8.0), scoring_config)

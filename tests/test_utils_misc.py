@@ -155,3 +155,58 @@ class TestPairSelector:
         assert manager.edit(cid, "a")
         assert manager.delete(cid)
         assert not manager.delete(99999)
+
+
+class TestPersistentExifTool:
+    @staticmethod
+    def _fake_exiftool(tmp_path):
+        """A script speaking the -stay_open protocol: JSON + {readyN}."""
+        script = tmp_path / "fake_exiftool"
+        script.write_text(
+            "#!/bin/bash\n"
+            "f=''\n"
+            "while read -r line; do\n"
+            "  case \"$line\" in\n"
+            "    -execute*) n=\"${line#-execute}\";\n"
+            "      echo \"[{\\\"SourceFile\\\":\\\"$f\\\",\\\"ISO\\\":200,\\\"FNumber\\\":2.8}]\";\n"
+            "      echo \"{ready$n}\";;\n"
+            "    -stay_open) read -r v; [ \"$v\" = \"False\" ] && exit 0;;\n"
+            "    -*) :;;\n"
+            "    *) f=\"$line\";;\n"
+            "  esac\n"
+            "done\n")
+        script.chmod(0o755)
+        return str(script)
+
+    def test_stay_open_roundtrip(self, tmp_path):
+        import json
+
+        from facet_tpu.utils.exif import _EXIFTOOL_ARGS, PersistentExifTool
+
+        tool = PersistentExifTool(binary=self._fake_exiftool(tmp_path))
+        try:
+            out = tool.execute(_EXIFTOOL_ARGS + ["/x/a.jpg"], timeout=5)
+            records = json.loads(out)
+            assert records[0]["SourceFile"] == "/x/a.jpg"
+            assert records[0]["ISO"] == 200
+            # second command reuses the SAME process (sequence increments)
+            pid = tool._proc.pid
+            out2 = tool.execute(_EXIFTOOL_ARGS + ["/x/b.jpg"], timeout=5)
+            assert json.loads(out2)[0]["SourceFile"] == "/x/b.jpg"
+            assert tool._proc.pid == pid
+        finally:
+            tool.close()
+        assert tool._proc is None
+
+    def test_timeout_restarts_process(self, tmp_path):
+        from facet_tpu.utils.exif import PersistentExifTool
+
+        hang = tmp_path / "hang_exiftool"
+        hang.write_text("#!/bin/bash\nwhile read -r line; do :; done\n")
+        hang.chmod(0o755)
+        tool = PersistentExifTool(binary=str(hang))
+        try:
+            assert tool.execute(["-json", "/x/a.jpg"], timeout=0.3) is None
+            assert tool._proc is None  # hung process was torn down
+        finally:
+            tool.close()
