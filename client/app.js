@@ -1,8 +1,10 @@
 /* Facet viewer — build-free SPA over the JSON API.
  *
- * Covers the reference client's feature set (gallery with filters/sorting/
- * infinite detail, stats dashboards, person management, pairwise comparison
- * voting, JWT auth, i18n) in plain JavaScript served by run_api.py --static.
+ * Covers the reference client's feature set (gallery with the full filter
+ * vocabulary, per-photo score breakdown with weighted contributions,
+ * similar photos, stats dashboards, person management with merge-suggestion
+ * review, keyboard-driven pairwise comparison voting, JWT auth, i18n) in
+ * plain JavaScript served by run_api.py --static.
  */
 
 "use strict";
@@ -16,6 +18,7 @@ const state = {
   lang: localStorage.getItem("facet_lang") || "en",
   catalog: {},
   config: null,
+  weights: null, // {category: {metric: fraction}} for breakdown bars
 };
 
 // ----------------------------------------------------------------- api
@@ -120,6 +123,16 @@ document.querySelectorAll("nav button").forEach((b) =>
 
 // ----------------------------------------------------------------- gallery
 
+const RANGE_INPUTS = [
+  ["min-score", "min_score"], ["max-score", "max_score"],
+  ["min-quality", "min_quality"], ["max-quality", "max_quality"],
+  ["min-iso", "min_iso"], ["max-iso", "max_iso"],
+  ["min-f-stop", "min_f_stop"], ["max-f-stop", "max_f_stop"],
+  ["min-focal", "min_focal"], ["max-focal", "max_focal"],
+  ["min-faces", "min_faces"], ["max-faces", "max_faces"],
+  ["min-rating", "min_rating"],
+];
+
 function galleryParams() {
   const params = new URLSearchParams({
     page: state.page, page_size: state.pageSize, sort: state.sort,
@@ -127,30 +140,57 @@ function galleryParams() {
     hide_blinks: document.getElementById("hide-blinks").checked,
     hide_bursts: document.getElementById("hide-bursts").checked,
     hide_duplicates: document.getElementById("hide-duplicates").checked,
+    hide_rejected: document.getElementById("hide-rejected").checked,
   });
   const type = document.getElementById("type-filter").value;
   if (type) params.set("type", type);
   const search = document.getElementById("search").value.trim();
   if (search) params.set("search", search);
   for (const [id, key] of [["camera-filter", "camera"],
+                           ["lens-filter", "lens"],
                            ["category-filter", "category"],
-                           ["tag-filter", "tag"]]) {
+                           ["tag-filter", "tag"],
+                           ["person-filter", "person_id"],
+                           ["pattern-filter", "pattern"]]) {
     const val = document.getElementById(id).value;
     if (val) params.set(key, val);
   }
+  for (const [id, key] of RANGE_INPUTS) {
+    const val = document.getElementById(id).value;
+    if (val !== "") params.set(key, val);
+  }
+  const dateFrom = document.getElementById("date-from").value;
+  if (dateFrom) params.set("date_from", dateFrom.replace(/-/g, ":"));
+  const dateTo = document.getElementById("date-to").value;
+  if (dateTo) params.set("date_to", dateTo.replace(/-/g, ":"));
   if (document.getElementById("favorites-only").checked)
     params.set("favorites_only", "true");
+  if (document.getElementById("monochrome-only").checked)
+    params.set("monochrome_only", "true");
   return params;
+}
+
+function hoverSummary(photo) {
+  const parts = [];
+  for (const [col, label] of METRICS) {
+    if (photo[col] != null) parts.push(`${t(label)}: ${Number(photo[col]).toFixed(1)}`);
+  }
+  if (photo.category) parts.push(`${t("gallery.category")}: ${photo.category}`);
+  return parts.join("\n");
 }
 
 async function loadGallery() {
   const data = await api("/api/photos?" + galleryParams());
   const grid = document.getElementById("grid");
   grid.innerHTML = "";
+  if (!data.photos.length) {
+    grid.innerHTML = `<p class="hint">${t("gallery.no_results")}</p>`;
+  }
   for (const photo of data.photos) {
     const card = document.createElement("div");
     card.className = "card";
     const score = photo.aggregate == null ? "—" : photo.aggregate.toFixed(1);
+    card.title = hoverSummary(photo); // score-breakdown tooltip
     card.innerHTML =
       `<img loading="lazy" src="${thumbUrl(photo.path, 320)}">` +
       `<span class="score ${photo.aggregate >= 7 ? "good" : ""}">${score}</span>` +
@@ -164,20 +204,28 @@ async function loadGallery() {
 }
 
 async function loadFilterOptions() {
-  const [opts, counts, config] = await Promise.all([
-    api("/api/filter_options"), api("/api/type_counts"), api("/api/config")]);
+  const [opts, counts, config, persons, weights] = await Promise.all([
+    api("/api/filter_options"), api("/api/type_counts"), api("/api/config"),
+    api("/api/persons").catch(() => ({ persons: [] })),
+    api("/api/stats/category_weights").catch(() => ({ weights: {} }))]);
   state.config = config;
-  const fill = (id, values) => {
+  state.weights = weights.weights || {};
+  const fill = (id, values, labels) => {
     const select = document.getElementById(id);
-    for (const v of values) {
+    select.querySelectorAll("option:not(:first-child)").forEach((o) => o.remove());
+    values.forEach((v, i) => {
       const opt = document.createElement("option");
-      opt.value = v; opt.textContent = v;
+      opt.value = v; opt.textContent = labels ? labels[i] : v;
       select.appendChild(opt);
-    }
+    });
   };
   fill("camera-filter", opts.cameras);
+  fill("lens-filter", opts.lenses || []);
   fill("category-filter", opts.categories);
   fill("tag-filter", opts.tags.slice(0, 60));
+  fill("pattern-filter", opts.patterns || []);
+  fill("person-filter", persons.persons.map((p) => p.id),
+       persons.persons.map((p) => p.name || `#${p.id}`));
 
   const typeSelect = document.getElementById("type-filter");
   typeSelect.innerHTML = "";
@@ -204,9 +252,18 @@ async function loadFilterOptions() {
     .join("");
 }
 
-for (const id of ["type-filter", "camera-filter", "category-filter",
-                  "tag-filter", "hide-blinks", "hide-bursts",
-                  "hide-duplicates", "favorites-only", "order-asc"]) {
+for (const id of ["type-filter", "camera-filter", "lens-filter",
+                  "category-filter", "tag-filter", "person-filter",
+                  "pattern-filter", "hide-blinks", "hide-bursts",
+                  "hide-duplicates", "hide-rejected", "favorites-only",
+                  "monochrome-only", "order-asc", "min-rating",
+                  "date-from", "date-to"]) {
+  document.getElementById(id).addEventListener("change", () => {
+    state.page = 1; loadGallery();
+  });
+}
+for (const [id] of RANGE_INPUTS) {
+  if (id === "min-rating") continue; // select handled above
   document.getElementById(id).addEventListener("change", () => {
     state.page = 1; loadGallery();
   });
@@ -236,29 +293,68 @@ const METRICS = [
   ["face_quality", "gallery.faces"],
 ];
 
+// metric column -> category weight key (for the contribution breakdown)
+const WEIGHT_KEYS = {
+  aesthetic: "aesthetic", quality_score: "quality",
+  tech_sharpness: "tech_sharpness", exposure_score: "exposure",
+  comp_score: "composition", color_score: "color",
+  contrast_score: "contrast", face_quality: "face_quality",
+};
+
+function contributionHtml(photo) {
+  const weights = (state.weights || {})[photo.category] || {};
+  let html = "";
+  for (const [col, label] of METRICS) {
+    const val = photo[col];
+    if (val == null) continue;
+    const wkey = WEIGHT_KEYS[col];
+    const weight = wkey ? weights[wkey] || 0 : null;
+    const contribution = weight != null && col !== "aggregate"
+      ? ` <i>(${Math.round(weight * 100)}% → ${(val * weight).toFixed(2)})</i>`
+      : "";
+    html += `<div class="metric"><span>${t(label)}${contribution}</span>` +
+      `<b>${Number(val).toFixed(2)}</b></div>` +
+      `<div class="bar"><div style="width:${Math.min(100, val * 10)}%"></div></div>`;
+  }
+  return html;
+}
+
+async function loadSimilar(photo) {
+  const box = document.getElementById("modal-similar");
+  box.innerHTML = "";
+  try {
+    const data = await api("/api/similar_photos" + photo.path + "?max_distance=10");
+    if (!data.similar || !data.similar.length) return;
+    box.innerHTML = `<h4>${t("gallery.similar")}</h4>`;
+    for (const sim of data.similar.slice(0, 8)) {
+      const img = document.createElement("img");
+      img.src = thumbUrl(sim.path, 128);
+      img.title = `${sim.path} (d=${sim.distance})`;
+      box.appendChild(img);
+    }
+  } catch (err) { /* similar photos are optional */ }
+}
+
 function openModal(photo) {
   const modal = document.getElementById("photo-modal");
   modal.hidden = false;
   document.getElementById("modal-img").src = thumbUrl(photo.path, 1280);
   const meta = document.getElementById("modal-meta");
   let html = `<h3>${photo.filename}</h3>`;
-  for (const [col, label] of METRICS) {
-    const val = photo[col];
-    if (val == null) continue;
-    html += `<div class="metric"><span>${t(label)}</span>` +
-      `<b>${Number(val).toFixed(2)}</b></div>` +
-      `<div class="bar"><div style="width:${Math.min(100, val * 10)}%"></div></div>`;
-  }
+  html += contributionHtml(photo);
   html += `<div class="metric"><span>${t("gallery.category")}</span>` +
     `<b>${photo.category || "—"}</b></div>`;
+  if (photo.composition_pattern)
+    html += `<div class="metric"><span>Pattern</span><b>${photo.composition_pattern}</b></div>`;
   if (photo.tags && photo.tags.length)
     html += `<div class="metric"><span>${t("gallery.tags")}</span>` +
       `<b>${photo.tags.join(", ")}</b></div>`;
   if (photo.camera_model)
-    html += `<div class="metric"><span>Camera</span><b>${photo.camera_model}</b></div>`;
+    html += `<div class="metric"><span>Camera</span><b>${photo.camera_model}` +
+      (photo.lens_model ? " · " + photo.lens_model : "") + `</b></div>`;
   if (photo.iso)
-    html += `<div class="metric"><span>ISO / f</span>` +
-      `<b>${photo.iso} / f${photo.f_stop || "?"}</b></div>`;
+    html += `<div class="metric"><span>ISO / f / s</span>` +
+      `<b>${photo.iso} / f${photo.f_stop || "?"} / ${photo.shutter_speed || "?"}</b></div>`;
   // star rating control
   let stars = '<div class="stars">';
   for (let i = 1; i <= 5; i++) {
@@ -266,6 +362,10 @@ function openModal(photo) {
   }
   stars += "</div>";
   html += stars;
+  html += `<div class="modal-actions">` +
+    `<button id="fav-btn">${photo.is_favorite ? "♥" : "♡"} ${t("gallery.favorites")}</button>` +
+    `<button id="reject-btn">${photo.is_rejected ? "✓ rejected" : "✗ reject"}</button>` +
+    `</div>`;
   meta.innerHTML = html;
   meta.querySelectorAll("[data-star]").forEach((el) =>
     el.addEventListener("click", async () => {
@@ -276,6 +376,19 @@ function openModal(photo) {
       photo.star_rating = Number(el.dataset.star);
       openModal(photo);
     }));
+  document.getElementById("fav-btn").addEventListener("click", async () => {
+    photo.is_favorite = photo.is_favorite ? 0 : 1;
+    await api("/api/photos/favorite", {
+      method: "POST", json: { path: photo.path, favorite: !!photo.is_favorite } });
+    openModal(photo);
+  });
+  document.getElementById("reject-btn").addEventListener("click", async () => {
+    photo.is_rejected = photo.is_rejected ? 0 : 1;
+    await api("/api/photos/rejected", {
+      method: "POST", json: { path: photo.path, rejected: !!photo.is_rejected } });
+    openModal(photo);
+  });
+  loadSimilar(photo);
 }
 
 document.getElementById("modal-close").addEventListener("click", () => {
@@ -309,10 +422,11 @@ function barChart(canvasId, labels, values, color) {
 }
 
 async function loadStats() {
-  const [overview, dist, gear, timeline, cats] = await Promise.all([
+  const [overview, dist, gear, timeline, cats, corr] = await Promise.all([
     api("/api/stats/overview"), api("/api/stats/score_distribution"),
     api("/api/stats/gear"), api("/api/stats/timeline"),
-    api("/api/stats/categories")]);
+    api("/api/stats/categories"),
+    api("/api/stats/correlations").catch(() => null)]);
   const cards = [
     ["Photos", overview.total_photos], ["Avg", overview.avg_score],
     ["Faces", overview.faces], ["People", overview.persons],
@@ -336,12 +450,44 @@ async function loadStats() {
     table(gear.lenses.slice(0, 10), ["Lens", "Count", "Avg_score"]);
   document.getElementById("category-table").innerHTML =
     table(cats.categories, ["Category", "Count", "Avg_score", "Max_score"]);
+  if (corr) {
+    const rows = Object.entries(corr.correlation_with_aggregate)
+      .filter(([, v]) => v != null)
+      .sort((a, b) => Math.abs(b[1]) - Math.abs(a[1]))
+      .map(([metric, r]) => ({ metric, r: r.toFixed(3) }));
+    document.getElementById("correlation-table").innerHTML =
+      table(rows, ["Metric", "R"]);
+  }
 }
 
 // ----------------------------------------------------------------- persons
 
 async function loadPersons() {
-  const data = await api("/api/persons");
+  const [data, suggestions] = await Promise.all([
+    api("/api/persons"),
+    api("/api/merge_suggestions").catch(() => ({ suggestions: [] }))]);
+
+  const box = document.getElementById("merge-suggestions");
+  const list = document.getElementById("merge-list");
+  list.innerHTML = "";
+  box.hidden = !suggestions.suggestions.length;
+  for (const group of suggestions.suggestions) {
+    const row = document.createElement("div");
+    row.className = "merge-row";
+    const names = group.person_ids.map((id, i) =>
+      `${group.names[i] || "(unnamed)"} #${id}`).join(" · ");
+    row.innerHTML =
+      `<span>${names} <i>(${(group.avg_similarity * 100).toFixed(0)}%)</i></span>` +
+      `<button>${t("persons.merge")}</button>`;
+    row.querySelector("button").addEventListener("click", async () => {
+      const [target, ...sources] = group.person_ids;
+      await api("/api/persons/merge_batch", {
+        method: "POST", json: { target_id: target, source_ids: sources } });
+      loadPersons();
+    });
+    list.appendChild(row);
+  }
+
   const grid = document.getElementById("persons-grid");
   grid.innerHTML = "";
   for (const person of data.persons) {
@@ -352,11 +498,24 @@ async function loadPersons() {
       (state.token ? "?token=" + encodeURIComponent(state.token) : "") + `"
          onerror="this.style.visibility='hidden'">` +
       `<input value="${person.name || ""}" placeholder="${t("persons.unnamed")}">` +
-      `<div class="caption">${person.photo_count} photos</div>`;
+      `<div class="caption">${person.photo_count} photos</div>` +
+      `<div class="person-actions">` +
+      `<button class="view-btn">${t("nav.gallery")}</button>` +
+      `<button class="del-btn">${t("persons.delete")}</button></div>`;
     const input = card.querySelector("input");
     input.addEventListener("change", async () => {
       await api(`/api/persons/${person.id}/rename`, {
         method: "POST", json: { name: input.value } });
+    });
+    card.querySelector(".view-btn").addEventListener("click", () => {
+      switchView("gallery");
+      document.getElementById("person-filter").value = person.id;
+      state.page = 1;
+      loadGallery();
+    });
+    card.querySelector(".del-btn").addEventListener("click", async () => {
+      await api(`/api/persons/${person.id}`, { method: "DELETE" });
+      loadPersons();
     });
     grid.appendChild(card);
   }
@@ -365,6 +524,11 @@ async function loadPersons() {
 // --------------------------------------------------------------- comparison
 
 let currentPair = null;
+
+const PAIR_METRICS = [
+  ["aesthetic", "gallery.aesthetic"], ["tech_sharpness", "gallery.sharpness"],
+  ["exposure_score", "gallery.exposure"], ["comp_score", "gallery.composition"],
+];
 
 async function loadPair() {
   const data = await api("/api/comparison/next_pair");
@@ -378,20 +542,43 @@ async function loadPair() {
   document.getElementById("pair-a").src = thumbUrl(data.pair[0].path, 640);
   document.getElementById("pair-b").src = thumbUrl(data.pair[1].path, 640);
   status.textContent = "";
+  try {
+    const paths = data.pair.map((p) => p.path).join(",");
+    const metrics = await api("/api/comparison/photo_metrics?paths=" +
+                              encodeURIComponent(paths));
+    for (const [el, photo] of [["metrics-a", data.pair[0]],
+                               ["metrics-b", data.pair[1]]]) {
+      const m = metrics[photo.path] || {};
+      document.getElementById(el).innerHTML = PAIR_METRICS.map(
+        ([col, label]) => m[col] == null ? "" :
+          `<span>${t(label)} <b>${Number(m[col]).toFixed(1)}</b></span>`
+      ).join(" ");
+    }
+  } catch (err) { /* metric strip is optional */ }
+}
+
+async function vote(winner) {
+  if (!currentPair) return;
+  const res = await api("/api/comparison/submit", {
+    method: "POST",
+    json: { photo_a: currentPair[0].path, photo_b: currentPair[1].path,
+            winner },
+  });
+  document.getElementById("comparison-status").textContent =
+    `${t("comparison.submitted")} (${res.count})`;
+  loadPair();
 }
 
 document.querySelectorAll("[data-vote]").forEach((b) =>
-  b.addEventListener("click", async () => {
-    if (!currentPair) return;
-    const res = await api("/api/comparison/submit", {
-      method: "POST",
-      json: { photo_a: currentPair[0].path, photo_b: currentPair[1].path,
-              winner: b.dataset.vote },
-    });
-    document.getElementById("comparison-status").textContent =
-      `${t("comparison.submitted")} (${res.count})`;
-    loadPair();
-  }));
+  b.addEventListener("click", () => vote(b.dataset.vote)));
+
+// keyboard voting: arrows pick a side, t = tie, s = skip
+document.addEventListener("keydown", (e) => {
+  if (state.view !== "comparison" || !currentPair) return;
+  if (e.target.tagName === "INPUT" || e.target.tagName === "SELECT") return;
+  const key = { ArrowLeft: "a", ArrowRight: "b", t: "tie", s: "skip" }[e.key];
+  if (key) { e.preventDefault(); vote(key); }
+});
 
 // ----------------------------------------------------------------- boot
 

@@ -55,10 +55,12 @@ _RANGE_FILTERS = [
 
 
 def _pref_expr(request, column):
-    """Preference column expression: per-user indirection in multi-user mode."""
+    """Preference column expression: per-user indirection in multi-user mode.
+    NULL-coalesced in both modes so e.g. min_rating=0 matches unrated rows
+    (NULL >= 0 is NULL in SQLite, which silently excludes them)."""
     user = request.state.get("user")
     if not user or user in ("anonymous", "viewer", "editor"):
-        return f"p.{column}"
+        return f"IFNULL(p.{column}, 0)"
     return f"IFNULL(up.{column}, 0)"
 
 
