@@ -86,6 +86,40 @@ def _use_pallas():
     return False
 
 
+def hs_entropy_sorted(hh, ss, n_valid=None):
+    """H-S joint entropy via sort + run-length scan (no histogram at all).
+
+    Entropy needs only the multiset of joint-bin counts, so: combine each
+    pixel's (hue, sat) into one code, sort each image's codes, find run
+    starts, and get run lengths from the distance to the next run start (a
+    reverse cummin scan — no scatters/gathers). O(N log N) sort work instead
+    of the one-hot matmul's N x 46080 MACs. Padding pixels (code >= 46080)
+    sort to the end and are excluded.
+
+    hh: (B, N) int32 hue bins 0..179 (or >=180/negative for padding)
+    ss: (B, N) int32 saturation 0..255
+    """
+    b, n = hh.shape
+    codes = jnp.where((hh >= 0) & (hh < 180), hh * 256 + ss, 180 * 256)
+    codes = jax.lax.sort(codes, dimension=1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), codes[:, 1:] != codes[:, :-1]], axis=1)
+    start_pos = jnp.where(first, idx[None, :], n)
+    # next run start at-or-after each position (reverse inclusive cummin)
+    next_start = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(start_pos, 1), axis=1), 1)
+    after = jnp.concatenate(
+        [next_start[:, 1:], jnp.full((b, 1), n, jnp.int32)], axis=1)
+    valid = codes < 180 * 256
+    counts = jnp.where(first & valid, after - idx[None, :], 0)
+    total = jnp.sum(counts, axis=1, keepdims=True).astype(jnp.float32)
+    p = counts.astype(jnp.float32) / jnp.maximum(total, 1.0)
+    return -jnp.sum(jnp.where(p > 0.0,
+                              p * jnp.log2(jnp.where(p > 0.0, p, 1.0)), 0.0),
+                    axis=1)
+
+
 def _batch_stats_impl(rgb_batch):
     """(B, H, W, 3) uint8 -> device stats tuple."""
     b, h, w, _ = rgb_batch.shape
