@@ -104,11 +104,50 @@ class VLMTagger:
             self._model = AutoModelForVision2Seq.from_pretrained(
                 self.model_path, dtype=torch.bfloat16, local_files_only=True
             ).eval()
+            self._attach_tpu_vision()
             return True
         except Exception as exc:
             raise RuntimeError(
                 f"VLM tagger unavailable: {self.model_path} not present"
                 f" locally ({exc}); the profile falls back to CLIP tagging")
+
+    def _attach_tpu_vision(self):
+        """Swap the torch visual tower for the flax one when converted
+        weights exist (pretrained_models/qwen25_vision.npz): image encoding
+        runs on TPU, everything else (mrope, generation) stays upstream."""
+        if "2.5" not in self.model_name:
+            return  # qwen3-vl has a different vision architecture
+        try:
+            from facet_tpu.models.qwen_vision import QwenVisionEncoder
+
+            encoder = QwenVisionEncoder.load()
+            if encoder is None:
+                return
+            import torch
+
+            class _TPUVisual(torch.nn.Module):
+                dtype = torch.float32
+
+                def __init__(self, enc, out_dtype):
+                    super().__init__()
+                    self._enc = enc
+                    self._out_dtype = out_dtype
+
+                def forward(self, hidden_states, grid_thw=None, **kwargs):
+                    out = self._enc.encode(
+                        hidden_states.detach().cpu().float().numpy(),
+                        grid_thw.tolist())
+                    return torch.from_numpy(out).to(self._out_dtype)
+
+            holder = self._model.model if hasattr(self._model, "model") \
+                and hasattr(self._model.model, "visual") else self._model
+            holder.visual = _TPUVisual(encoder, next(
+                self._model.get_input_embeddings().parameters()).dtype)
+            print("VLM tagger: vision tower running on the TPU"
+                  " (qwen25_vision.npz)")
+        except Exception as exc:
+            print(f"VLM tagger: TPU vision path unavailable ({exc});"
+                  " using the torch visual tower")
 
     def build_prompt(self):
         vocab = ", ".join(self.vocabulary)

@@ -301,6 +301,52 @@ def convert_topiq_ckpt(source_dir, out_dir):
     return False
 
 
+def convert_qwen_vision_ckpt(source_dir, out_dir):
+    """Qwen2.5-VL checkpoint dir -> qwen25_vision.npz (vision tower only;
+    the LLM stays a host transformers model — hybrid wiring in
+    models/vlm_tagger.py swaps the visual tower for the flax one)."""
+    candidates = [d for d in (source_dir, os.path.join(source_dir, "qwen2.5-vl"))
+                  if os.path.isdir(d)]
+    for base in candidates:
+        files = [f for f in sorted(os.listdir(base))
+                 if f.endswith((".safetensors", ".bin"))
+                 and "index" not in f]
+        visual_sd = {}
+        for name in files:
+            path = os.path.join(base, name)
+            try:
+                if name.endswith(".safetensors"):
+                    from safetensors import safe_open
+
+                    with safe_open(path, framework="np") as fh:
+                        for key in fh.keys():
+                            if key.startswith(("visual.", "model.visual.")):
+                                visual_sd[key.removeprefix("model.")] = \
+                                    fh.get_tensor(key)
+                else:
+                    sd = _load_torch(path)
+                    visual_sd.update(
+                        {k.removeprefix("model."): v for k, v in sd.items()
+                         if k.startswith(("visual.", "model.visual."))})
+            except Exception as exc:
+                print(f"  skip {name}: {exc}")
+        if visual_sd:
+            import numpy as np_
+
+            from facet_tpu.models.convert import save_params
+            from facet_tpu.models.qwen_vision import convert_qwen_vision
+
+            visual_sd = {k: np_.asarray(v, np_.float32)
+                         for k, v in visual_sd.items()}
+            save_params(convert_qwen_vision(visual_sd),
+                        os.path.join(out_dir, "qwen25_vision.npz"))
+            print(f"converted qwen2.5-vl vision tower"
+                  f" ({len(visual_sd)} tensors)")
+            return True
+    print("skip: no Qwen2.5-VL checkpoint directory")
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -315,6 +361,7 @@ def main():
     convert_samp(args.source, args.out)
     convert_arcface(args.source, args.out)
     convert_topiq_ckpt(args.source, args.out)
+    convert_qwen_vision_ckpt(args.source, args.out)
     build_tag_embeddings(args.out)
     print("done; for SCRFD/landmark (ONNX-only) run tools/convert_insightface.py"
           " — key maps and verification status in docs/CONVERTERS.md")
