@@ -77,15 +77,6 @@ def _tiled_sum(x2d, tile=SUM_TILE):
         axis=2, dtype=jnp.int32)
 
 
-def _use_pallas():
-    # The standalone pallas kernel (ops/pallas_stats.py) is bit-exact and
-    # compiles 15x faster in isolation, but embedding a pallas_call inside
-    # the large fused program degrades XLA's scheduling badly (measured 20x
-    # slower end-to-end) — keep the XLA formulation in the fused path and the
-    # pallas kernel as the standalone fast-compile alternative.
-    return False
-
-
 def hs_entropy_sorted(hh, ss, n_valid=None):
     """H-S joint entropy via sort + run-length scan (no histogram at all).
 
@@ -95,6 +86,11 @@ def hs_entropy_sorted(hh, ss, n_valid=None):
     reverse cummin scan — no scatters/gathers). O(N log N) sort work instead
     of the one-hot matmul's N x 46080 MACs. Padding pixels (code >= 46080)
     sort to the end and are excluded.
+
+    MEASURED AND REJECTED on TPU v5e: the program never finished compiling
+    within 30 minutes (lax.sort over 1.5M-element rows), vs 2.8 s compile /
+    48.8 ms per batch-16 for the matmul formulation — see docs/PERF.md.
+    Kept (CPU-correct to 3e-6 vs a numpy oracle) as the measured record.
 
     hh: (B, N) int32 hue bins 0..179 (or >=180/negative for padding)
     ss: (B, N) int32 saturation 0..255
@@ -121,7 +117,13 @@ def hs_entropy_sorted(hh, ss, n_valid=None):
 
 
 def _batch_stats_impl(rgb_batch):
-    """(B, H, W, 3) uint8 -> device stats tuple."""
+    """(B, H, W, 3) uint8 -> device stats tuple.
+
+    This XLA formulation is the single default path; the alternatives were
+    measured and rejected (decision table: docs/PERF.md). The pallas
+    gray-stats kernel (ops/pallas_stats.py) compiles 15x faster standalone
+    but degrades XLA's scheduling ~20x when embedded here; the sort-based
+    entropy (hs_entropy_sorted below) never finished compiling on v5e."""
     b, h, w, _ = rgb_batch.shape
     n = h * w
     gray = rgb_to_gray(rgb_batch)
@@ -130,38 +132,25 @@ def _batch_stats_impl(rgb_batch):
     # --- saturation partial sums
     sat_tiles = _tiled_sum(ss.reshape(b, -1))
 
-    if _use_pallas():
-        # one double-buffered VMEM pass computes histogram + both stencil
-        # reductions (facet_tpu/ops/pallas_stats.py); compiles ~15x faster
-        # than the XLA formulation of the same reductions
-        from facet_tpu.ops.pallas_stats import _pallas_gray_stats
+    # --- gray histogram: compare-reduce over the bin axis
+    bins = jnp.arange(256, dtype=jnp.int32)
+    gray_hist = jnp.sum(
+        gray.reshape(b, -1)[:, :, None] == bins[None, None, :],
+        axis=1, dtype=jnp.int32)
 
-        padded = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
-        gray_hist, gray_sums = _pallas_gray_stats(padded)
-        lap_tiles = gray_sums[:, :, 0]
-        # lap^2 travels as (lo20, hi) pairs so partials stay int32-exact
-        lapsq_tiles = gray_sums[:, :, 1:3]                  # (B, T, 2)
-        imm_tiles = gray_sums[:, :, 3]
-    else:
-        # --- gray histogram: compare-reduce over the bin axis
-        bins = jnp.arange(256, dtype=jnp.int32)
-        gray_hist = jnp.sum(
-            gray.reshape(b, -1)[:, :, None] == bins[None, None, :],
-            axis=1, dtype=jnp.int32)
-
-        # --- 3x3 stencils with reflect-101 borders (cv2 default)
-        p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
-        lap = (p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2]
-               + p[:, 1:-1, 2:] - 4 * p[:, 1:-1, 1:-1])
-        imm = (p[:, :-2, :-2] - 2 * p[:, :-2, 1:-1] + p[:, :-2, 2:]
-               - 2 * p[:, 1:-1, :-2] + 4 * p[:, 1:-1, 1:-1] - 2 * p[:, 1:-1, 2:]
-               + p[:, 2:, :-2] - 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
-        lap_flat = lap.reshape(b, -1)
-        lap_tiles = _tiled_sum(lap_flat)
-        sq = _tiled_sum(lap_flat * lap_flat)
-        # same (lo20, hi) pair layout as the pallas path
-        lapsq_tiles = jnp.stack([sq & 0xFFFFF, sq >> 20], axis=2)
-        imm_tiles = _tiled_sum(jnp.abs(imm).reshape(b, -1))
+    # --- 3x3 stencils with reflect-101 borders (cv2 default)
+    p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+    lap = (p[:, :-2, 1:-1] + p[:, 2:, 1:-1] + p[:, 1:-1, :-2]
+           + p[:, 1:-1, 2:] - 4 * p[:, 1:-1, 1:-1])
+    imm = (p[:, :-2, :-2] - 2 * p[:, :-2, 1:-1] + p[:, :-2, 2:]
+           - 2 * p[:, 1:-1, :-2] + 4 * p[:, 1:-1, 1:-1] - 2 * p[:, 1:-1, 2:]
+           + p[:, 2:, :-2] - 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:])
+    lap_flat = lap.reshape(b, -1)
+    lap_tiles = _tiled_sum(lap_flat)
+    sq = _tiled_sum(lap_flat * lap_flat)
+    # (lo20, hi) pair layout keeps every partial int32-exact
+    lapsq_tiles = jnp.stack([sq & 0xFFFFF, sq >> 20], axis=2)
+    imm_tiles = _tiled_sum(jnp.abs(imm).reshape(b, -1))
 
     # --- H-S joint entropy via one-hot matmul (hist2d = OH_H^T @ OH_S)
     h_bins = jnp.arange(180, dtype=jnp.int32)
