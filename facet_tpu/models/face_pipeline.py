@@ -79,8 +79,11 @@ class FacePipeline:
 
         # detection + device-side top-k decode in one program: only k
         # candidate rows per image cross back to the host (not full maps)
-        self._detect = jax.jit(
-            lambda params, batch: decode_topk(self.detector.apply(params, batch)))
+        self._detect_programs = {}   # (h, w) -> letterbox+detect+decode
+        self._det_placed = None      # det params replicated on the dp mesh
+        from facet_tpu.processing.device_pipeline import default_mesh
+
+        self._mesh = default_mesh()
         self._landmarks = jax.jit(self.landmark_net.apply)
         self._embed = jax.jit(self.embedder.apply)
 
@@ -119,36 +122,63 @@ class FacePipeline:
 
     # ------------------------------------------------------------ detection
 
-    def _letterbox(self, image):
-        """RGB uint8 -> (640, 640, 3) float32 + scale factor."""
-        size = self.det_config.input_size
-        h, w = image.shape[:2]
-        scale = size / max(h, w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
-        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        canvas = np.zeros((size, size, 3), np.float32)
-        canvas[:nh, :nw] = resized
-        return (canvas - 127.5) / 128.0, scale
+    def _detect_program(self, h, w):
+        """Letterbox + SCRFD forward + top-k decode in ONE device program
+        per source shape (shardable over the dp mesh): uint8 batch in, 64
+        candidate rows per image out."""
+        key = (h, w)
+        if key not in self._detect_programs:
+            from facet_tpu.ops.resize import resample_matrix
+
+            size = self.det_config.input_size
+            scale = size / max(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            rows = jnp.asarray(resample_matrix(h, nh, method="linear"))
+            cols = jnp.asarray(resample_matrix(w, nw, method="linear"))
+
+            @jax.jit
+            def run(params, batch_u8):
+                x = batch_u8.astype(jnp.float32)
+                x = jnp.einsum("rh,bhwc->brwc", rows, x)
+                x = jnp.einsum("sw,brwc->brsc", cols, x)
+                canvas = jnp.pad(x, ((0, 0), (0, size - nh),
+                                     (0, size - nw), (0, 0)))
+                canvas = (canvas - 127.5) / 128.0
+                return decode_topk(self.detector.apply(params, canvas))
+
+            self._detect_programs[key] = (run, scale)
+        return self._detect_programs[key]
+
+    def _run_detect(self, h, w, batch):
+        run, scale = self._detect_program(h, w)
+        if self._mesh is None:
+            return jax.device_get(run(self.det_params,
+                                      jnp.asarray(batch))), scale
+        from facet_tpu.parallel.mesh import replicated_sharding, shard_batch
+
+        if self._det_placed is None:
+            self._det_placed = jax.device_put(
+                self.det_params, replicated_sharding(self._mesh))
+        sharded, _ = shard_batch(batch, self._mesh)
+        return jax.device_get(run(self._det_placed, sharded)), scale
 
     def detect_batch(self, images):
         """-> per image: list of dicts {score, bbox, kps5} in image coords."""
-        boxes_out = []
-        canvases, scales = [], []
-        for img in images:
-            canvas, scale = self._letterbox(img)
-            canvases.append(canvas)
-            scales.append(scale)
-        batch = jnp.asarray(np.stack(canvases))
-        top, boxes, kps5 = jax.device_get(self._detect(self.det_params, batch))
-        decoded = topk_to_detections(top, boxes, kps5, score_threshold=0.5)
-        for i, dets in enumerate(decoded):
-            kept = nms(dets)
-            faces = []
-            for score, bbox, kps in kept:
-                bbox = bbox / scales[i]
-                kps = kps / scales[i]
-                faces.append({"score": score, "bbox": bbox, "kps": kps})
-            boxes_out.append(faces)
+        boxes_out = [None] * len(images)
+        by_shape = {}
+        for i, img in enumerate(images):
+            by_shape.setdefault(img.shape[:2], []).append(i)
+        for (h, w), idxs in by_shape.items():
+            batch = np.stack([images[i] for i in idxs])
+            (top, boxes, kps5), scale = self._run_detect(h, w, batch)
+            decoded = topk_to_detections(top[:len(idxs)], boxes[:len(idxs)],
+                                         kps5[:len(idxs)],
+                                         score_threshold=0.5)
+            for i, dets in zip(idxs, decoded):
+                kept = nms(dets)
+                boxes_out[i] = [{"score": score, "bbox": bbox / scale,
+                                 "kps": kps / scale}
+                                for score, bbox, kps in kept]
         return boxes_out
 
     # ------------------------------------------------------------- analysis

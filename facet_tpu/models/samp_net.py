@@ -217,10 +217,47 @@ class SAMPComposition:
 
     def __post_init__(self):
         from facet_tpu.models.u2netp import U2NETP
+        from facet_tpu.processing.device_pipeline import default_mesh
 
         self._samp = SAMPNet()
         self._u2 = U2NETP()
         self._forward = jax.jit(self._forward_impl)
+        self._programs = {}
+        self._placed = None
+        self._mesh = default_mesh()
+
+    def _program(self, h, w):
+        """Device resize to 224 + saliency + heads in ONE program per
+        source shape (shardable over the dp mesh)."""
+        key = (h, w)
+        if key not in self._programs:
+            from facet_tpu.ops.resize import resample_matrix
+
+            rows = jnp.asarray(resample_matrix(h, 224, method="linear"))
+            cols = jnp.asarray(resample_matrix(w, 224, method="linear"))
+
+            @jax.jit
+            def run(samp_params, u2_params, batch_u8):
+                x = batch_u8.astype(jnp.float32)
+                x = jnp.einsum("rh,bhwc->brwc", rows, x)
+                x = jnp.einsum("sw,brwc->brsc", cols, x)
+                return self._forward_impl(samp_params, u2_params, x)
+
+            self._programs[key] = run
+        return self._programs[key]
+
+    def _run(self, h, w, batch):
+        if self._mesh is None:
+            return jax.device_get(self._program(h, w)(
+                self.samp_params, self.u2_params, jnp.asarray(batch)))
+        from facet_tpu.parallel.mesh import replicated_sharding, shard_batch
+
+        if self._placed is None:
+            sharding = replicated_sharding(self._mesh)
+            self._placed = (jax.device_put(self.samp_params, sharding),
+                            jax.device_put(self.u2_params, sharding))
+        sharded, _ = shard_batch(batch, self._mesh)
+        return jax.device_get(self._program(h, w)(*self._placed, sharded))
 
     @classmethod
     def create(cls, config=None, cached=None):
@@ -256,22 +293,23 @@ class SAMPComposition:
         return self._samp.apply(samp_params, norm, saliency)
 
     def score_batch(self, images):
-        """RGB uint8 arrays (any sizes) -> list of score dicts."""
-        from facet_tpu.ops.resize import resize_batch
-
+        """RGB uint8 arrays (any sizes) -> list of score dicts. One device
+        call per source shape, batch-sharded over the chip mesh."""
         if not images:
             return []
-        crops = np.empty((len(images), 224, 224, 3), np.float32)
+        n = len(images)
+        pw = np.empty((n, 8), np.float32)
+        attrs = np.empty((n, 6), np.float32)
+        dist = np.empty((n, 5), np.float32)
         by_shape = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape[:2], []).append(i)
         for (h, w), idxs in by_shape.items():
             batch = np.stack([images[i] for i in idxs])
-            out = resize_batch(batch, 224, 224, method="linear")
-            crops[idxs] = np.asarray(jax.device_get(out))
-
-        pw, attrs, dist = jax.device_get(self._forward(
-            self.samp_params, self.u2_params, jnp.asarray(crops)))
+            pw_o, at_o, di_o = self._run(h, w, batch)
+            pw[idxs] = np.asarray(pw_o)[:len(idxs)]
+            attrs[idxs] = np.asarray(at_o)[:len(idxs)]
+            dist[idxs] = np.asarray(di_o)[:len(idxs)]
         results = []
         for i in range(len(images)):
             weights = np.exp(pw[i] - pw[i].max())

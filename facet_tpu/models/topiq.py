@@ -93,6 +93,11 @@ class TOPIQConfig:
     width: int = 256
     heads: int = 4
     input_size: int = 384    # bucketed eval size; long edge capped at 1024
+    # cross-attention over 9216 C2 tokens needs B x heads x 9216 x 2304 f32
+    # score buffers (~340 MB per image) — cap the per-call device batch so
+    # activations fit 16 GB HBM (the reference's pyiqa wrapper scores
+    # sequentially for the same reason, pyiqa_scorer.py:233-255)
+    max_device_batch: int = 16
 
 
 class TOPIQNet(nn.Module):
@@ -139,7 +144,45 @@ class TOPIQScorer:
         self.config = config
         self.net = TOPIQNet(config)
         self.params = params
-        self._forward = jax.jit(self.net.apply)
+        self._programs = {}     # (h, w) -> jitted resize+normalize+forward
+        self._placed = None     # params replicated onto the dp mesh
+        from facet_tpu.processing.device_pipeline import default_mesh
+
+        self.mesh = default_mesh()
+
+    def _program(self, h, w):
+        """One program per source shape: device resize + normalize +
+        forward (one device call instead of resize/normalize/forward round
+        trips); batch-shardable over the dp mesh."""
+        key = (h, w)
+        if key not in self._programs:
+            from facet_tpu.ops.resize import resample_matrix
+
+            size = self.config.input_size
+            rows = jnp.asarray(resample_matrix(h, size, method="linear"))
+            cols = jnp.asarray(resample_matrix(w, size, method="linear"))
+
+            @jax.jit
+            def run(params, batch_u8):
+                x = batch_u8.astype(jnp.float32)
+                x = jnp.einsum("rh,bhwc->brwc", rows, x)
+                x = jnp.einsum("sw,brwc->brsc", cols, x) / 255.0
+                return self.net.apply(params, (x - IMAGENET_MEAN) / IMAGENET_STD)
+
+            self._programs[key] = run
+        return self._programs[key]
+
+    def _run(self, h, w, batch):
+        if self.mesh is None:
+            return jax.device_get(
+                self._program(h, w)(self.params, jnp.asarray(batch)))
+        from facet_tpu.parallel.mesh import replicated_sharding, shard_batch
+
+        if self._placed is None:
+            self._placed = jax.device_put(
+                self.params, replicated_sharding(self.mesh))
+        sharded, _ = shard_batch(batch, self.mesh)
+        return jax.device_get(self._program(h, w)(self._placed, sharded))
 
     @classmethod
     def create(cls, config=None, cached=None):
@@ -160,23 +203,21 @@ class TOPIQScorer:
         return {"params": jax.tree.map(np.asarray, self.params)}
 
     def score_batch(self, images):
-        """RGB uint8 arrays -> list of 0-10 scores (one device call/shape)."""
-        from facet_tpu.ops.resize import resize_batch
-
+        """RGB uint8 arrays -> list of 0-10 scores (one device call/shape,
+        batch-sharded over the chip mesh when one is present)."""
         if not images:
             return []
-        size = self.config.input_size
-        crops = np.empty((len(images), size, size, 3), np.float32)
+        raw = np.empty(len(images), np.float32)
         by_shape = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape[:2], []).append(i)
+        cap = self.config.max_device_batch
         for (h, w), idxs in by_shape.items():
-            batch = np.stack([images[i] for i in idxs])
-            crops[idxs] = np.asarray(jax.device_get(
-                resize_batch(batch, size, size, method="linear")))
-        x = crops / 255.0
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        raw = np.asarray(jax.device_get(self._forward(self.params, jnp.asarray(x))))
+            for start in range(0, len(idxs), cap):
+                part = idxs[start:start + cap]
+                batch = np.stack([images[i] for i in part])
+                out = np.asarray(self._run(h, w, batch))
+                raw[part] = out[:len(part)]  # mesh padding sliced off
         lo, hi = self.score_range
         return [round(float(np.clip((r - lo) / (hi - lo), 0, 1) * 10.0), 2)
                 for r in raw]

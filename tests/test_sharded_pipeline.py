@@ -101,6 +101,45 @@ class TestShardedFusedPipeline:
         assert shard_shapes == {(1, 768)}
 
 
+class TestMemberSharding:
+    """Every ensemble member's score path rides the dp mesh, not just CLIP."""
+
+    def test_topiq_scorer_has_mesh(self, tmp_path, tmp_config):
+        from facet_tpu.models.topiq import TOPIQScorer
+
+        scorer = TOPIQScorer.create()
+        assert scorer.mesh is not None and scorer.mesh.shape["dp"] == 8
+        rng = np.random.default_rng(0)
+        images = [rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+                  for _ in range(3)]  # uneven -> padding sliced
+        scores = scorer.score_batch(images)
+        assert len(scores) == 3
+        assert all(0 <= s <= 10 for s in scores)
+
+    def test_samp_scorer_has_mesh(self):
+        from facet_tpu.models.samp_net import SAMPComposition
+
+        samp = SAMPComposition.create()
+        assert samp._mesh is not None
+        rng = np.random.default_rng(1)
+        images = [rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+                  for _ in range(2)]
+        results = samp.score_batch(images)
+        assert len(results) == 2
+        assert all(0 <= r["score"] <= 10 for r in results)
+
+    def test_face_detector_has_mesh(self, scoring_config):
+        from facet_tpu.models.face_pipeline import FacePipeline
+
+        pipeline = FacePipeline.create(scoring_config)
+        assert pipeline._mesh is not None
+        rng = np.random.default_rng(2)
+        images = [rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        dets = pipeline.detect_batch(images)
+        assert len(dets) == 3  # random-init detector: empty lists are fine
+
+
 class TestEngineUsesShardedPath:
     def test_engine_fused_scorer_gets_mesh(self, tmp_path, tmp_config):
         """The production engine path must score through the mesh."""
