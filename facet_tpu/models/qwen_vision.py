@@ -298,10 +298,14 @@ def convert_qwen_vision(state_dict, config=None, prefix="visual."):
       visual.merger.ln_q.weight               ln_q/scale
       visual.merger.mlp.0|2.*                 merger_fc1|merger_fc2
     """
-    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
-          if k.startswith(prefix)}
-    if not sd:  # vision-only dumps have no prefix
-        sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # full-model dumps nest the tower under model.visual.* (transformers
+    # >=4.52) or visual.*; vision-only dumps have no prefix
+    for pfx in (f"model.{prefix}", prefix, ""):
+        sd = {k[len(pfx):]: np.asarray(v) for k, v in state_dict.items()
+              if k.startswith(pfx)} if pfx else {
+                  k: np.asarray(v) for k, v in state_dict.items()}
+        if "patch_embed.proj.weight" in sd:
+            break
 
     dense = lambda p: {"kernel": sd[p + ".weight"].astype(np.float32).T,
                        "bias": sd[p + ".bias"].astype(np.float32)}

@@ -80,11 +80,12 @@ class VLMTagger:
         self.max_tags = config.get_tagging_settings().get("max_tags", 5)
         self._model = None
         self._processor = None
+        self._device = None   # (QwenVisionEncoder, QwenTextDecoder) or None
 
     # ------------------------------------------------------------- loading
 
     def ensure_loaded(self):
-        if self._model is not None:
+        if self._model is not None or self._device is not None:
             return True
         import os
 
@@ -95,6 +96,8 @@ class VLMTagger:
             raise RuntimeError(
                 f"VLM tagger unavailable: {self.model_path} is not a local"
                 " model directory; the profile falls back to CLIP tagging")
+        if self._load_device_path():
+            return True
         try:
             import torch
             from transformers import AutoModelForVision2Seq, AutoProcessor
@@ -110,6 +113,50 @@ class VLMTagger:
             raise RuntimeError(
                 f"VLM tagger unavailable: {self.model_path} not present"
                 f" locally ({exc}); the profile falls back to CLIP tagging")
+
+    def _load_device_path(self):
+        """All-device Qwen2.5 path: flax vision tower + flax text decoder
+        (models/qwen_text.py) when BOTH converted checkpoints exist. Only
+        the tokenizer/image processor stays on the host — no torch model
+        is loaded at all (the reference's whole tagging path is host
+        transformers, models/vlm_tagger.py:327-444)."""
+        if "2.5" not in self.model_name:
+            return False
+        import os
+
+        text_path = os.path.join("pretrained_models", "qwen25_text.npz")
+        if not os.path.exists(text_path):
+            return False
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from facet_tpu.models.convert import load_params
+            from facet_tpu.models.qwen_text import (
+                QwenTextConfig,
+                QwenTextDecoder,
+            )
+            from facet_tpu.models.qwen_vision import QwenVisionEncoder
+            from transformers import AutoProcessor
+
+            encoder = QwenVisionEncoder.load()
+            if encoder is None:
+                return False
+            self._processor = AutoProcessor.from_pretrained(
+                self.model_path, local_files_only=True)
+            params = load_params(text_path)
+            # bf16 weights on device: the 7B decoder must fit HBM
+            params = {"params": jax.tree.map(
+                lambda a: jnp.asarray(a, jnp.bfloat16), params["params"])}
+            decoder = QwenTextDecoder(
+                params, QwenTextConfig(), dtype=jnp.bfloat16,
+                max_new_tokens=self.max_new_tokens)
+            self._device = (encoder, decoder)
+            print("VLM tagger: full TPU path (vision tower + text decoder)")
+            return True
+        except Exception as exc:
+            print(f"VLM tagger: TPU decoder path unavailable ({exc})")
+            return False
 
     def _attach_tpu_vision(self):
         """Swap the torch visual tower for the flax one when converted
@@ -178,6 +225,8 @@ class VLMTagger:
         return results
 
     def _generate(self, chunk):
+        if self._device is not None:
+            return self._generate_device(chunk)
         import torch
 
         prompt = self.build_prompt()
@@ -195,6 +244,60 @@ class VLMTagger:
                                        do_sample=False)
         replies = self._processor.batch_decode(
             out[:, inputs["input_ids"].shape[1]:], skip_special_tokens=True)
+        return [parse_tag_output(reply, self.vocabulary, self.max_tags)
+                for reply in replies]
+
+    def _generate_device(self, chunk):
+        """All-TPU generation: host tokenization -> flax vision encode ->
+        token/vision embedding merge -> jitted KV-cache greedy decode."""
+        import numpy as np
+
+        from facet_tpu.models.qwen_text import embed_tokens, rope_index_batch
+
+        encoder, decoder = self._device
+        prompt = self.build_prompt()
+        messages = [[{"role": "user",
+                      "content": [{"type": "image"},
+                                  {"type": "text", "text": prompt}]}]
+                    for _ in chunk]
+        texts = [self._processor.apply_chat_template(
+            m, tokenize=False, add_generation_prompt=True) for m in messages]
+        inputs = self._processor(text=texts, images=list(chunk),
+                                 return_tensors="np", padding=True)
+        ids = np.asarray(inputs["input_ids"])
+        valid = np.asarray(inputs["attention_mask"]).astype(bool)
+        grid_thw = np.asarray(inputs["image_grid_thw"])
+
+        # pad the prompt length to a bucket so decode programs are reused
+        bucket = -(-ids.shape[1] // 64) * 64
+        if bucket != ids.shape[1]:
+            extra = bucket - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, extra)))
+            valid = np.pad(valid, ((0, 0), (0, extra)))
+
+        vis = encoder.encode(np.asarray(inputs["pixel_values"], np.float32),
+                             grid_thw.tolist())
+        embeds = np.array(embed_tokens(decoder.params, ids), np.float32)
+        image_token_id = getattr(self._processor, "image_token_id", None) \
+            or self._processor.tokenizer.convert_tokens_to_ids("<|image_pad|>")
+        slots = np.nonzero(ids == image_token_id)
+        embeds[slots[0], slots[1]] = vis[:len(slots[0])]
+
+        pos, next_pos = rope_index_batch(ids, valid, grid_thw,
+                                         image_token_id)
+        tok = self._processor.tokenizer
+        eos = {tok.eos_token_id}
+        im_end = tok.convert_tokens_to_ids("<|im_end|>")
+        if im_end is not None and im_end >= 0:
+            eos.add(im_end)
+        out = decoder.generate(embeds, valid, pos, next_pos,
+                               np.asarray(sorted(eos), np.int32))
+        replies = []
+        eos_arr = np.asarray(sorted(eos))
+        for row in out:
+            stop = np.nonzero(np.isin(row, eos_arr))[0]
+            end = int(stop[0]) if len(stop) else len(row)
+            replies.append(tok.decode(row[:end], skip_special_tokens=True))
         return [parse_tag_output(reply, self.vocabulary, self.max_tags)
                 for reply in replies]
 

@@ -347,6 +347,53 @@ def convert_qwen_vision_ckpt(source_dir, out_dir):
     return False
 
 
+def convert_qwen_text_ckpt(source_dir, out_dir):
+    """Qwen2.5-VL checkpoint dir -> qwen25_text.npz (language model +
+    lm_head). With qwen25_vision.npz this enables the all-TPU tagging path
+    (models/vlm_tagger.py _load_device_path)."""
+    candidates = [d for d in (source_dir, os.path.join(source_dir, "qwen2.5-vl"))
+                  if os.path.isdir(d)]
+    wanted = ("model.language_model.", "language_model.", "model.layers.",
+              "model.embed_tokens.", "model.norm.", "lm_head.")
+    for base in candidates:
+        files = [f for f in sorted(os.listdir(base))
+                 if f.endswith((".safetensors", ".bin"))
+                 and "index" not in f]
+        text_sd = {}
+        for name in files:
+            path = os.path.join(base, name)
+            try:
+                if name.endswith(".safetensors"):
+                    from safetensors import safe_open
+
+                    with safe_open(path, framework="np") as fh:
+                        for key in fh.keys():
+                            if key.startswith(wanted):
+                                text_sd[key] = fh.get_tensor(key)
+                else:
+                    sd = _load_torch(path)
+                    text_sd.update({k: v for k, v in sd.items()
+                                    if k.startswith(wanted)})
+            except Exception as exc:
+                print(f"  skip {name}: {exc}")
+        if text_sd:
+            from facet_tpu.models.convert import save_params
+            from facet_tpu.models.qwen_text import (
+                QwenTextConfig,
+                convert_qwen_text,
+            )
+
+            cfg = QwenTextConfig(
+                tie_word_embeddings="lm_head.weight" not in text_sd)
+            save_params(convert_qwen_text(text_sd, cfg),
+                        os.path.join(out_dir, "qwen25_text.npz"))
+            print(f"converted qwen2.5-vl text decoder"
+                  f" ({len(text_sd)} tensors, tied={cfg.tie_word_embeddings})")
+            return True
+    print("skip: no Qwen2.5-VL checkpoint directory (text)")
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -362,6 +409,7 @@ def main():
     convert_arcface(args.source, args.out)
     convert_topiq_ckpt(args.source, args.out)
     convert_qwen_vision_ckpt(args.source, args.out)
+    convert_qwen_text_ckpt(args.source, args.out)
     build_tag_embeddings(args.out)
     print("done; for SCRFD/landmark (ONNX-only) run tools/convert_insightface.py"
           " — key maps and verification status in docs/CONVERTERS.md")
