@@ -42,11 +42,7 @@ def build_members(args):
 
     from facet_tpu.models.aesthetic import AestheticHead
     from facet_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
-    from facet_tpu.models.face_models import (
-        DetectorConfig,
-        SCRFDDetector,
-        decode_topk,
-    )
+    from facet_tpu.models.scrfd import SCRFD, SCRFD_10G, decode_topk
     from facet_tpu.models.samp_net import IMAGENET_MEAN, IMAGENET_STD, SAMPNet
     from facet_tpu.models.topiq import TOPIQConfig, TOPIQNet
     from facet_tpu.models.u2netp import U2NETP
@@ -120,9 +116,9 @@ def build_members(args):
 
         members["samp"] = lambda buf: samp_fwd(sp, up, buf)
 
-        # --- faces: device letterbox + SCRFD + device top-k decode
-        dcfg = DetectorConfig()
-        det = SCRFDDetector(dcfg)
+        # --- faces: device letterbox + exact SCRFD det_10g + top-k decode
+        dcfg = SCRFD_10G
+        det = SCRFD(dcfg)
         dp = det.init(jax.random.PRNGKey(10),
                       jnp.zeros((1, dcfg.input_size, dcfg.input_size, 3),
                                 jnp.float32))

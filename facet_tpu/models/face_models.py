@@ -1,31 +1,21 @@
-"""Face model stack in flax: detection, landmarks, recognition.
+"""Face model stack in flax: landmarks, recognition, host-side decode.
 
 Native JAX counterparts of the ONNX models the reference drives through
 insightface's buffalo_l bundle (analyzers/face.py:29-39):
 
-- SCRFDDetector: anchor-free face detector — ResNet stem + FPN with shared
-  heads at strides 8/16/32, two anchors per cell, distance-to-bbox decoding
-  and 5-point keypoints. Letterboxed 640x640 batched input; NMS on host.
-- LandmarkNet: 106-point 2D landmark regressor on 192x192 aligned crops.
+- detection lives in models/scrfd.py (exact det_10g transcription);
+- LandmarkNet: 106-point 2D landmark regressor on 192x192 aligned crops;
 - IResNet50: ArcFace recognition backbone on 112x112 aligned crops -> 512-d
-  embeddings.
+  embeddings (exact arcface_torch transcription, verified converter).
 
-All three run as one batched program each; per-face crops across a whole
+All models run as one batched program each; per-face crops across a whole
 image batch are gathered host-side then embedded in a single device call.
-Random-init fallback keeps the cls bias at a 1% prior so an unconverted
-detector cleanly detects nothing instead of spraying false positives.
 """
-
-from dataclasses import dataclass
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-# ---------------------------------------------------------------------------
-# Shared conv blocks
-# ---------------------------------------------------------------------------
 
 
 class ConvBN(nn.Module):
@@ -42,124 +32,6 @@ class ConvBN(nn.Module):
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
         return nn.relu(x) if self.act else x
-
-
-class ResBlock(nn.Module):
-    features: int
-    stride: int = 1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype)(x)
-        y = ConvBN(self.features, 3, 1, act=False, dtype=self.dtype)(y)
-        if x.shape[-1] != self.features or self.stride != 1:
-            x = ConvBN(self.features, 1, self.stride, act=False, dtype=self.dtype)(x)
-        return nn.relu(x + y)
-
-
-# ---------------------------------------------------------------------------
-# SCRFD-style detector
-# ---------------------------------------------------------------------------
-
-DET_STRIDES = (8, 16, 32)
-ANCHORS_PER_CELL = 2
-
-
-@dataclass(frozen=True)
-class DetectorConfig:
-    input_size: int = 640
-    channels: int = 64
-
-
-class SCRFDDetector(nn.Module):
-    config: DetectorConfig = DetectorConfig()
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        """x: (B, S, S, 3) float32 normalized. Returns per-stride
-        (scores (B,H,W,A), boxes (B,H,W,A,4), kps (B,H,W,A,10))."""
-        c = self.config.channels
-        # backbone: stem s4 then three stages -> strides 8/16/32
-        x = ConvBN(c // 2, 3, 2, dtype=self.dtype)(x)
-        x = ConvBN(c // 2, 3, 2, dtype=self.dtype)(x)
-        c3 = ResBlock(c, 2, dtype=self.dtype)(x)       # stride 8
-        c3 = ResBlock(c, 1, dtype=self.dtype)(c3)
-        c4 = ResBlock(c * 2, 2, dtype=self.dtype)(c3)  # stride 16
-        c4 = ResBlock(c * 2, 1, dtype=self.dtype)(c4)
-        c5 = ResBlock(c * 4, 2, dtype=self.dtype)(c4)  # stride 32
-        c5 = ResBlock(c * 4, 1, dtype=self.dtype)(c5)
-
-        # FPN
-        p5 = ConvBN(c, 1, 1, dtype=self.dtype)(c5)
-        p4 = ConvBN(c, 1, 1, dtype=self.dtype)(c4) + jax.image.resize(
-            p5, (p5.shape[0], c4.shape[1], c4.shape[2], c), "nearest")
-        p3 = ConvBN(c, 1, 1, dtype=self.dtype)(c3) + jax.image.resize(
-            p4, (p4.shape[0], c3.shape[1], c3.shape[2], c), "nearest")
-        p3 = ConvBN(c, 3, 1, dtype=self.dtype)(p3)
-        p4 = ConvBN(c, 3, 1, dtype=self.dtype)(p4)
-        p5 = ConvBN(c, 3, 1, dtype=self.dtype)(p5)
-
-        outputs = []
-        # shared head params across levels (SCRFD-style)
-        head = _DetHead(c, dtype=self.dtype, name="head")
-        for feat in (p3, p4, p5):
-            outputs.append(head(feat))
-        return outputs
-
-
-class _DetHead(nn.Module):
-    channels: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        t = ConvBN(self.channels, 3, 1, dtype=self.dtype)(x)
-        t = ConvBN(self.channels, 3, 1, dtype=self.dtype)(t)
-        a = ANCHORS_PER_CELL
-        # 1% prior on the cls logit: an unconverted detector stays silent
-        cls = nn.Conv(a, (3, 3), padding="SAME", dtype=self.dtype,
-                      bias_init=nn.initializers.constant(-4.595), name="cls")(t)
-        box = nn.Conv(a * 4, (3, 3), padding="SAME", dtype=self.dtype, name="box")(t)
-        kps = nn.Conv(a * 10, (3, 3), padding="SAME", dtype=self.dtype, name="kps")(t)
-        b, h, w, _ = cls.shape
-        return (jax.nn.sigmoid(cls),
-                box.reshape(b, h, w, a, 4),
-                kps.reshape(b, h, w, a, 10))
-
-
-def decode_topk(outputs, k=64):
-    """Device-side candidate selection: decode every anchor's bbox/kps and
-    keep the top-k by score per image.
-
-    Shrinks the detector's device->host transfer from the full score/box/kps
-    maps (~0.5 MB/image at 640px) to k small rows (~1 KB/image); host NMS
-    then runs over k candidates instead of every anchor. jit-safe.
-    """
-    all_scores, all_boxes, all_kps = [], [], []
-    for (scores, boxes, kps), stride in zip(outputs, DET_STRIDES):
-        b, h, w, a = scores.shape
-        cx = jnp.broadcast_to(((jnp.arange(w) + 0.5) * stride)[None, None, :, None],
-                              (b, h, w, a))
-        cy = jnp.broadcast_to(((jnp.arange(h) + 0.5) * stride)[None, :, None, None],
-                              (b, h, w, a))
-        d = boxes * stride
-        box = jnp.stack([cx - d[..., 0], cy - d[..., 1],
-                         cx + d[..., 2], cy + d[..., 3]], axis=-1)
-        pts = kps.reshape(b, h, w, a, 5, 2) * stride \
-            + jnp.stack([cx, cy], axis=-1)[..., None, :]
-        all_scores.append(scores.reshape(b, -1))
-        all_boxes.append(box.reshape(b, -1, 4))
-        all_kps.append(pts.reshape(b, -1, 5, 2))
-    scores = jnp.concatenate(all_scores, axis=1)
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    kps = jnp.concatenate(all_kps, axis=1)
-    k = min(k, scores.shape[1])
-    top, idx = jax.lax.top_k(scores, k)
-    bb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-    kk = jnp.take_along_axis(kps, idx[..., None, None], axis=1)
-    return top, bb, kk
 
 
 def topk_to_detections(top, boxes, kps, score_threshold=0.5):

@@ -27,15 +27,13 @@ from PIL import Image
 
 from facet_tpu.models.face_models import (
     ARCFACE_DST,
-    DetectorConfig,
     IResNet,
     LandmarkNet,
-    SCRFDDetector,
-    decode_topk,
     nms,
     topk_to_detections,
     umeyama_similarity,
 )
+from facet_tpu.models.scrfd import SCRFD, SCRFD_10G, decode_topk
 
 LEFT_EYE = [35, 39, 37, 38, 41, 40]
 RIGHT_EYE = [89, 93, 91, 92, 95, 94]
@@ -60,9 +58,9 @@ def average_ear(landmarks):
 
 class FacePipeline:
     def __init__(self, det_params, landmark_params, embed_params, config=None,
-                 det_config=DetectorConfig()):
+                 det_config=SCRFD_10G):
         self.det_config = det_config
-        self.detector = SCRFDDetector(det_config)
+        self.detector = SCRFD(det_config)
         self.landmark_net = LandmarkNet()
         self.embedder = IResNet()
         self.det_params = det_params
@@ -95,11 +93,11 @@ class FacePipeline:
 
         if cached is not None:
             return cls(cached["det"], cached["landmark"], cached["embed"], config)
-        det_config = DetectorConfig()
+        det_config = SCRFD_10G
         det = load_or_none("scrfd_detector")
         lmk = load_or_none("landmark_106")
         emb = load_or_none("arcface_iresnet50")
-        detector = SCRFDDetector(det_config)
+        detector = SCRFD(det_config)
         if det is None:
             from facet_tpu.models.checkpoints import _warn_once
 

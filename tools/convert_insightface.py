@@ -14,15 +14,17 @@ Strategy per model:
   naming (conv1.weight, layer1.0.bn1.*, fc.weight ...), so the same key map
   applies after stripping the exporter prefix.
 
-- det_10g (SCRFD) / 2d106det (landmarks): the graphs are exported from
-  mmdet-style models whose exact layer layout our flax modules approximate
-  rather than transcribe (see docs/CONVERTERS.md). This script therefore
-  runs in two modes:
-    --manifest  dump every initializer (name, shape, op context) to JSON so
-                the exact architecture can be transcribed from it;
-    --assign    order-based assignment onto the flax module where shapes
-                match, reporting every mismatch position instead of failing
-                silently.
+- det_10g (SCRFD): exact transcription in facet_tpu/models/scrfd.py. The
+  torch->ONNX export preserves the mmdet state-dict names as initializer
+  names, so conversion is name-mapped (models/scrfd.convert_scrfd) with a
+  config inferred from the graph (infer_scrfd_config) — variants other
+  than 10G reconstruct automatically. Self-diagnosing: every unconsumed /
+  missing key is printed.
+
+- 2d106det (landmarks): MXNet-exported graph; run with --manifest to dump
+  every initializer (name, shape, op context, conv attributes) to JSON,
+  then assign_by_order maps weights by shape in graph order, reporting
+  every mismatch position instead of failing silently.
 """
 
 import argparse
@@ -36,26 +38,44 @@ import numpy as np
 
 
 def load_onnx_initializers(path):
-    """-> ordered [(name, array)] + [(node op_type, [input names])]."""
+    """-> ordered [(name, array)] + [(op_type, [inputs], {attrs})]."""
     import onnx
     from onnx import numpy_helper
 
     model = onnx.load(path)
     graph = model.graph
     inits = [(t.name, numpy_helper.to_array(t)) for t in graph.initializer]
-    nodes = [(n.op_type, list(n.input)) for n in graph.node]
+    nodes = []
+    for n in graph.node:
+        attrs = {}
+        for a in n.attribute:
+            if a.type == onnx.AttributeProto.INTS:
+                attrs[a.name] = list(a.ints)
+            elif a.type == onnx.AttributeProto.INT:
+                attrs[a.name] = a.i
+        nodes.append((n.op_type, list(n.input), attrs))
     return inits, nodes
 
 
 def build_manifest(inits, nodes):
-    """Initializer manifest: which op consumes each tensor, in graph order."""
+    """Initializer manifest: which op consumes each tensor (with conv
+    strides/group attributes), in graph order."""
     consumer = {}
-    for op_type, inputs in nodes:
+    for node in nodes:
+        op_type, inputs = node[0], node[1]
+        attrs = node[2] if len(node) > 2 else {}
         for name in inputs:
-            consumer.setdefault(name, op_type)
-    return [{"name": name, "shape": list(arr.shape),
-             "dtype": str(arr.dtype), "op": consumer.get(name, "?")}
-            for name, arr in inits]
+            consumer.setdefault(name, (op_type, attrs))
+    out = []
+    for name, arr in inits:
+        op, attrs = consumer.get(name, ("?", {}))
+        entry = {"name": name, "shape": list(arr.shape),
+                 "dtype": str(arr.dtype), "op": op}
+        if op == "Conv" and attrs:
+            entry["strides"] = attrs.get("strides")
+            entry["group"] = attrs.get("group", 1)
+        out.append(entry)
+    return out
 
 
 def assign_by_order(manifest, slots):
@@ -129,6 +149,23 @@ def main():
 
     if "w600k" in base or "arcface" in base:
         convert_arcface_onnx(args.model, args.out)
+        return 0
+
+    if "det_" in base or "scrfd" in base.lower():
+        from facet_tpu.models.convert import save_params
+        from facet_tpu.models.scrfd import convert_scrfd, infer_scrfd_config
+
+        cfg = infer_scrfd_config(manifest)
+        print(f"inferred SCRFD config: stem {cfg.stem_channels}/"
+              f"{cfg.base_channels}, blocks {cfg.stage_blocks}, planes"
+              f" {cfg.stage_planes}, neck {cfg.neck_channels}, head"
+              f" {cfg.feat_channels}x{cfg.stacked_convs}")
+        tree, report = convert_scrfd(dict(inits), cfg)
+        if report["missing"]:
+            print(f"WARNING: {len(report['missing'])} module params kept"
+                  " init values — check the report above")
+        save_params(tree, os.path.join(args.out, "scrfd_detector.npz"))
+        print("converted scrfd_detector from ONNX")
         return 0
 
     print(f"{base}: no exact flax transcription yet — run with --manifest"
