@@ -40,6 +40,17 @@ def load_or_none(name):
     return None
 
 
+def load_landmark_graph():
+    """Exact 2d106det: a serialized ONNX graph (models/onnx_exec.py) written
+    by tools/convert_insightface.py, executed directly on device."""
+    path = checkpoint_path("landmark_106_graph")
+    if os.path.exists(path):
+        from facet_tpu.models.onnx_exec import load_graph
+
+        return load_graph(path)
+    return None
+
+
 def clip_vision_config_from(clip_settings):
     """CLIPVisionConfig from the scoring config's models.clip.architecture
     block (absent keys -> ViT-L/14 defaults; tests use tiny overrides)."""

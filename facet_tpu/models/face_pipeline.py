@@ -84,6 +84,23 @@ class FacePipeline:
         self._mesh = default_mesh()
         self._landmarks = jax.jit(self.landmark_net.apply)
         self._embed = jax.jit(self.embedder.apply)
+        # exact 2d106det path: the serialized ONNX graph executes directly
+        # (models/onnx_exec.py) when converted — parity by construction
+        from facet_tpu.models.checkpoints import load_landmark_graph
+
+        self._landmark_graph = load_landmark_graph()
+
+    def _run_landmarks(self, crops_u8):
+        """(N, 192, 192, 3) uint8 crops -> (N, 106, 2) crop-space coords."""
+        if self._landmark_graph is not None:
+            # insightface Landmark preprocessing: raw RGB, mean 0 / std 1,
+            # NCHW; output in [-1, 1] mapped to pixels by (x+1)*(192/2)
+            x = crops_u8.astype(np.float32).transpose(0, 3, 1, 2)
+            out = np.asarray(jax.device_get(self._landmark_graph(x)[0]))
+            return (out.reshape(-1, 106, 2) + 1.0) * 96.0
+        x = (crops_u8.astype(np.float32) - 127.5) / 127.5
+        return np.asarray(jax.device_get(self._landmarks(
+            self.landmark_params, jnp.asarray(x))))
 
     # -------------------------------------------------------------- factory
 
@@ -209,8 +226,7 @@ class FacePipeline:
                 lmk_meta.append(meta)
             embeddings = np.asarray(jax.device_get(self._embed(
                 self.embed_params, jnp.asarray(aligned))))
-            lmk_out = np.asarray(jax.device_get(self._landmarks(
-                self.landmark_params, jnp.asarray(np.stack(lmk_crops)))))
+            lmk_out = self._run_landmarks(np.stack(lmk_crops))
         results = []
         job_pos = 0
         for i, image in enumerate(images):
@@ -257,8 +273,7 @@ class FacePipeline:
         if sx2 > sx1 and sy2 > sy1:
             crop[sy1 - y1:sy2 - y1, sx1 - x1:sx2 - x1] = image[sy1:sy2, sx1:sx2]
         resized = cv2.resize(crop, (192, 192))
-        return (resized.astype(np.float32) - 127.5) / 127.5, \
-            (np.array([cx, cy], np.float32), float(size))
+        return resized, (np.array([cx, cy], np.float32), float(size))
 
     def _crop_thumbnail(self, image, bbox, size=128, quality=85):
         h, w = image.shape[:2]

@@ -38,7 +38,10 @@ import numpy as np
 
 
 def load_onnx_initializers(path):
-    """-> ordered [(name, array)] + [(op_type, [inputs], {attrs})]."""
+    """-> ordered [(name, array)] + [(op_type, [ins], [outs], {attrs})].
+
+    Constant nodes are folded into the initializer list so GraphRunner
+    (facet_tpu/models/onnx_exec.py) sees a pure dataflow graph."""
     import onnx
     from onnx import numpy_helper
 
@@ -53,7 +56,16 @@ def load_onnx_initializers(path):
                 attrs[a.name] = list(a.ints)
             elif a.type == onnx.AttributeProto.INT:
                 attrs[a.name] = a.i
-        nodes.append((n.op_type, list(n.input), attrs))
+            elif a.type == onnx.AttributeProto.FLOAT:
+                attrs[a.name] = a.f
+            elif a.type == onnx.AttributeProto.STRING:
+                attrs[a.name] = a.s.decode()
+            elif a.type == onnx.AttributeProto.TENSOR:
+                attrs[a.name] = numpy_helper.to_array(a.t)
+        if n.op_type == "Constant":
+            inits.append((n.output[0], attrs.get("value")))
+            continue
+        nodes.append((n.op_type, list(n.input), list(n.output), attrs))
     return inits, nodes
 
 
@@ -63,7 +75,7 @@ def build_manifest(inits, nodes):
     consumer = {}
     for node in nodes:
         op_type, inputs = node[0], node[1]
-        attrs = node[2] if len(node) > 2 else {}
+        attrs = node[3] if len(node) > 3 else {}
         for name in inputs:
             consumer.setdefault(name, (op_type, attrs))
     out = []
@@ -168,9 +180,22 @@ def main():
         print("converted scrfd_detector from ONNX")
         return 0
 
-    print(f"{base}: no exact flax transcription yet — run with --manifest"
-          " and follow docs/CONVERTERS.md to transcribe the graph")
-    return 1
+    # 2d106det and any other small ONNX model: serialize the graph itself
+    # and execute it exactly (facet_tpu/models/onnx_exec.py)
+    from facet_tpu.models.onnx_exec import GraphRunner, save_graph
+
+    name = "landmark_106_graph" if "106" in base else f"{base}_graph"
+    try:
+        GraphRunner(inits, nodes)      # validates the op set up front
+    except (NotImplementedError, ValueError) as exc:
+        print(f"{base}: cannot execute this graph ({exc}) — run with"
+              " --manifest and follow docs/CONVERTERS.md")
+        return 1
+    out = os.path.join(args.out, f"{name}.npz")
+    save_graph(out, inits, nodes)
+    print(f"serialized {base} -> {out} ({len(inits)} tensors,"
+          f" {len(nodes)} nodes); executes via GraphRunner")
+    return 0
 
 
 if __name__ == "__main__":
