@@ -1,100 +1,124 @@
-"""Pallas TPU kernel: H-S joint histogram for the color-harmony entropy.
+"""Pallas TPU kernel: H-S joint entropy with VMEM-resident one-hots.
 
-The color-harmony metric needs the entropy of the 180x256 hue-saturation
-joint histogram over every pixel (reference analyzers/technical.py:79-113).
-The XLA one-hot-matmul formulation is MXU-correct but materializes the
-(pixels, 180) and (pixels, 256) one-hot operands to HBM between the compare
-and the dot (~22 GB of traffic per 16-image batch at 1.5 MP — measured 45 ms
-of the 70 ms total, tools/bench_entropy.py). This kernel builds the one-hot
-tiles in VMEM, feeds the MXU directly, and accumulates the per-image joint
-histogram in a resident VMEM output block, so HBM traffic is just the pixel
-stream (int32 hue/sat in, 180x256 counts out).
+MEASURED AND REJECTED as the production path — kept, with its parity test,
+as the measured record (decision table: docs/PERF.md).
 
-Counts accumulate in f32: every bin count is < 2^24 at any supported image
-size (16.7M pixels), so f32 accumulation stays exact.
+The hypothesis: XLA's entropy formulation (ops/stats.py) materializes bf16
+one-hot operands to HBM between the compare and the dot (~1.4 GB per
+1.5 MP image), so building them in VMEM inside one kernel should win. Per
+chunk of pixel codes the kernel builds both one-hots in the same
+(bins, pixels) orientation —
 
-Layout: hue/sat arrive as (B, N) int32 with B padded to a multiple of
-ROW_BLOCK and N to a multiple of CHUNK (pad hue with -1 so padding matches
-no bin). Grid is (B // ROW_BLOCK, N // CHUNK); each step handles ROW_BLOCK
-images' pixel chunks, and the output block stays resident across a row
-group's chunk steps (index map ignores the chunk axis), zeroed at step 0.
+    oh_ht (192, K)  =  (hue_iota_sublane == h_lane)     — 180 padded to 192
+    oh_st (256, K)  =  (sat_iota_sublane == s_lane)
+
+— contracts over the pixel (lane) dimension of both operands (the
+flash-attention Q@K^T form) and accumulates the (192, 256) f32 joint
+histogram in VMEM scratch; counts stay exact (< 2^24) and the final grid
+step reduces the entropy scalar.
+
+The measurement (TPU v5e, 1.5 MP): 6.9-7.7 ms/image, and an ablation with
+CONSTANT operands shows the MXU `dot_general` alone costs all of it — a
+192x256-output matmul inside a pallas kernel runs on ~1 MXU (~20 TFLOP/s)
+because Mosaic does not split the huge contraction dimension across MXUs.
+XLA's compare+dot DOES K-split and reaches ~50 TFLOP/s (3.05 ms/image),
+so the one-hot HBM round trip it pays is cheaper than the MXUs pallas
+leaves idle. bf16 vs int8 operands and operand orientation moved the
+needle <10%.
+
+Padding pixels carry hue 255 (matches no row 0..191) so they vanish from
+the histogram; the valid-pixel count arrives as a prefetched scalar.
+tests/test_pallas_entropy.py checks interpreter-mode parity against the
+XLA formulation and a numpy oracle.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Pixels per image per grid step. One-hot temporaries at 2K pixels:
-# (2048, 180) + (2048, 256) bf16 = 1.8 MB, inside the 16 MB scoped VMEM
-# alongside the double-buffered (ROW_BLOCK, 2048) int32 input blocks and
-# the resident (ROW_BLOCK, 180, 256) f32 accumulator (1.5 MB).
-CHUNK = 4096
-# Images per block row: satisfies the sublane-divisibility rule (8) for the
-# (ROW_BLOCK, CHUNK) int32 input blocks.
-ROW_BLOCK = 8
+CHUNK = 8192
+ROWS = 8         # chunk-rows per block: (8, CHUNK) int32 blocks tile cleanly
+H_PAD = 192      # 180 hue bins padded to the bf16 sublane tile (16)
+PAD_HUE = 255    # padding marker: matches no hue row
 
 
-def _hist_kernel(h_ref, s_ref, out_ref):
-    j = pl.program_id(1)
+def _make_kernel(n_valid):
+    """n_valid is static (H*W): no scalar prefetch needed."""
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    def _entropy_kernel(h_ref, s_ref, out_ref, acc_ref):
+        """Grid (B, nblocks); h_ref/s_ref blocks are (ROWS, CHUNK) int32 and
+        acc_ref (H_PAD, 256) f32 persists across the block dimension."""
+        bi = pl.program_id(0)
+        ci = pl.program_id(1)
+        nblocks = pl.num_programs(1)
 
-    # Unrolled over rows: construction (VPU) of row r+1 is independent of
-    # row r's dot (MXU), letting Mosaic overlap the two units.
-    for r in range(ROW_BLOCK):
-        hc = h_ref[r, :]
-        sc = s_ref[r, :]
-        oh_h = (hc[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, 180), 1)).astype(jnp.bfloat16)
-        oh_s = (sc[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (CHUNK, 256), 1)).astype(jnp.bfloat16)
-        out_ref[r] += jax.lax.dot_general(
-            oh_h, oh_s, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        @pl.when(ci == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        hue_ids = jax.lax.broadcasted_iota(jnp.int32, (H_PAD, 1), 0)
+        sat_ids = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+        acc = jnp.zeros((H_PAD, 256), jnp.float32)
+        for r in range(ROWS):
+            h_row = h_ref[r:r + 1, :]                         # (1, CHUNK)
+            s_row = s_ref[r:r + 1, :]
+            oh_ht = (hue_ids == h_row).astype(jnp.bfloat16)   # (H_PAD, K)
+            oh_st = (sat_ids == s_row).astype(jnp.bfloat16)   # (256, K)
+            acc = acc + jax.lax.dot_general(
+                oh_ht, oh_st, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc_ref[:] += acc
+
+        @pl.when(ci == nblocks - 1)
+        def _():
+            p = acc_ref[:] * (1.0 / float(n_valid))
+            logp = jnp.where(p > 0.0,
+                             jnp.log2(jnp.where(p > 0.0, p, 1.0)), 0.0)
+            out_ref[bi, 0] = -jnp.sum(p * logp)
+
+    return _entropy_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def hs_joint_hist_pallas(hh, ss, interpret=False):
-    """(B, N) int32 hue 0..179 (<0 = padding) and sat 0..255 -> (B, 180, 256)
-    f32 exact joint-histogram counts. Pads B and N internally."""
-    b, n = hh.shape
-    bp = ((b + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK
-    np_ = ((n + CHUNK - 1) // CHUNK) * CHUNK
-    if (bp, np_) != (b, n):
-        hh = jnp.pad(hh, ((0, bp - b), (0, np_ - n)), constant_values=-1)
-        ss = jnp.pad(ss, ((0, bp - b), (0, np_ - n)))
-    hist = pl.pallas_call(
-        _hist_kernel,
-        grid=(bp // ROW_BLOCK, np_ // CHUNK),
+@functools.partial(jax.jit, static_argnames=("n_valid", "interpret"))
+def _entropy_call(hh, ss, n_valid, interpret=False):
+    """hh/ss: (B, n_pad) int32 with n_pad a multiple of ROWS*CHUNK."""
+    b, n_pad = hh.shape
+    nblocks = n_pad // (ROWS * CHUNK)
+    rows_total = b * n_pad // CHUNK
+    hh = hh.reshape(rows_total, CHUNK)
+    ss = ss.reshape(rows_total, CHUNK)
+    out = pl.pallas_call(
+        _make_kernel(n_valid),
+        grid=(b, nblocks),
         in_specs=[
-            pl.BlockSpec((ROW_BLOCK, CHUNK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, CHUNK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, CHUNK),
+                         lambda b_, c: (b_ * nblocks + c, 0)),
+            pl.BlockSpec((ROWS, CHUNK),
+                         lambda b_, c: (b_ * nblocks + c, 0)),
         ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, 180, 256), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, 180, 256), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * bp * np_ * (180 + 256) * 128,
-            bytes_accessed=2 * bp * np_ * 4 + bp * 180 * 256 * 4,
-            transcendentals=0,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((H_PAD, 256), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         interpret=interpret,
     )(hh, ss)
-    return hist[:b]
+    return out[:, 0]
 
 
-def hs_entropy_pallas(hh, ss, interpret=False):
-    """(B, N) hue/sat -> (B,) joint entropy in bits (padding: hue < 0)."""
-    hist = hs_joint_hist_pallas(hh, ss, interpret=interpret)
-    total = jnp.maximum(jnp.sum(hist, axis=(-2, -1), keepdims=True), 1.0)
-    prob = hist / total
-    return -jnp.sum(
-        jnp.where(prob > 0, prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)),
-                  0.0), axis=(-2, -1))
+def hs_entropy_pallas(hh, ss, n_valid=None, interpret=False):
+    """(B, N) int32 hue bins / saturations -> (B,) joint entropy in bits.
+
+    Pads N to the block size with out-of-range hue markers; n_valid
+    defaults to N (pass it when the caller already padded)."""
+    b, n = hh.shape
+    if n_valid is None:
+        n_valid = n
+    block = ROWS * CHUNK
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        hh = jnp.pad(hh, ((0, 0), (0, n_pad - n)), constant_values=PAD_HUE)
+        ss = jnp.pad(ss, ((0, 0), (0, n_pad - n)))
+    return _entropy_call(hh, ss, int(n_valid), interpret)

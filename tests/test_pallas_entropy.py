@@ -1,67 +1,50 @@
-"""hs_joint_hist_pallas / hs_entropy_pallas tests (interpret mode on CPU;
-the compiled TPU path was verified on hardware to 2.9e-6 vs the same
-oracle — tools/bench_entropy.py)."""
+"""Interpreter-mode parity for the (measured-and-rejected) pallas H-S
+entropy kernel: exact agreement with a numpy histogram oracle and with the
+production XLA formulation in ops/stats.py."""
 
 import numpy as np
-import pytest
-
-from facet_tpu.ops.pallas_entropy import (
-    CHUNK,
-    ROW_BLOCK,
-    hs_entropy_pallas,
-    hs_joint_hist_pallas,
-)
 
 
-def _oracle_hist(hh, ss):
-    b = hh.shape[0]
-    out = np.zeros((b, 180, 256), np.float32)
-    for i in range(b):
-        valid = hh[i] >= 0
-        np.add.at(out[i], (hh[i][valid], ss[i][valid]), 1.0)
-    return out
+def oracle_entropy(hh, ss):
+    out = []
+    for i in range(hh.shape[0]):
+        hist, _, _ = np.histogram2d(hh[i], ss[i], bins=[180, 256],
+                                    range=[[0, 180], [0, 256]])
+        p = hist / hist.sum()
+        nz = p > 0
+        out.append(-(p[nz] * np.log2(p[nz])).sum())
+    return np.array(out)
 
 
-def test_joint_hist_matches_oracle():
-    rng = np.random.default_rng(0)
-    b, n = 3, CHUNK * 2
-    hh = rng.integers(0, 180, (b, n), np.int32)
-    ss = rng.integers(0, 256, (b, n), np.int32)
-    hist = np.asarray(hs_joint_hist_pallas(hh, ss, interpret=True))
-    assert hist.shape == (b, 180, 256)
-    assert np.array_equal(hist, _oracle_hist(hh, ss))
+class TestPallasEntropy:
+    def test_matches_oracle_interpret_mode(self):
+        import jax.numpy as jnp
 
+        from facet_tpu.ops.pallas_entropy import hs_entropy_pallas
 
-def test_padding_rows_and_pixels_excluded():
-    """Batch padded to ROW_BLOCK and pixels padded to CHUNK with hue=-1
-    must land in no bin."""
-    rng = np.random.default_rng(1)
-    b, n = 2, CHUNK + 37          # forces both paddings internally
-    hh = rng.integers(0, 180, (b, n), np.int32)
-    ss = rng.integers(0, 256, (b, n), np.int32)
-    hh[0, 5:9] = -1               # explicit caller-side padding markers
-    hist = np.asarray(hs_joint_hist_pallas(hh, ss, interpret=True))
-    oracle = _oracle_hist(hh, ss)
-    assert np.array_equal(hist, oracle)
-    assert hist[0].sum() == n - 4
-    assert hist[1].sum() == n
+        rng = np.random.default_rng(0)
+        b, n = 2, 4000        # forces padding to the 64K block
+        hh = (rng.gamma(2.0, 12.0, (b, n)).astype(np.int32)) % 180
+        ss = rng.integers(0, 256, (b, n)).astype(np.int32)
+        got = np.asarray(hs_entropy_pallas(
+            jnp.asarray(hh), jnp.asarray(ss), interpret=True))
+        np.testing.assert_allclose(got, oracle_entropy(hh, ss),
+                                   atol=1e-5, rtol=1e-5)
 
+    def test_matches_xla_formulation(self):
+        import jax
+        import jax.numpy as jnp
 
-def test_entropy_matches_numpy():
-    rng = np.random.default_rng(2)
-    b, n = ROW_BLOCK, CHUNK
-    hh = rng.integers(0, 180, (b, n), np.int32)
-    ss = rng.integers(0, 256, (b, n), np.int32)
-    ent = np.asarray(hs_entropy_pallas(hh, ss, interpret=True))
-    for i in range(b):
-        counts = np.bincount(hh[i] * 256 + ss[i], minlength=180 * 256)
-        p = counts[counts > 0] / n
-        expected = -(p * np.log2(p)).sum()
-        assert ent[i] == pytest.approx(expected, abs=1e-4)
+        from facet_tpu.ops.pallas_entropy import hs_entropy_pallas
+        from facet_tpu.ops.stats import _batch_stats_impl
 
+        rng = np.random.default_rng(1)
+        rgb = rng.integers(0, 256, (2, 24, 32, 3)).astype(np.uint8)
+        from facet_tpu.ops.colorspace import rgb_to_hsv
 
-def test_all_padding_image_yields_zero_entropy():
-    hh = np.full((1, CHUNK), -1, np.int32)
-    ss = np.zeros((1, CHUNK), np.int32)
-    ent = np.asarray(hs_entropy_pallas(hh, ss, interpret=True))
-    assert ent[0] == 0.0
+        hh, ss, _ = rgb_to_hsv(jnp.asarray(rgb))
+        want = np.asarray(jax.device_get(
+            _batch_stats_impl(jnp.asarray(rgb))[2]))
+        got = np.asarray(hs_entropy_pallas(
+            hh.reshape(2, -1), ss.reshape(2, -1), interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
