@@ -422,11 +422,13 @@ function barChart(canvasId, labels, values, color) {
 }
 
 async function loadStats() {
-  const [overview, dist, gear, timeline, cats, corr] = await Promise.all([
-    api("/api/stats/overview"), api("/api/stats/score_distribution"),
-    api("/api/stats/gear"), api("/api/stats/timeline"),
-    api("/api/stats/categories"),
-    api("/api/stats/correlations").catch(() => null)]);
+  const [overview, dist, gear, timeline, cats, corr, settings] =
+    await Promise.all([
+      api("/api/stats/overview"), api("/api/stats/score_distribution"),
+      api("/api/stats/gear"), api("/api/stats/timeline"),
+      api("/api/stats/categories"),
+      api("/api/stats/correlations").catch(() => null),
+      api("/api/stats/settings").catch(() => null)]);
   const cards = [
     ["Photos", overview.total_photos], ["Avg", overview.avg_score],
     ["Faces", overview.faces], ["People", overview.persons],
@@ -457,6 +459,61 @@ async function loadStats() {
       .map(([metric, r]) => ({ metric, r: r.toFixed(3) }));
     document.getElementById("correlation-table").innerHTML =
       table(rows, ["Metric", "R"]);
+  }
+  if (settings) {
+    // bucket the long tails so the histograms stay readable
+    const bucketed = (rows, buckets) => {
+      const counts = new Array(buckets.length).fill(0);
+      for (const row of rows) {
+        const v = Number(row.value);
+        let i = buckets.findIndex((b) => v <= b);
+        if (i < 0) i = buckets.length - 1;
+        counts[i] += row.count;
+      }
+      return counts;
+    };
+    const isoB = [100, 200, 400, 800, 1600, 3200, 6400, 12800, 102400];
+    barChart("iso-chart", isoB.map((b) => "≤" + b),
+             bucketed(settings.iso || [], isoB), "#c98a3d");
+    const apB = [1.4, 2, 2.8, 4, 5.6, 8, 11, 16, 32];
+    barChart("aperture-chart", apB.map((b) => "f" + b),
+             bucketed(settings.aperture || [], apB), "#7a5cc9");
+    const flB = [24, 35, 50, 85, 135, 200, 400, 800];
+    barChart("focal-chart", flB.map((b) => b + "mm"),
+             bucketed(settings.focal_length || [], flB), "#3da3a0");
+  }
+  loadCategoryMetrics(cats.categories.map((c) => c.category));
+}
+
+async function loadCategoryMetrics(categories) {
+  const select = document.getElementById("metrics-category");
+  if (!select.options.length) {
+    select.innerHTML = categories.map(
+      (c) => `<option value="${c}">${c}</option>`).join("");
+    select.addEventListener("change", () => loadCategoryMetrics(categories));
+  }
+  const cat = select.value || categories[0];
+  if (!cat) return;
+  try {
+    const data = await api("/api/stats/category_metrics?category=" +
+                           encodeURIComponent(cat));
+    // endpoint returns raw per-photo vectors; summarize client-side
+    const rows = Object.entries(data.metrics || {})
+      .filter(([, v]) => v.length)
+      .map(([metric, v]) => ({
+        metric,
+        avg: (v.reduce((a, b) => a + b, 0) / v.length).toFixed(2),
+        min: Math.min(...v).toFixed(2),
+        max: Math.max(...v).toFixed(2),
+      }));
+    const cols = ["Metric", "Avg", "Min", "Max"];
+    document.getElementById("category-metrics-table").innerHTML =
+      "<table><tr>" + cols.map((c) => `<th>${c}</th>`).join("") + "</tr>" +
+      rows.map((r) => "<tr>" + cols.map((c) =>
+        `<td>${r[c.toLowerCase()]}</td>`).join("") + "</tr>").join("") +
+      "</table>";
+  } catch (err) {
+    document.getElementById("category-metrics-table").textContent = "";
   }
 }
 
