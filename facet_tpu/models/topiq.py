@@ -29,33 +29,40 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 class Bottleneck(nn.Module):
     features: int
     stride: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
-        y = nn.BatchNorm(use_running_average=True)(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=True)(y)
+                    padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=True)(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(y)
         if self.stride != 1 or x.shape[-1] != self.features * 4:
             x = nn.Conv(self.features * 4, (1, 1),
                         strides=(self.stride, self.stride), use_bias=False,
-                        name="down_conv")(x)
-            x = nn.BatchNorm(use_running_average=True, name="down_bn")(x)
+                        dtype=self.dtype, name="down_conv")(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+                             name="down_bn")(x)
         return nn.relu(x + y)
 
 
 class ResNet50Stages(nn.Module):
     """Returns feature maps C2 (s4, 256) .. C5 (s32, 2048)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=True)(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
@@ -63,7 +70,7 @@ class ResNet50Stages(nn.Module):
         for stage, (feats, blocks, stride) in enumerate(
                 ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2))):
             for i in range(blocks):
-                x = Bottleneck(feats, stride if i == 0 else 1,
+                x = Bottleneck(feats, stride if i == 0 else 1, self.dtype,
                                name=f"layer{stage + 1}_{i}")(x)
             stages.append(x)
         return stages
@@ -72,19 +79,21 @@ class ResNet50Stages(nn.Module):
 class CrossAttentionBlock(nn.Module):
     width: int
     heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+    q_chunk: int = 4096     # bound the (Q, K) score buffer per step
 
     @nn.compact
     def __call__(self, queries, context):
-        q_in = nn.LayerNorm()(queries)
-        kv_in = nn.LayerNorm()(context)
+        q_in = nn.LayerNorm(dtype=jnp.float32)(queries)
+        kv_in = nn.LayerNorm(dtype=jnp.float32)(context)
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.width, name="cross")(
-            q_in, kv_in)
+            num_heads=self.heads, qkv_features=self.width,
+            dtype=self.dtype, name="cross")(q_in, kv_in)
         x = queries + attn
-        y = nn.LayerNorm()(x)
-        y = nn.Dense(self.width * 2)(y)
+        y = nn.LayerNorm(dtype=jnp.float32)(x)
+        y = nn.Dense(self.width * 2, dtype=self.dtype)(y)
         y = nn.gelu(y)
-        y = nn.Dense(self.width)(y)
+        y = nn.Dense(self.width, dtype=self.dtype)(y)
         return x + y
 
 
@@ -102,26 +111,29 @@ class TOPIQConfig:
 
 class TOPIQNet(nn.Module):
     config: TOPIQConfig = TOPIQConfig()
+    dtype: jnp.dtype = jnp.float32
+    attn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, 3) ImageNet-normalized -> (B,) quality in [0, 1]."""
         w = self.config.width
-        stages = ResNet50Stages(name="backbone")(x)
+        stages = ResNet50Stages(self.dtype, name="backbone")(x)
 
         tokens = []
         for i, feat in enumerate(stages):
-            proj = nn.Conv(w, (1, 1), name=f"proj{i}")(feat)
+            proj = nn.Conv(w, (1, 1), dtype=self.dtype, name=f"proj{i}")(feat)
             b, fh, fw, _ = proj.shape
             tokens.append(proj.reshape(b, fh * fw, w))
 
         # coarse-to-fine: each finer scale queries the fused coarser tokens
         fused = tokens[-1]
-        fused = CrossAttentionBlock(w, self.config.heads,
+        fused = CrossAttentionBlock(w, self.config.heads, self.attn_dtype,
                                     name="self_top")(fused, fused)
         for level in range(len(tokens) - 2, -1, -1):
             fused = CrossAttentionBlock(
-                w, self.config.heads, name=f"cross{level}")(tokens[level], fused)
+                w, self.config.heads, self.attn_dtype,
+                name=f"cross{level}")(tokens[level], fused)
 
         # attention pooling
         gate = nn.Dense(1, name="pool_gate")(nn.LayerNorm(name="pool_norm")(fused))
@@ -140,9 +152,11 @@ class TOPIQScorer:
 
     score_range = (0.0, 1.0)
 
-    def __init__(self, params, config=TOPIQConfig()):
+    def __init__(self, params, config=TOPIQConfig(), dtype=jnp.float32):
         self.config = config
-        self.net = TOPIQNet(config)
+        # f32 throughout: bf16 convs measured 55% SLOWER on v5e (and bf16
+        # attention never finished compiling) — docs/PERF.md
+        self.net = TOPIQNet(config, dtype=dtype)
         self.params = params
         self._programs = {}     # (h, w) -> jitted resize+normalize+forward
         self._placed = None     # params replicated onto the dp mesh
