@@ -83,6 +83,32 @@ def _tiled_sum(x2d, tile=SUM_TILE):
         axis=2, dtype=jnp.int32)
 
 
+def _split_sum(partials, shift):
+    """Exact int64-range reduction of int32 partials as TWO int32 scalars.
+
+    Each partial p = (p >> shift) * 2^shift + (p & mask) (arithmetic shift,
+    exact for negatives too); summing the hi and lo streams separately
+    keeps both within int32. Per-family shifts bound both streams up to
+    16k x 16k images: sat/lap/imm use 12 (partials <= ~3e7 over <= 512k
+    tiles), lapsq uses 16 (partials <= 2^31 over <= 32k segments). The
+    host recombines hi * 2^shift + lo in Python ints.
+
+    Why: shrinks the device->host result from a per-tile array (~1 MB per
+    batch-64) to 8 B per image — this harness's relay moves ~20 MB/s, so
+    the tile arrays cost real milliseconds per step; on a real VM it still
+    trims PCIe traffic and host-side summation work.
+    """
+    flat = partials.reshape(partials.shape[0], -1)
+    hi = jnp.sum(flat >> shift, axis=1, dtype=jnp.int32)
+    lo = jnp.sum(flat & ((1 << shift) - 1), axis=1, dtype=jnp.int32)
+    return jnp.stack([hi, lo], axis=1)     # (B, 2)
+
+
+def split_total(pair, shift):
+    """Host side of _split_sum: (2,) int32 -> exact Python int."""
+    return (int(pair[0]) << shift) + int(pair[1])
+
+
 def hs_entropy_sorted(hh, ss, n_valid=None):
     """H-S joint entropy via sort + run-length scan (no histogram at all).
 
@@ -217,7 +243,9 @@ def _batch_stats_impl(rgb_batch):
 
     entropy = jax.lax.map(per_image, (hp, sp))
 
-    return gray_hist, sat_tiles, entropy, lap_tiles, lapsq_tiles, imm_tiles
+    return (gray_hist, _split_sum(sat_tiles, 12), entropy,
+            _split_sum(lap_tiles, 12), _split_sum(lapsq_tiles, 16),
+            _split_sum(imm_tiles, 12))
 
 
 _batch_stats = jax.jit(_batch_stats_impl)
@@ -262,11 +290,11 @@ def compute_batch_stats(images):
                     height=h,
                     width=w,
                     gray_hist=np.asarray(gray_h[j]),
-                    sat_sum=int(np.asarray(sat_t[j], np.int64).sum()),
+                    sat_sum=split_total(sat_t[j], 12),
                     hs_entropy=float(entropy[j]),
-                    lap_sum=int(np.asarray(lap_t[j], np.int64).sum()),
-                    lap_sumsq=int(np.asarray(lapsq_t[j], np.int64).sum()),
-                    imm_abs_sum=int(np.asarray(imm_t[j], np.int64).sum()),
+                    lap_sum=split_total(lap_t[j], 12),
+                    lap_sumsq=split_total(lapsq_t[j], 16),
+                    imm_abs_sum=split_total(imm_t[j], 12),
                 )
             pos += len(chunk)
     return results

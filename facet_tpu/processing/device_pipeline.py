@@ -161,7 +161,7 @@ class FusedScorer:
         """List of RGB uint8 arrays -> aligned list of
         (aesthetic, embedding_bytes, phash_hex, ImageStats)."""
         from facet_tpu.ops.phash import _bits_to_hex
-        from facet_tpu.ops.stats import ImageStats
+        from facet_tpu.ops.stats import ImageStats, split_total
 
         results = [None] * len(images)
         by_shape = {}
@@ -174,12 +174,11 @@ class FusedScorer:
                 stats = ImageStats(
                     height=h, width=w,
                     gray_hist=np.asarray(out["gray_hist"][j]),
-                    sat_sum=int(np.asarray(out["sat_tiles"][j], np.int64).sum()),
+                    sat_sum=split_total(out["sat_tiles"][j], 12),
                     hs_entropy=float(out["hs_entropy"][j]),
-                    lap_sum=int(np.asarray(out["lap_tiles"][j], np.int64).sum()),
-                    lap_sumsq=int(np.asarray(out["lapsq_tiles"][j],
-                                             np.int64).sum()),
-                    imm_abs_sum=int(np.asarray(out["imm_tiles"][j], np.int64).sum()),
+                    lap_sum=split_total(out["lap_tiles"][j], 12),
+                    lap_sumsq=split_total(out["lapsq_tiles"][j], 16),
+                    imm_abs_sum=split_total(out["imm_tiles"][j], 12),
                 )
                 results[idx] = (
                     float(out["aesthetic"][j]),
