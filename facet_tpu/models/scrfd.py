@@ -37,7 +37,7 @@ independent torch replica of the published architecture (padding, avg-down
 ceil semantics, nearest upsampling).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import flax.linen as nn
 import jax
