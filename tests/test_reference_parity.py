@@ -1,0 +1,288 @@
+"""Direct numeric parity against the ACTUAL reference implementation.
+
+These tests import the reference codebase from /root/reference (skipped
+when absent, e.g. in standalone checkouts) and compare:
+
+- the aggregate "brain" on 300 random metric rows, with the REFERENCE's
+  own 1,632-line scoring_config.json pinned on both sides and the
+  `reference_iso_parity` flag set (the one documented divergence:
+  reference processing/scorer.py:345-360's +-100 sanitizer silently
+  disables its ISO compensation; the flag reproduces that);
+- category routing (priority-ordered first-match over the 30 categories);
+- every classical technical metric on random + structured images:
+  reference analyzers/technical.py (OpenCV, per image) vs our fused
+  device statistics program + float64 epilogues (BASELINE.md demands
+  per-metric parity within 1e-3; these assert much tighter).
+"""
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "processing")),
+    reason="reference checkout not present")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REFERENCE)
+    try:
+        import analyzers.technical as rt
+        import config.scoring_config as rcfg
+        from processing import scorer as rscorer
+        yield {"technical": rt.TechnicalAnalyzer,
+               "ScoringConfig": rcfg.ScoringConfig,
+               "scorer": rscorer}
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+@pytest.fixture(scope="module")
+def pinned_configs(ref, tmp_path_factory):
+    """Both sides load the REFERENCE's scoring_config.json (weights pinned),
+    each from its own writable copy (both implementations write corrected
+    weights back to disk)."""
+    tmp = tmp_path_factory.mktemp("parity")
+    src = os.path.join(REFERENCE, "scoring_config.json")
+    ref_copy = str(tmp / "ref_config.json")
+    our_copy = str(tmp / "our_config.json")
+    shutil.copy(src, ref_copy)
+    data = json.load(open(src))
+    # pin the documented divergence to the reference's effective behavior
+    data.setdefault("exif_adjustments", {})["reference_iso_parity"] = True
+    json.dump(data, open(our_copy, "w"))
+
+    from facet_tpu.config.scoring_config import ScoringConfig
+
+    return ref["ScoringConfig"](ref_copy), ScoringConfig(our_copy)
+
+
+def random_rows(n=300, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        rows.append({
+            "aesthetic": float(rng.uniform(0, 10)),
+            "exposure_score": float(rng.uniform(0, 10)),
+            "color_score": float(rng.uniform(0, 10)),
+            "comp_score": float(rng.uniform(0, 10)),
+            "contrast_score": float(rng.uniform(0, 10)),
+            "tech_sharpness": float(rng.uniform(0, 10)),
+            "face_quality": float(rng.uniform(0, 10)),
+            "eye_sharpness": float(rng.uniform(0, 10)),
+            "face_sharpness": float(rng.uniform(0, 10)),
+            "power_point_score": float(rng.uniform(0, 10)),
+            "mean_saturation": float(rng.uniform(0, 1)),
+            "noise_sigma": float(rng.uniform(0, 15)),
+            "histogram_bimodality": float(rng.uniform(-2, 4)),
+            "histogram_spread": float(rng.uniform(0, 90)),
+            "leading_lines_score": float(rng.uniform(0, 8)),
+            "is_monochrome": int(rng.random() < 0.2),
+            "is_silhouette": int(rng.random() < 0.1),
+            "is_group_portrait": int(rng.random() < 0.1),
+            "is_blink": int(rng.random() < 0.15),
+            "shadow_clipped": int(rng.random() < 0.2),
+            "highlight_clipped": int(rng.random() < 0.2),
+            "face_count": int(rng.integers(0, 6)),
+            "face_ratio": float(rng.uniform(0, 0.6)),
+            "mean_luminance": float(rng.uniform(0, 1)),
+            "iso": int(rng.choice([100, 200, 800, 1600, 6400])),
+            "f_stop": float(rng.choice([1.4, 1.8, 2.8, 4.0, 8.0])),
+            "shutter_speed": float(rng.choice([0.001, 0.02, 1.0, 30.0])),
+            "focal_length": float(rng.choice([24, 50, 135, 400])),
+            "isolation_bonus": float(rng.uniform(1.0, 2.0)),
+            "tags": str(rng.choice(["", "animal", "mountain, sky", "food"])),
+        })
+    return rows
+
+
+class _DummyScorer:
+    """Duck-typed stand-in for a Facet instance: binds any helper method
+    the aggregate path calls (e.g. _determine_photo_category,
+    _parse_shutter_speed) without constructing models or a database.
+
+    Must carry a `config` attribute: calculate_aggregate_logic's
+    `config or self.config if hasattr(self, 'config') else None` resolves
+    to None when self has no config, silently zeroing every weight."""
+
+    def __init__(self, facet_cls, config):
+        object.__setattr__(self, "_facet_cls", facet_cls)
+        object.__setattr__(self, "config", config)
+
+    def __getattr__(self, name):
+        for klass in self._facet_cls.__mro__:
+            if name in vars(klass):
+                raw = vars(klass)[name]
+                if isinstance(raw, staticmethod):
+                    return raw.__func__
+                return raw.__get__(self, type(self))
+        raise AttributeError(name)
+
+
+class TestAggregateParity:
+    def test_brain_matches_reference_on_random_rows(self, ref, pinned_configs):
+        ref_config, our_config = pinned_configs
+        from facet_tpu.scoring.brain import calculate_aggregate
+
+        Facet = ref["scorer"].Facet
+        dummy = _DummyScorer(Facet, ref_config)
+        mismatches = []
+        for i, row in enumerate(random_rows()):
+            want, want_cat = Facet.calculate_aggregate_logic(
+                dummy, dict(row), config=ref_config)
+            got, got_cat = calculate_aggregate(dict(row), our_config)
+            if got_cat != want_cat or abs(got - want) > 1e-9:
+                mismatches.append((i, want, got, want_cat, got_cat, row))
+        assert not mismatches, mismatches[:3]
+
+    def test_category_routing_matches_reference(self, ref, pinned_configs):
+        ref_config, our_config = pinned_configs
+        rng = np.random.default_rng(5)
+        for i in range(200):
+            row = {
+                "face_count": int(rng.integers(0, 8)),
+                "face_ratio": float(rng.uniform(0, 0.8)),
+                "iso": int(rng.choice([100, 800, 3200, 12800])),
+                "shutter_speed": float(rng.choice([0.0005, 0.01, 1.0, 30.0])),
+                "mean_luminance": float(rng.uniform(0, 1)),
+                "focal_length": float(rng.choice([14, 35, 105, 600])),
+                "f_stop": float(rng.choice([1.4, 4.0, 11.0])),
+                "is_monochrome": int(rng.random() < 0.3),
+                "is_silhouette": int(rng.random() < 0.2),
+                "is_group_portrait": int(rng.random() < 0.2),
+                "mean_saturation": float(rng.uniform(0, 1)),
+                "tags": str(rng.choice([
+                    "", "cat, animal", "painting", "car", "food, plate",
+                    "mountain, landscape", "building, street", "concert",
+                ])),
+            }
+            want = ref_config.determine_category(dict(row))
+            got = our_config.determine_category(dict(row))
+            assert got == want, (i, want, got, row)
+
+
+def parity_images(seed=3):
+    """Random + structured test images (RGB uint8)."""
+    rng = np.random.default_rng(seed)
+    images = [rng.integers(0, 256, (120, 160, 3), dtype=np.uint8),
+              rng.integers(0, 256, (97, 131, 3), dtype=np.uint8)]
+    # gradient (smooth, low noise), saturated patches, near-monochrome
+    yy, xx = np.mgrid[0:120, 0:160]
+    grad = np.stack([(yy * 2) % 256, (xx * 3) % 256,
+                     ((xx + yy)) % 256], axis=-1).astype(np.uint8)
+    images.append(grad)
+    mono = np.repeat(rng.integers(0, 256, (80, 100, 1), dtype=np.uint8), 3,
+                     axis=2)
+    images.append(mono)
+    dark = (rng.random((90, 110, 3)) * 40).astype(np.uint8)
+    images.append(dark)
+    return images
+
+
+class TestTechnicalMetricParity:
+    """Our device statistics vs the reference's OpenCV implementations,
+    on the same pixels (reference takes BGR)."""
+
+    @pytest.fixture(scope="class")
+    def computed(self, ref):
+        import cv2
+
+        from facet_tpu.analyzers.technical import TechnicalAnalyzer
+
+        images = parity_images()
+        ours = TechnicalAnalyzer().analyze_batch(images)
+        RT = ref["technical"]
+        theirs = []
+        for img in images:
+            bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+            row = {}
+            row.update({"sharp_" + k: v for k, v in
+                        RT.get_sharpness_data(bgr).items()})
+            row.update({"color_" + k: v for k, v in
+                        RT.get_color_harmony_data(bgr).items()})
+            row.update(RT.get_histogram_data(bgr))
+            mono = RT.detect_monochrome(bgr)
+            row["is_monochrome"] = mono["is_monochrome"] if isinstance(
+                mono, dict) else mono
+            if isinstance(mono, dict):
+                row["mean_saturation"] = mono.get("mean_saturation")
+            row.update(RT.get_dynamic_range(bgr))
+            row.update(RT.get_noise_estimate(bgr))
+            row.update(RT.get_contrast_score(bgr))
+            theirs.append(row)
+        return images, ours, theirs
+
+    def test_sharpness(self, computed):
+        _, ours, theirs = computed
+        for o, t in zip(ours, theirs):
+            assert o["raw_sharpness_variance"] == pytest.approx(
+                t["sharp_raw_variance"], rel=1e-9)
+            assert o["tech_sharpness"] == pytest.approx(
+                t["sharp_normalized"], abs=1e-9)
+
+    def test_color_harmony(self, computed):
+        # the joint entropy reduces in f32 on device (46k bins): observed
+        # agreement ~3e-5 bits vs the reference's f64 numpy — far inside
+        # the 1e-3 per-metric goal (BASELINE.md)
+        _, ours, theirs = computed
+        for o, t in zip(ours, theirs):
+            assert o["raw_color_entropy"] == pytest.approx(
+                t["color_raw_entropy"], abs=1e-4)
+            assert o["color_score"] == pytest.approx(
+                t["color_normalized"], abs=1e-4)
+
+    def test_histogram_suite(self, computed):
+        _, ours, theirs = computed
+        for o, t in zip(ours, theirs):
+            for key in ("histogram_spread", "mean_luminance",
+                        "histogram_bimodality", "exposure_score"):
+                ref_key = {"histogram_spread": "spread",
+                           "mean_luminance": "mean_luminance",
+                           "histogram_bimodality": "bimodality",
+                           "exposure_score": "exposure_score"}[key]
+                assert o[key] == pytest.approx(t[ref_key], abs=1e-6), key
+            for key in ("shadow_clipped", "highlight_clipped",
+                        "is_silhouette"):
+                assert int(o[key]) == int(t[key]), key
+            np.testing.assert_allclose(
+                np.frombuffer(o["histogram_data"], np.float32),
+                np.frombuffer(t["histogram_bytes"], np.float32),
+                atol=1e-7)
+
+    def test_monochrome(self, computed):
+        _, ours, theirs = computed
+        for o, t in zip(ours, theirs):
+            assert int(o["is_monochrome"]) == int(t["is_monochrome"])
+            if t.get("mean_saturation") is not None:
+                assert o["mean_saturation"] == pytest.approx(
+                    t["mean_saturation"], abs=1e-6)
+
+    def test_dynamic_range(self, computed):
+        _, ours, theirs = computed
+        for o, t in zip(ours, theirs):
+            for key in set(o) & set(t):
+                if key.startswith("dynamic") or key.endswith("stops"):
+                    assert o[key] == pytest.approx(t[key], abs=1e-6), key
+
+    def test_noise(self, computed):
+        _, ours, theirs = computed
+        for o, t in zip(ours, theirs):
+            common = set(o) & set(t)
+            assert any("noise" in k for k in common)
+            for key in common:
+                if "noise" in key:
+                    assert o[key] == pytest.approx(t[key], rel=1e-6), key
+
+    def test_contrast(self, computed):
+        _, ours, theirs = computed
+        for o, t in zip(ours, theirs):
+            for key in set(o) & set(t):
+                if "contrast" in key:
+                    assert o[key] == pytest.approx(t[key], abs=1e-6), key
