@@ -67,6 +67,15 @@ class PercentileNormalizer:
 
     # ------------------------------------------------------- percentiles
 
+    def _pick(self, values):
+        """Reference percentile semantics (percentile_normalizer.py:55-57):
+        nearest-rank selection `sorted[int(n * target / 100)]`, NOT linear
+        interpolation — np.percentile diverges by up to one sample step,
+        which breaks recompute parity."""
+        values = sorted(values)
+        idx = min(int(len(values) * self.target / 100), len(values) - 1)
+        return float(values[idx])
+
     def compute_percentiles(self):
         """Global P_target per tracked metric."""
         with get_connection(self.db_path) as conn:
@@ -75,26 +84,27 @@ class PercentileNormalizer:
                     f"SELECT {raw_col} FROM photos WHERE {raw_col} IS NOT NULL"
                     f" AND typeof({raw_col}) IN ('real', 'integer')")]
                 if values:
-                    self._global[raw_col] = float(np.percentile(values, self.target))
+                    self._global[raw_col] = self._pick(values)
         return self._global
 
     def compute_percentiles_per_category(self):
+        # reference semantics: a category qualifies per METRIC when it has
+        # >= min_samples non-null values of that metric
         with get_connection(self.db_path) as conn:
-            categories = [r[0] for r in conn.execute(
-                "SELECT category FROM photos WHERE category IS NOT NULL"
-                " GROUP BY category HAVING COUNT(*) >= ?", (self.min_samples,))]
-            for category in categories:
-                per = {}
-                for raw_col in CATEGORY_NORMALIZED_METRICS:
+            for raw_col in CATEGORY_NORMALIZED_METRICS:
+                categories = [r[0] for r in conn.execute(
+                    f"SELECT category FROM photos WHERE {raw_col} IS NOT NULL"
+                    " AND category IS NOT NULL GROUP BY category"
+                    " HAVING COUNT(*) >= ?", (self.min_samples,))]
+                for category in categories:
                     values = [r[0] for r in conn.execute(
                         f"SELECT {raw_col} FROM photos WHERE category = ?"
                         f" AND {raw_col} IS NOT NULL"
                         f" AND typeof({raw_col}) IN ('real', 'integer')",
                         (category,))]
-                    if len(values) >= self.min_samples:
-                        per[raw_col] = float(np.percentile(values, self.target))
-                if per:
-                    self._by_category[category] = per
+                    if values:
+                        self._by_category.setdefault(category, {})[
+                            raw_col] = self._pick(values)
         return self._by_category
 
     def normalize(self, raw_col, raw_value, category=None):

@@ -355,3 +355,137 @@ class TestCompositionParity:
                 float(rl["leading_lines_score"]), abs=1e-6), i
             compared += 1
         assert compared >= 2, "reference ran on too few images to compare"
+
+
+def _seed_parity_db(path, n=60, seed=7):
+    """Byte-compatible schema + photos with engineered phash clusters and
+    raw metric columns for duplicate/normalizer parity."""
+    import sqlite3
+
+    from facet_tpu.db.schema import init_database
+
+    init_database(path)
+    rng = np.random.default_rng(seed)
+    base_hashes = [rng.integers(0, 2, 64).astype(np.uint8)
+                   for _ in range(n // 4)]
+    rows = []
+    for i in range(n):
+        bits = base_hashes[i % len(base_hashes)].copy()
+        flip = rng.integers(0, 64, rng.integers(0, 5))
+        bits[flip] ^= 1          # near-duplicates within each base cluster
+        phash = "".join(format(int("".join(map(str, bits[j:j + 4])), 2), "x")
+                        for j in range(0, 64, 4))
+        rows.append((
+            f"/photos/p{i:03d}.jpg", f"p{i:03d}.jpg",
+            round(float(rng.uniform(2, 9)), 2), phash,
+            ["landscape", "portrait", "macro", "default"][i % 4],
+            float(rng.uniform(10, 4000)), float(rng.uniform(5, 15)),
+            float(rng.uniform(10, 90)), float(rng.uniform(0, 300)),
+            float(rng.uniform(0, 1)), 1,
+        ))
+    conn = sqlite3.connect(path)
+    conn.executemany(
+        "INSERT INTO photos (path, filename, aggregate, phash, category,"
+        " raw_sharpness_variance, raw_color_entropy, histogram_spread,"
+        " raw_eye_sharpness, mean_luminance, is_burst_lead)"
+        " VALUES (?,?,?,?,?,?,?,?,?,?,?)", rows)
+    conn.commit()
+    conn.close()
+
+
+class TestDuplicateDetectionParity:
+    def test_same_groups_and_leads(self, ref, pinned_configs, tmp_path):
+        """Run the REFERENCE's detect_duplicates and ours on copies of the
+        same database; the duplicate partitions and lead choices must
+        match (group ids may number differently)."""
+        ref_config, our_config = pinned_configs
+        ref_db = str(tmp_path / "ref.db")
+        our_db = str(tmp_path / "our.db")
+        _seed_parity_db(ref_db)        # deterministic: both DBs identical
+        _seed_parity_db(our_db)
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            from utils.duplicate import detect_duplicates as ref_detect
+            ref_detect(ref_db, config_path=ref_config.config_path)
+        finally:
+            sys.path.remove(REFERENCE)
+
+        from facet_tpu.utils.duplicate import detect_duplicates
+
+        detect_duplicates(our_db, our_config, verbose=False)
+
+        import sqlite3
+
+        def read(path):
+            conn = sqlite3.connect(path)
+            rows = conn.execute(
+                "SELECT path, duplicate_group_id, is_duplicate_lead"
+                " FROM photos ORDER BY path").fetchall()
+            conn.close()
+            groups = {}
+            leads = set()
+            for p, gid, lead in rows:
+                if gid is not None:
+                    groups.setdefault(gid, set()).add(p)
+                if lead:
+                    leads.add(p)
+            partition = {frozenset(g) for g in groups.values()
+                         if len(g) > 1}
+            return partition, leads
+
+        ref_partition, ref_leads = read(ref_db)
+        our_partition, our_leads = read(our_db)
+        assert our_partition == ref_partition
+        assert len(ref_partition) >= 3, "fixture produced too few groups"
+        # leads within multi-photo groups must agree (best aggregate wins)
+        multi = set().union(*ref_partition) if ref_partition else set()
+        assert our_leads & multi == ref_leads & multi
+
+
+class TestNormalizerParity:
+    def test_percentiles_and_normalization_match(self, ref, pinned_configs,
+                                                 tmp_path):
+        ref_config, our_config = pinned_configs
+        db = str(tmp_path / "norm.db")
+        _seed_parity_db(db, n=240)
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            from config.percentile_normalizer import (
+                PercentileNormalizer as RefNorm,
+            )
+        finally:
+            sys.path.remove(REFERENCE)
+
+        settings = our_config.get_normalization_settings()
+        ref_norm = RefNorm(db,
+                           target_percentile=settings.get(
+                               "percentile_target", 95),
+                           per_category=settings.get("per_category", True),
+                           category_min_samples=settings.get(
+                               "category_min_samples", 50))
+        ref_norm.compute_percentiles()
+        ref_norm.compute_percentiles_per_category()
+
+        from facet_tpu.config.percentile_normalizer import (
+            PercentileNormalizer,
+        )
+
+        ours = PercentileNormalizer(db, our_config)
+        ours.compute_percentiles()
+        ours.compute_percentiles_per_category()
+
+        rng = np.random.default_rng(9)
+        metrics = ["raw_sharpness_variance", "raw_color_entropy",
+                   "raw_eye_sharpness"]
+        for metric in metrics:
+            for _ in range(25):
+                value = float(rng.uniform(0, 3000))
+                category = str(rng.choice(
+                    ["landscape", "portrait", "macro", "nonexistent"]))
+                want = ref_norm.normalize_with_category(
+                    metric, value, category)
+                got = ours.normalize(metric, value, category=category)
+                assert got == pytest.approx(want, abs=1e-9), (metric,
+                                                              category)
