@@ -56,6 +56,37 @@ def _moments_from_hist(counts, values):
     return float(n), mean, var
 
 
+def recompute_exposure_score(blob, stored_bimodality, is_silhouette):
+    """The reference's --recompute-average exposure refresh, exactly
+    (processing/scorer.py:1250-1270): spread/luminance re-derived from the
+    stored 256-float histogram blob, but the bimodality PENALTY uses the
+    STORED column value and the silhouette exemption uses the stored flag;
+    clipping masses use the fixed 30/225 bins. Returns the refreshed score
+    or None for malformed blobs."""
+    if blob is None or len(blob) != 256 * 4:
+        return None
+    hist = np.frombuffer(blob, dtype=np.float32)
+    total = float(hist.sum())
+    if total <= 0:
+        return None
+    norm = hist.astype(np.float64) / total
+    mean_luminance = float(np.sum(np.arange(256) * norm)) / 255.0
+    variance = float(np.sum(((np.arange(256) / 255.0 - mean_luminance) ** 2)
+                            * norm))
+    spread = (variance ** 0.5) * 255.0
+    shadow_mass = float(norm[:30].sum())
+    highlight_mass = float(norm[225:].sum())
+    bimodality = stored_bimodality or 0
+    luminance_penalty = abs(mean_luminance - 0.5) * 8
+    spread_bonus = min(4.0, spread / 20.0)
+    bimodality_penalty = max(0, bimodality - 1.0) * 0.6
+    clip_pen = 0.0
+    if not is_silhouette:
+        clip_pen = shadow_mass * 4.0 + highlight_mass * 5.0
+    return max(0.0, min(10.0, 7.0 - luminance_penalty + spread_bonus
+                        - bimodality_penalty - clip_pen))
+
+
 def exposure_from_histogram_blob(blob, shadow_threshold=0.15, highlight_threshold=0.10):
     """Re-derive exposure metrics from a stored 256-float32 histogram blob.
 

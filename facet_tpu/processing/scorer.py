@@ -23,7 +23,11 @@ import time
 import numpy as np
 
 from facet_tpu.analyzers.composition import CompositionAnalyzer
-from facet_tpu.analyzers.technical import TechnicalAnalyzer, exposure_from_histogram_blob
+from facet_tpu.analyzers.technical import (
+    TechnicalAnalyzer,
+    exposure_from_histogram_blob,
+    recompute_exposure_score,
+)
 from facet_tpu.config.scoring_config import ScoringConfig
 from facet_tpu.db.connection import get_connection
 from facet_tpu.db.schema import init_database
@@ -396,9 +400,6 @@ class Facet:
         if not rows:
             return 0
 
-        exposure_cfg = self.config.get_exposure_settings()
-        shadow_t = exposure_cfg.get("shadow_clip_threshold_percent", 15) / 100
-        highlight_t = exposure_cfg.get("highlight_clip_threshold_percent", 10) / 100
         group_min = self.config.get_face_detection_settings().get("min_faces_for_group", 4)
 
         # aesthetic refresh from stored embeddings, one device call
@@ -438,39 +439,50 @@ class Facet:
             if normalizer.per_category:
                 normalizer.compute_percentiles_per_category()
 
+        # Reference semantics (processing/scorer.py:1199-1283, parity-tested
+        # in tests/test_reference_parity.py::TestRecomputeParity):
+        # normalization is TRANSIENT (feeds the aggregate, never persisted),
+        # uses the category determined from the stored row (before the
+        # group-portrait refresh), covers exactly the three raw->score
+        # metrics, and is unrounded; the exposure refresh keeps the STORED
+        # bimodality/silhouette/clipping flags and recomputes only the
+        # score; only aggregate / category / is_group_portrait /
+        # exposure_score / config_version are written back.
+        from facet_tpu.scoring.brain import determine_photo_category
+
+        recompute_metrics = {"raw_sharpness_variance": "tech_sharpness",
+                             "raw_color_entropy": "color_score",
+                             "raw_eye_sharpness": "eye_sharpness"}
         for row in rows:
-            refreshed = exposure_from_histogram_blob(
-                row.get("histogram_data"), shadow_t, highlight_t)
-            if refreshed:
-                row.update(refreshed)
+            if normalizer is not None and normalizer.ready():
+                category0 = determine_photo_category(row, self.config)
+                for raw_col, score_col in recompute_metrics.items():
+                    value = row.get(raw_col)
+                    if value is None or not isinstance(value, (int, float)):
+                        continue
+                    normalized = normalizer.normalize(
+                        raw_col, value,
+                        category=category0 if normalizer.per_category else None)
+                    if normalized is not None:
+                        row[score_col] = normalized
             fc = row.get("face_count") or 0
             row["is_group_portrait"] = 1 if fc >= group_min else 0
-            if normalizer is not None and normalizer.ready():
-                from facet_tpu.config.percentile_normalizer import RAW_METRICS
-
-                for raw_col, score_col in RAW_METRICS.items():
-                    normalized = normalizer.normalize(
-                        raw_col, row.get(raw_col), row.get("category"))
-                    if normalized is not None:
-                        row[score_col] = round(normalized, 2)
+            refreshed = recompute_exposure_score(
+                row.get("histogram_data"),
+                row.get("histogram_bimodality"), row.get("is_silhouette", 0))
+            if refreshed is not None:
+                row["exposure_score"] = refreshed
 
         scores, categories = self.aggregate_scorer.score_rows(rows)
 
         with get_connection(self.db_path) as conn:
             conn.executemany(
-                "UPDATE photos SET aggregate = ?, category = ?, config_version = ?,"
-                " exposure_score = ?, histogram_spread = ?, mean_luminance = ?,"
-                " histogram_bimodality = ?, shadow_clipped = ?, highlight_clipped = ?,"
-                " is_silhouette = ?, is_group_portrait = ?, aesthetic = ?,"
-                " tech_sharpness = ?, color_score = ?, eye_sharpness = ?"
+                "UPDATE photos SET aggregate = ?, config_version = ?,"
+                " category = ?, is_group_portrait = ?, exposure_score = ?"
                 " WHERE path = ?",
-                [(round(float(scores[i]), 2), categories[i], self.config.version_hash,
-                  rows[i].get("exposure_score"), rows[i].get("histogram_spread"),
-                  rows[i].get("mean_luminance"), rows[i].get("histogram_bimodality"),
-                  rows[i].get("shadow_clipped"), rows[i].get("highlight_clipped"),
-                  rows[i].get("is_silhouette"), rows[i].get("is_group_portrait"),
-                  rows[i].get("aesthetic"), rows[i].get("tech_sharpness"),
-                  rows[i].get("color_score"), rows[i].get("eye_sharpness"),
+                [(round(float(scores[i]), 2), self.config.version_hash,
+                  categories[i], rows[i].get("is_group_portrait"),
+                  round(float(rows[i].get("exposure_score", 5.0) or 5.0), 4),
                   rows[i]["path"])
                  for i in range(len(rows))])
         if verbose:

@@ -55,17 +55,26 @@ class TestPercentiles:
         assert norm.normalize("raw_sharpness_variance", None) is None
 
     def test_recompute_applies_normalization(self, tmp_db, scoring_config):
+        """Reference semantics (parity-tested against the real reference in
+        test_reference_parity.py): normalization feeds the aggregate
+        TRANSIENTLY — stored metric scores stay untouched while aggregates
+        shift with the library percentiles."""
         from facet_tpu.processing.scorer import Facet
 
         seed_scored_library(tmp_db, n=60)
+        with get_connection(tmp_db) as conn:
+            before = {r[0]: (r[1], r[2]) for r in conn.execute(
+                "SELECT path, tech_sharpness, aggregate FROM photos")}
         scorer = Facet(tmp_db, scoring_config, lightweight=True)
         scorer.update_all_aggregates(rescore_embeddings=False)
         with get_connection(tmp_db) as conn:
-            sharp = [r[0] for r in conn.execute(
-                "SELECT tech_sharpness FROM photos")]
-        # normalized sharpness must span toward the cap (p95 -> 10)
-        assert max(sharp) == 10.0
-        assert min(sharp) < 5.0
+            after = {r[0]: (r[1], r[2]) for r in conn.execute(
+                "SELECT path, tech_sharpness, aggregate FROM photos")}
+        # stored tech_sharpness unchanged (never persisted by recompute)
+        assert all(after[p][0] == before[p][0] for p in before)
+        # but aggregates were recomputed (normalization + brain applied)
+        changed = sum(1 for p in before if after[p][1] != before[p][1])
+        assert changed > len(before) * 0.5
 
 
 class TestRecommendations:

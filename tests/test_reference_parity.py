@@ -489,3 +489,181 @@ class TestNormalizerParity:
                 got = ours.normalize(metric, value, category=category)
                 assert got == pytest.approx(want, abs=1e-9), (metric,
                                                               category)
+
+
+def _seed_recompute_db(path, n=80, seed=13):
+    """Rows with everything --recompute-average consumes: raw metrics,
+    normalized score columns, 256-float histogram blobs, EXIF, faces,
+    burst-friendly timestamps and near-duplicate phashes."""
+    import sqlite3
+    import struct
+
+    from facet_tpu.db.schema import init_database
+
+    init_database(path)
+    rng = np.random.default_rng(seed)
+    rows = []
+    base_bits = [rng.integers(0, 2, 64).astype(np.uint8) for _ in range(20)]
+    for i in range(n):
+        hist = rng.dirichlet(np.ones(256) * 0.3).astype(np.float32)
+        # consecutive blocks of 4 share a phash cluster and shoot 2 s apart
+        # so both the rapid-burst and similarity grouping rules engage
+        bits = base_bits[(i // 4) % 20].copy()
+        bits[rng.integers(0, 64, rng.integers(0, 3))] ^= 1
+        phash = "".join(format(int("".join(map(str, bits[j:j + 4])), 2), "x")
+                        for j in range(0, 64, 4))
+        minute = i // 4
+        rows.append((
+            f"/photos/r{i:03d}.jpg", f"r{i:03d}.jpg",
+            f"2025:06:01 10:{minute:02d}:{(i % 4) * 2:02d}",  # EXIF format
+            float(rng.uniform(2, 9)),            # aggregate (stale)
+            float(rng.uniform(2, 9)),            # aesthetic
+            float(rng.uniform(2, 9)),            # exposure_score (stale)
+            float(rng.uniform(2, 9)),            # color_score
+            float(rng.uniform(2, 9)),            # comp_score
+            float(rng.uniform(2, 9)),            # contrast_score
+            float(rng.uniform(2, 9)),            # tech_sharpness
+            float(rng.uniform(0, 9)),            # face_quality
+            float(rng.uniform(0, 9)),            # eye_sharpness
+            float(rng.uniform(10, 4000)),        # raw_sharpness_variance
+            float(rng.uniform(5, 15)),           # raw_color_entropy
+            float(rng.uniform(0, 300)),          # raw_eye_sharpness
+            float(rng.uniform(10, 90)),          # histogram_spread
+            float(rng.uniform(0.05, 0.95)),      # mean_luminance
+            float(rng.uniform(-1, 3)),           # histogram_bimodality
+            float(rng.uniform(0, 12)),           # noise_sigma
+            float(rng.uniform(0, 1)),            # mean_saturation
+            float(rng.uniform(0, 8)),            # leading_lines_score
+            float(rng.uniform(0, 9)),            # power_point_score
+            int(rng.integers(0, 5)),             # face_count
+            float(rng.uniform(0, 0.5)),          # face_ratio
+            int(rng.random() < 0.15),            # is_blink
+            int(rng.random() < 0.2),             # is_monochrome
+            int(rng.random() < 0.1),             # is_silhouette
+            float(rng.uniform(1.0, 1.8)),        # isolation_bonus
+            struct.pack("256f", *hist),          # histogram_data
+            ["landscape", "portrait", "macro", "default"][i % 4],
+            str(rng.choice(["", "animal", "mountain, sky", "food"])),
+            int(rng.choice([100, 400, 1600, 6400])),
+            float(rng.choice([1.8, 2.8, 5.6])),
+            "1/250", float(rng.choice([24, 50, 135])),
+            phash, 1,
+        ))
+    conn = sqlite3.connect(path)
+    conn.executemany(
+        "INSERT INTO photos (path, filename, date_taken, aggregate,"
+        " aesthetic, exposure_score, color_score, comp_score,"
+        " contrast_score, tech_sharpness, face_quality, eye_sharpness,"
+        " raw_sharpness_variance, raw_color_entropy, raw_eye_sharpness,"
+        " histogram_spread, mean_luminance, histogram_bimodality,"
+        " noise_sigma, mean_saturation, leading_lines_score,"
+        " power_point_score, face_count, face_ratio, is_blink,"
+        " is_monochrome, is_silhouette, isolation_bonus, histogram_data,"
+        " category, tags,"
+        " iso, f_stop, shutter_speed, focal_length, phash, is_burst_lead)"
+        " VALUES (" + ",".join("?" * 37) + ")", rows)
+    conn.commit()
+    conn.close()
+
+
+class TestRecomputeParity:
+    """--recompute-average end-to-end: identical seeded databases through
+    the reference's update_all_aggregates + process_bursts and through our
+    engine; final aggregates, categories, refreshed scores and burst
+    grouping must match."""
+
+    @pytest.fixture(scope="class")
+    def recomputed(self, ref, tmp_path_factory):
+        import sqlite3
+
+        tmp = tmp_path_factory.mktemp("recompute")
+        ref_db = str(tmp / "ref.db")
+        our_db = str(tmp / "our.db")
+        _seed_recompute_db(ref_db)
+        _seed_recompute_db(our_db)
+
+        src = os.path.join(REFERENCE, "scoring_config.json")
+        ref_cfg_path = str(tmp / "ref_config.json")
+        our_cfg_path = str(tmp / "our_config.json")
+        shutil.copy(src, ref_cfg_path)
+        data = json.load(open(src))
+        data.setdefault("exif_adjustments", {})["reference_iso_parity"] = True
+        json.dump(data, open(our_cfg_path, "w"))
+
+        # --- reference side, exactly as photos.py --recompute-average does
+        sys.path.insert(0, REFERENCE)
+        try:
+            from config.percentile_normalizer import (
+                PercentileNormalizer as RefNorm,
+            )
+            from processing.scorer import Facet as RefFacet
+            from processing.scorer import process_bursts as ref_bursts
+            scorer = RefFacet(db_path=ref_db, config_path=ref_cfg_path,
+                              lightweight=True)
+            norm_settings = scorer.config.get_normalization_settings()
+            normalizer = None
+            if norm_settings.get("method") == "percentile":
+                normalizer = RefNorm(
+                    ref_db,
+                    target_percentile=norm_settings.get(
+                        "percentile_target", 95),
+                    per_category=norm_settings.get("per_category", False),
+                    category_min_samples=norm_settings.get(
+                        "category_min_samples", 50))
+                normalizer.compute_percentiles()
+            scorer.update_all_aggregates(use_embeddings=True,
+                                         normalizer=normalizer)
+            ref_bursts(ref_db, ref_cfg_path)
+        finally:
+            sys.path.remove(REFERENCE)
+
+        # --- our side
+        from facet_tpu.processing.scorer import Facet
+        from facet_tpu.utils.burst import process_bursts as our_bursts
+
+        ours = Facet(db_path=our_db, config_path=our_cfg_path,
+                     lightweight=True)
+        ours.update_all_aggregates()
+        our_bursts(our_db, ours.config)
+
+        def read(path):
+            conn = sqlite3.connect(path)
+            conn.row_factory = sqlite3.Row
+            rows = {r["path"]: dict(r) for r in conn.execute(
+                "SELECT * FROM photos")}
+            conn.close()
+            return rows
+
+        return read(ref_db), read(our_db)
+
+    def test_aggregates_and_categories_match(self, recomputed):
+        ref_rows, our_rows = recomputed
+        assert set(ref_rows) == set(our_rows)
+        for path in ref_rows:
+            r, o = ref_rows[path], our_rows[path]
+            assert o["category"] == r["category"], path
+            assert o["aggregate"] == pytest.approx(r["aggregate"],
+                                                   abs=1e-6), path
+
+    def test_refreshed_scores_match(self, recomputed):
+        ref_rows, our_rows = recomputed
+        for path in ref_rows:
+            r, o = ref_rows[path], our_rows[path]
+            for col in ("tech_sharpness", "color_score", "eye_sharpness",
+                        "exposure_score", "shadow_clipped",
+                        "highlight_clipped", "is_group_portrait"):
+                if r[col] is None:
+                    assert o[col] is None, (path, col)
+                else:
+                    assert o[col] == pytest.approx(r[col], abs=1e-6), (
+                        path, col)
+
+    def test_burst_grouping_matches(self, recomputed):
+        """Bursts surface only through is_burst_lead (no group column in
+        either schema): every lead/member decision must agree."""
+        ref_rows, our_rows = recomputed
+        ref_leads = {p for p, r in ref_rows.items() if r["is_burst_lead"]}
+        our_leads = {p for p, r in our_rows.items() if r["is_burst_lead"]}
+        assert our_leads == ref_leads
+        # the fixture must actually produce burst members (non-leads)
+        assert len(ref_leads) < len(ref_rows)
