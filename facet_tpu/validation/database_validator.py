@@ -79,20 +79,39 @@ class DatabaseValidator:
             "SELECT COUNT(*) FROM photos WHERE (face_count = 0 OR face_count"
             " IS NULL) AND (face_quality IS NOT NULL AND face_quality > 0)"
         ).fetchone()[0]
+        # reference semantics: flag face photos only when EVERY face metric
+        # is zero (NULL metrics are not flagged)
         missing_metrics = conn.execute(
             "SELECT COUNT(*) FROM photos WHERE face_count > 0"
-            " AND face_quality IS NULL").fetchone()[0]
-        issues = orphan_metrics + missing_metrics
+            " AND face_quality = 0 AND eye_sharpness = 0"
+            " AND face_sharpness = 0").fetchone()[0]
+        # reference check set also flags blinks on faceless photos and
+        # stored face_count disagreeing with the faces table
+        # (validation/database_validator.py:45-67)
+        blink_no_face = conn.execute(
+            "SELECT COUNT(*) FROM photos WHERE is_blink = 1"
+            " AND (face_count = 0 OR face_count IS NULL)").fetchone()[0]
+        count_mismatch = conn.execute(
+            "SELECT COUNT(*) FROM photos p WHERE p.face_count !="
+            " (SELECT COUNT(*) FROM faces f WHERE f.photo_path = p.path)"
+        ).fetchone()[0]
+        issues = orphan_metrics + missing_metrics + blink_no_face \
+            + count_mismatch
         fixes = []
         if orphan_metrics:
             fixes.append("UPDATE photos SET face_quality = NULL,"
                          " eye_sharpness = NULL, face_sharpness = NULL"
                          " WHERE (face_count = 0 OR face_count IS NULL)"
                          " AND face_quality IS NOT NULL")
+        if blink_no_face:
+            fixes.append("UPDATE photos SET is_blink = 0 WHERE is_blink = 1"
+                         " AND (face_count = 0 OR face_count IS NULL)")
         return CheckResult(
             "face_consistency", issues == 0, issues,
             f"{orphan_metrics} faceless photos with face metrics,"
-            f" {missing_metrics} face photos without metrics", fixes)
+            f" {missing_metrics} face photos without metrics,"
+            f" {blink_no_face} blinks without faces,"
+            f" {count_mismatch} face_count/faces-table mismatches", fixes)
 
     def check_blob_corruption(self, conn):
         issues = 0
@@ -187,14 +206,16 @@ class DatabaseValidator:
                            f" (mean {mean:.2f}, std {std:.2f})")
 
     def check_monochrome_consistency(self, conn):
+        # reference threshold: saturation >= 0.1 contradicts the flag
+        # (monochrome detection threshold, technical.py:219-242)
         n = conn.execute(
             "SELECT COUNT(*) FROM photos WHERE is_monochrome = 1"
-            " AND mean_saturation IS NOT NULL AND mean_saturation > 0.2"
+            " AND mean_saturation IS NOT NULL AND mean_saturation >= 0.1"
         ).fetchone()[0]
         return CheckResult("monochrome_consistency", n == 0, n,
                            f"{n} monochrome-flagged photos with high saturation",
                            ["UPDATE photos SET is_monochrome = 0 WHERE"
-                            " is_monochrome = 1 AND mean_saturation > 0.2"]
+                            " is_monochrome = 1 AND mean_saturation >= 0.1"]
                            if n else [])
 
     def check_pattern_vocabulary(self, conn):

@@ -667,3 +667,71 @@ class TestRecomputeParity:
         assert our_leads == ref_leads
         # the fixture must actually produce burst members (non-leads)
         assert len(ref_leads) < len(ref_rows)
+
+
+class TestValidatorParity:
+    """Both validators must flag the same injected corruptions on the same
+    database (schema CHECK constraints block some corruption classes at
+    write time — those are covered by the constraints themselves)."""
+
+    def test_same_corruptions_flagged(self, ref, tmp_path):
+        import sqlite3
+
+        db = str(tmp_path / "val.db")
+        _seed_recompute_db(db, n=40)
+        conn = sqlite3.connect(db)
+        conn.execute("UPDATE photos SET face_count = 3, face_quality = NULL"
+                     " WHERE path = '/photos/r001.jpg'")
+        conn.execute("UPDATE photos SET histogram_data = x'00112233'"
+                     " WHERE path = '/photos/r003.jpg'")
+        conn.execute("UPDATE photos SET clip_embedding = x'0011'"
+                     " WHERE path = '/photos/r004.jpg'")
+        conn.execute("UPDATE photos SET is_monochrome = 1,"
+                     " mean_saturation = 0.85 WHERE path = '/photos/r006.jpg'")
+        conn.execute("UPDATE photos SET composition_pattern ="
+                     " 'zigzag_nonsense' WHERE path = '/photos/r007.jpg'")
+        conn.execute("INSERT INTO faces (photo_path, face_index, embedding,"
+                     " person_id) VALUES ('/photos/missing.jpg', 0, x'00',"
+                     " 999)")
+        conn.commit()
+        conn.close()
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            from validation.database_validator import (
+                DatabaseValidator as RefValidator,
+            )
+            ref_found = {r.check_name: len(r.issues)
+                         for r in RefValidator(db).run_all_checks()
+                         if r.issues and not r.informational}
+        finally:
+            sys.path.remove(REFERENCE)
+
+        from facet_tpu.validation.database_validator import DatabaseValidator
+
+        our_found = {r.name: r.issues
+                     for r in DatabaseValidator(db).run_all_checks()
+                     if not r.passed}
+
+        # corruption class -> (reference check names, our check name)
+        mapping = [
+            (("histogram_blob_size",), "histogram_integrity"),
+            (("clip_embedding_size",), "embedding_dims"),
+            (("orphaned_faces",), "referential_integrity"),
+            (("monochrome_saturation",), "monochrome_consistency"),
+            (("composition_pattern_invalid",), "pattern_vocabulary"),
+            (("face_metrics_when_no_face", "blink_without_face",
+              "face_count_mismatch"), "face_consistency"),
+        ]
+        for ref_names, our_name in mapping:
+            ref_count = sum(ref_found.get(n, 0) for n in ref_names)
+            assert ref_count > 0, ref_names
+            assert our_found.get(our_name, 0) > 0, our_name
+        # same monochrome threshold: identical counts
+        assert our_found["monochrome_consistency"] == ref_found[
+            "monochrome_saturation"]
+        # identical face-consistency totals across the three sub-checks
+        assert our_found["face_consistency"] == sum(
+            ref_found.get(n, 0) for n in ("face_metrics_when_no_face",
+                                          "blink_without_face",
+                                          "face_count_mismatch"))
