@@ -115,16 +115,18 @@ class VLMTagger:
                 f" locally ({exc}); the profile falls back to CLIP tagging")
 
     def _load_device_path(self):
-        """All-device Qwen2.5 path: flax vision tower + flax text decoder
-        (models/qwen_text.py) when BOTH converted checkpoints exist. Only
-        the tokenizer/image processor stays on the host — no torch model
-        is loaded at all (the reference's whole tagging path is host
-        transformers, models/vlm_tagger.py:327-444)."""
-        if "2.5" not in self.model_name:
-            return False
+        """All-device path: flax vision tower + flax text decoder when BOTH
+        converted checkpoints exist — Qwen2.5 (models/qwen_text.py) and
+        Qwen3-VL (models/qwen3_text.py with DeepStack). Only the tokenizer/
+        image processor stays on the host — no torch model is loaded at all
+        (the reference's whole tagging path is host transformers,
+        models/vlm_tagger.py:327-444)."""
         import os
 
-        text_path = os.path.join("pretrained_models", "qwen25_text.npz")
+        is_25 = "2.5" in self.model_name
+        text_path = os.path.join(
+            "pretrained_models",
+            "qwen25_text.npz" if is_25 else "qwen3_text.npz")
         if not os.path.exists(text_path):
             return False
         try:
@@ -132,25 +134,36 @@ class VLMTagger:
             import jax.numpy as jnp
 
             from facet_tpu.models.convert import load_params
-            from facet_tpu.models.qwen_text import (
-                QwenTextConfig,
-                QwenTextDecoder,
-            )
-            from facet_tpu.models.qwen_vision import QwenVisionEncoder
             from transformers import AutoProcessor
 
-            encoder = QwenVisionEncoder.load()
+            if is_25:
+                from facet_tpu.models.qwen_text import (
+                    QwenTextConfig as TCfg,
+                    QwenTextDecoder as Decoder,
+                )
+                from facet_tpu.models.qwen_vision import (
+                    QwenVisionEncoder as Encoder,
+                )
+            else:
+                from facet_tpu.models.qwen3_text import (
+                    Qwen3TextConfig as TCfg,
+                    Qwen3TextDecoder as Decoder,
+                )
+                from facet_tpu.models.qwen3_vision import (
+                    Qwen3VisionEncoder as Encoder,
+                )
+
+            encoder = Encoder.load()
             if encoder is None:
                 return False
             self._processor = AutoProcessor.from_pretrained(
                 self.model_path, local_files_only=True)
             params = load_params(text_path)
-            # bf16 weights on device: the 7B decoder must fit HBM
+            # bf16 weights on device: the decoder must fit HBM
             params = {"params": jax.tree.map(
                 lambda a: jnp.asarray(a, jnp.bfloat16), params["params"])}
-            decoder = QwenTextDecoder(
-                params, QwenTextConfig(), dtype=jnp.bfloat16,
-                max_new_tokens=self.max_new_tokens)
+            decoder = Decoder(params, TCfg(), dtype=jnp.bfloat16,
+                              max_new_tokens=self.max_new_tokens)
             self._device = (encoder, decoder)
             print("VLM tagger: full TPU path (vision tower + text decoder)")
             return True
@@ -275,8 +288,13 @@ class VLMTagger:
             ids = np.pad(ids, ((0, 0), (0, extra)))
             valid = np.pad(valid, ((0, 0), (0, extra)))
 
-        vis = encoder.encode(np.asarray(inputs["pixel_values"], np.float32),
-                             grid_thw.tolist())
+        encoded = encoder.encode(
+            np.asarray(inputs["pixel_values"], np.float32), grid_thw.tolist())
+        deepstack = None
+        if isinstance(encoded, tuple):        # Qwen3: (main, deepstack list)
+            vis, deepstack = encoded
+        else:
+            vis = encoded
         embeds = np.array(embed_tokens(decoder.params, ids), np.float32)
         image_token_id = getattr(self._processor, "image_token_id", None) \
             or self._processor.tokenizer.convert_tokens_to_ids("<|image_pad|>")
@@ -290,8 +308,18 @@ class VLMTagger:
         im_end = tok.convert_tokens_to_ids("<|im_end|>")
         if im_end is not None and im_end >= 0:
             eos.add(im_end)
+        extra = {}
+        if deepstack is not None:
+            b, t, e = embeds.shape
+            feats = []
+            for d in deepstack:
+                feat = np.zeros((b, t, e), np.float32)
+                feat[slots[0], slots[1]] = d[:len(slots[0])]
+                feats.append(feat)
+            extra = {"vis_mask": ids == image_token_id,
+                     "deep_feats": feats}
         out = decoder.generate(embeds, valid, pos, next_pos,
-                               np.asarray(sorted(eos), np.int32))
+                               np.asarray(sorted(eos), np.int32), **extra)
         replies = []
         eos_arr = np.asarray(sorted(eos))
         for row in out:

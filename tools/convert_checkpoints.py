@@ -394,6 +394,63 @@ def convert_qwen_text_ckpt(source_dir, out_dir):
     return False
 
 
+def convert_qwen3_ckpt(source_dir, out_dir):
+    """Qwen3-VL checkpoint dir -> qwen3_vision.npz + qwen3_text.npz.
+    Together they enable the all-TPU qwen3_vl_tagger path (DeepStack
+    features flow vision -> early decoder layers, models/qwen3_text.py)."""
+    candidates = [d for d in (source_dir, os.path.join(source_dir, "qwen3-vl"))
+                  if os.path.isdir(d)]
+    v_want = ("visual.", "model.visual.")
+    t_want = ("model.language_model.", "language_model.", "model.layers.",
+              "model.embed_tokens.", "model.norm.", "lm_head.")
+    for base in candidates:
+        files = [f for f in sorted(os.listdir(base))
+                 if f.endswith((".safetensors", ".bin")) and "index" not in f]
+        vis_sd, text_sd = {}, {}
+        for name in files:
+            path = os.path.join(base, name)
+            try:
+                if name.endswith(".safetensors"):
+                    from safetensors import safe_open
+
+                    with safe_open(path, framework="np") as fh:
+                        for key in fh.keys():
+                            if key.startswith(v_want):
+                                vis_sd[key.removeprefix("model.")] = \
+                                    fh.get_tensor(key)
+                            elif key.startswith(t_want):
+                                text_sd[key] = fh.get_tensor(key)
+                else:
+                    sd = _load_torch(path)
+                    vis_sd.update({k.removeprefix("model."): v
+                                   for k, v in sd.items()
+                                   if k.startswith(v_want)})
+                    text_sd.update({k: v for k, v in sd.items()
+                                    if k.startswith(t_want)})
+            except Exception as exc:
+                print(f"  skip {name}: {exc}")
+        if vis_sd and text_sd:
+            from facet_tpu.models.convert import save_params
+            from facet_tpu.models.qwen3_text import (
+                Qwen3TextConfig,
+                convert_qwen3_text,
+            )
+            from facet_tpu.models.qwen3_vision import convert_qwen3_vision
+
+            save_params(convert_qwen3_vision(vis_sd),
+                        os.path.join(out_dir, "qwen3_vision.npz"))
+            cfg = Qwen3TextConfig(
+                tie_word_embeddings="lm_head.weight" not in text_sd)
+            save_params(convert_qwen3_text(text_sd, cfg),
+                        os.path.join(out_dir, "qwen3_text.npz"))
+            print(f"converted qwen3-vl vision ({len(vis_sd)} tensors) +"
+                  f" text ({len(text_sd)} tensors,"
+                  f" tied={cfg.tie_word_embeddings})")
+            return True
+    print("skip: no Qwen3-VL checkpoint directory")
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -410,6 +467,7 @@ def main():
     convert_topiq_ckpt(args.source, args.out)
     convert_qwen_vision_ckpt(args.source, args.out)
     convert_qwen_text_ckpt(args.source, args.out)
+    convert_qwen3_ckpt(os.path.join(args.source, 'qwen3-vl') if os.path.isdir(os.path.join(args.source, 'qwen3-vl')) else args.source, args.out)
     build_tag_embeddings(args.out)
     print("done; for SCRFD/landmark (ONNX-only) run tools/convert_insightface.py"
           " — key maps and verification status in docs/CONVERTERS.md")
