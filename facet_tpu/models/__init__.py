@@ -5,8 +5,12 @@ Members (reference wrappers in models/ of the upstream project):
   (aesthetic.py) — the 'clip-mlp' legacy aesthetic model.
 - Zero-shot CLIP tagger (tagger.py) over the config vocabulary.
 - SAMP-Net + U2-Net-P composition models (samp_net.py).
-- TOPIQ NR-IQA (topiq.py).
-- SCRFD face detection + ArcFace embeddings (face_models.py).
+- TOPIQ NR-IQA (topiq.py) + CLIP-IQA+/HyperIQA/DBCNN/MUSIQ (iqa*.py).
+- Exact SCRFD det_10g detector (scrfd.py), 106-pt landmarks — the real
+  2d106det graph executes directly via onnx_exec.py — and exact ArcFace
+  iResNet-50 embeddings (face_models.py).
+- Qwen2.5-VL and Qwen3-VL vision towers + text decoders
+  (qwen_vision/qwen_text/qwen3_vision/qwen3_text.py) for all-TPU tagging.
 - ModelManager (model_manager.py): load/unload lifecycle, HBM bin-packing of
   ensemble passes, host-RAM parameter caching.
 

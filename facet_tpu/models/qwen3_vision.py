@@ -217,6 +217,10 @@ class Qwen3VisionEncoder:
         deepstack feature list (image order preserved)."""
         outs, deeps, offset = [], None, 0
         for t, h, w in grid_thw:
+            if int(t) != 1:
+                raise NotImplementedError(
+                    "Qwen3VisionEncoder handles stills (t=1); the tagger "
+                    "never sends video grids")
             seq = int(t) * int(h) * int(w)
             key = (int(h), int(w))
             if key not in self._programs:
