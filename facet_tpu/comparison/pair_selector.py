@@ -23,7 +23,10 @@ class PairSelector:
         self.rng = random.Random(seed)
 
     def _candidates(self, conn, limit=2000):
-        where = "aggregate IS NOT NULL AND thumbnail IS NOT NULL"
+        # no thumbnail requirement: the reference selects on aggregate only
+        # (comparison/pair_selector.py:70) — rows without thumbnails still
+        # get compared (the viewer shows a placeholder)
+        where = "aggregate IS NOT NULL"
         params = []
         if self.category:
             where += " AND category = ?"

@@ -735,3 +735,112 @@ class TestValidatorParity:
             ref_found.get(n, 0) for n in ("face_metrics_when_no_face",
                                           "blink_without_face",
                                           "face_count_mismatch"))
+
+
+class TestComparisonParity:
+    """Pair selection + vote statistics vs the reference's comparison
+    subsystem on identical seeded databases."""
+
+    def _seed(self, path):
+        _seed_recompute_db(path, n=60, seed=21)
+
+    def test_uncertainty_strategy_picks_identical_pairs(self, ref, tmp_path):
+        import sqlite3
+
+        ref_db = str(tmp_path / "ref.db")
+        our_db = str(tmp_path / "our.db")
+        self._seed(ref_db)
+        self._seed(our_db)
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            from comparison.pair_selector import PairSelector as RefSel
+            ref_sel = RefSel(ref_db)
+            from facet_tpu.comparison.pair_selector import PairSelector
+
+            our_sel = PairSelector(our_db, strategy="uncertainty", seed=0)
+            for step in range(4):
+                want = ref_sel.get_next_pair(strategy="uncertainty")
+                got = our_sel.next_pair()
+                assert (want is None) == (got is None), step
+                if want is None:
+                    break
+                assert {want["a"], want["b"]} == set(got), step
+                # record the vote in BOTH databases so the exclusion path
+                # drives the next selection identically
+                for db in (ref_db, our_db):
+                    conn = sqlite3.connect(db)
+                    conn.execute(
+                        "INSERT INTO comparisons (photo_a_path, photo_b_path,"
+                        " winner) VALUES (?, ?, 'a')",
+                        tuple(sorted((want["a"], want["b"]))))
+                    conn.commit()
+                    conn.close()
+        finally:
+            sys.path.remove(REFERENCE)
+
+    def test_boundary_strategy_invariants_match(self, ref, tmp_path):
+        ref_db = str(tmp_path / "ref.db")
+        our_db = str(tmp_path / "our.db")
+        self._seed(ref_db)
+        self._seed(our_db)
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            from comparison.pair_selector import PairSelector as RefSel
+            want = RefSel(ref_db).get_next_pair(strategy="boundary")
+        finally:
+            sys.path.remove(REFERENCE)
+        from facet_tpu.comparison.pair_selector import PairSelector
+
+        got = PairSelector(our_db, strategy="boundary", seed=1).next_pair()
+        # both strategies are randomized; the contract is the score band
+        assert want is not None and got is not None
+        assert 5.5 <= want["score_a"] <= 8.5
+        assert 5.5 <= want["score_b"] <= 8.5
+        import sqlite3
+
+        conn = sqlite3.connect(our_db)
+        scores = {p: s for p, s in conn.execute(
+            "SELECT path, aggregate FROM photos")}
+        conn.close()
+        assert all(5.5 <= scores[p] <= 8.5 for p in got)
+
+    def test_vote_statistics_match(self, ref, tmp_path):
+        """Identical votes through both managers produce identical totals,
+        winner tallies and unique-photo counts."""
+        ref_db = str(tmp_path / "ref.db")
+        our_db = str(tmp_path / "our.db")
+        self._seed(ref_db)
+        self._seed(our_db)
+        votes = [("/photos/r000.jpg", "/photos/r001.jpg", "a"),
+                 ("/photos/r002.jpg", "/photos/r003.jpg", "b"),
+                 ("/photos/r004.jpg", "/photos/r005.jpg", "tie"),
+                 ("/photos/r006.jpg", "/photos/r007.jpg", "skip"),
+                 ("/photos/r000.jpg", "/photos/r002.jpg", "a")]
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            from comparison.comparison_manager import (
+                ComparisonManager as RefMgr,
+            )
+            rm = RefMgr(ref_db)
+            for a, b, w in votes:
+                rm.submit_comparison(a, b, w)
+            want = rm.get_statistics()
+        finally:
+            sys.path.remove(REFERENCE)
+
+        from facet_tpu.comparison.manager import ComparisonManager
+
+        om = ComparisonManager(our_db)
+        for a, b, w in votes:
+            om.submit(a, b, w)
+        got = om.statistics()
+
+        # our count() excludes skips exactly like the reference's total
+        assert got["comparisons"] == want["total_comparisons"]
+        for key in ("a", "b", "tie", "skip"):
+            assert got["by_winner"].get(key, 0) == \
+                want["winner_breakdown"].get(key, 0), key
+        assert got["compared_photos"] == want["unique_photos_compared"]
