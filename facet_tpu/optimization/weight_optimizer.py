@@ -97,6 +97,68 @@ class WeightOptimizer:
                            np.int32)
         return va, vb, outcome
 
+    # ----------------------------------------------------- learned scores
+
+    def compute_learned_scores(self, max_iterations=100, tolerance=1e-6):
+        """Bradley-Terry per-photo strengths from the pairwise votes,
+        persisted to the learned_scores table.
+
+        Reference semantics (optimization/weight_optimizer.py:122-223):
+        MM iterations s_i <- wins_i / sum_j 1/(s_i + s_j), renormalized to
+        sum to n each round, converged at max |delta| < tolerance, then
+        min-max scaled to 0-10. Vectorized (Jacobi) update — same fixed
+        point as the reference's in-place sweep; parity is tested in
+        tests/test_reference_parity.py.
+        """
+        with get_connection(self.db_path) as conn:
+            pairs = conn.execute(
+                "SELECT photo_a_path, photo_b_path, winner FROM comparisons"
+                " WHERE winner IN ('a', 'b')").fetchall()
+            if not pairs:
+                return {"photos_updated": 0, "iterations": 0}
+            paths = sorted({p for a, b, _ in pairs for p in (a, b)})
+            index = {p: i for i, p in enumerate(paths)}
+            n = len(paths)
+            ia = np.array([index[a] for a, _, _ in pairs])
+            ib = np.array([index[b] for _, b, _ in pairs])
+            win_a = np.array([w == "a" for _, _, w in pairs])
+
+            wins = np.zeros(n)
+            np.add.at(wins, ia[win_a], 1)
+            np.add.at(wins, ib[~win_a], 1)
+            scores = np.ones(n)
+            iterations = 0
+            for iteration in range(max_iterations):
+                old = scores.copy()
+                inv = 1.0 / (scores[ia] + scores[ib])
+                denom = np.zeros(n)
+                np.add.at(denom, ia, inv)
+                np.add.at(denom, ib, inv)
+                nonzero = denom > 0
+                scores = np.where(nonzero, np.divide(
+                    wins, denom, out=np.ones(n), where=nonzero), scores)
+                total = scores.sum()
+                if total > 0:
+                    scores = scores * n / total
+                iterations = iteration + 1
+                if np.abs(scores - old).max() < tolerance:
+                    break
+
+            lo, hi = scores.min(), scores.max()
+            span = hi - lo if hi > lo else 1.0
+            scaled = (scores - lo) / span * 10.0
+            counts = np.zeros(n, np.int64)
+            np.add.at(counts, ia, 1)
+            np.add.at(counts, ib, 1)
+            conn.executemany(
+                "INSERT OR REPLACE INTO learned_scores (photo_path,"
+                " learned_score, comparison_count, updated_at)"
+                " VALUES (?, ?, ?, datetime('now'))",
+                [(p, float(scaled[i]), int(counts[i]))
+                 for p, i in index.items()])
+            conn.commit()
+        return {"photos_updated": n, "iterations": iterations}
+
     # ------------------------------------------------------------- training
 
     @staticmethod

@@ -844,3 +844,61 @@ class TestComparisonParity:
             assert got["by_winner"].get(key, 0) == \
                 want["winner_breakdown"].get(key, 0), key
         assert got["compared_photos"] == want["unique_photos_compared"]
+
+
+class TestLearnedScoresParity:
+    def test_bradley_terry_scores_match(self, ref, pinned_configs, tmp_path):
+        """compute_learned_scores: identical votes -> identical 0-10
+        Bradley-Terry strengths in learned_scores (the reference sweeps
+        in-place, we update vectorized — same fixed point)."""
+        import sqlite3
+
+        ref_db = str(tmp_path / "ref.db")
+        our_db = str(tmp_path / "our.db")
+        _seed_recompute_db(ref_db, n=30, seed=33)
+        _seed_recompute_db(our_db, n=30, seed=33)
+        rng = np.random.default_rng(4)
+        votes, seen = [], set()
+        while len(votes) < 120:
+            a, b = rng.choice(30, 2, replace=False)
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            votes.append((f"/photos/r{a:03d}.jpg", f"/photos/r{b:03d}.jpg",
+                          str(rng.choice(["a", "b"]))))
+        for db in (ref_db, our_db):
+            conn = sqlite3.connect(db)
+            conn.executemany(
+                "INSERT INTO comparisons (photo_a_path, photo_b_path,"
+                " winner) VALUES (?, ?, ?)", votes)
+            conn.commit()
+            conn.close()
+
+        sys.path.insert(0, REFERENCE)
+        try:
+            from optimization.weight_optimizer import (
+                WeightOptimizer as RefOpt,
+            )
+            ref_cfg_path = pinned_configs[0].config_path
+            out = RefOpt(ref_db, ref_cfg_path).compute_learned_scores()
+            assert out["photos_updated"] > 0
+        finally:
+            sys.path.remove(REFERENCE)
+
+        from facet_tpu.optimization.weight_optimizer import WeightOptimizer
+
+        ours = WeightOptimizer(our_db, pinned_configs[1])
+        mine = ours.compute_learned_scores()
+        assert mine["photos_updated"] == out["photos_updated"]
+
+        def read(path):
+            conn = sqlite3.connect(path)
+            rows = dict(conn.execute(
+                "SELECT photo_path, learned_score FROM learned_scores"))
+            conn.close()
+            return rows
+
+        want, got = read(ref_db), read(our_db)
+        assert set(want) == set(got)
+        for p in want:
+            assert got[p] == pytest.approx(want[p], abs=1e-3), p
