@@ -213,13 +213,19 @@ def main():
     p50_ms = float(np.median(lat) * 1000)
 
     # --- ingest-limited rate on this machine's host->device link
-    host_batch = np.asarray(jax.device_get(buffers[0]))
+    # (capped at 64 images: this harness relay moves ~15-25 MB/s, so a full
+    # 256-image 1.5 MP batch would spend minutes measuring the relay, not
+    # the framework; a b64 sub-batch compiles separately but measures the
+    # same link)
+    ingest_n = min(args.batch, 64)
+    host_batch = np.asarray(jax.device_get(buffers[0][:ingest_n]))
+    jax.device_get([fn(jax.device_put(host_batch))
+                    for fn in members.values()])   # compile the b=64 shapes
     t0 = time.perf_counter()
-    for i in range(2):
-        buf = jax.device_put(host_batch)
-        jax.device_get([fn(buf) for fn in members.values()])
-    ingest_rate = 2 * args.batch / (time.perf_counter() - t0)
-    link_mbps = ingest_rate * host_batch.nbytes / args.batch / 1e6
+    buf = jax.device_put(host_batch)
+    jax.device_get([fn(buf) for fn in members.values()])
+    ingest_rate = ingest_n / (time.perf_counter() - t0)
+    link_mbps = ingest_rate * host_batch.nbytes / ingest_n / 1e6
 
     metric = ("full_ensemble_images_per_second_per_chip"
               if args.members == "all"
