@@ -57,7 +57,9 @@ class CLIPIQAScorer:
         import os
 
         prompts = [p for pair in self.PROMPT_PAIRS for p in pair]
-        path = os.path.join("pretrained_models", "tag_embeddings.npz")
+        from facet_tpu.models.checkpoints import PRETRAINED_DIR
+
+        path = os.path.join(PRETRAINED_DIR, "tag_embeddings.npz")
         stored = {}
         if os.path.exists(path):
             data = np.load(path, allow_pickle=True)

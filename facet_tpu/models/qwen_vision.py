@@ -262,7 +262,9 @@ class QwenVisionEncoder:
 
         from facet_tpu.models.convert import load_params
 
-        path = path or os.path.join("pretrained_models", "qwen25_vision.npz")
+        from facet_tpu.models.checkpoints import PRETRAINED_DIR
+
+        path = path or os.path.join(PRETRAINED_DIR, "qwen25_vision.npz")
         if not os.path.exists(path):
             return None
         return cls(load_params(path), config)

@@ -124,8 +124,10 @@ class VLMTagger:
         import os
 
         is_25 = "2.5" in self.model_name
+        from facet_tpu.models.checkpoints import PRETRAINED_DIR
+
         text_path = os.path.join(
-            "pretrained_models",
+            PRETRAINED_DIR,
             "qwen25_text.npz" if is_25 else "qwen3_text.npz")
         if not os.path.exists(text_path):
             return False
