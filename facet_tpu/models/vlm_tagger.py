@@ -6,11 +6,15 @@ true sub-batched generation with an OOM fallback chain
 (batch -> sequential -> skip), and output parsing with Levenshtein snapping
 (distance <= 2) onto the vocabulary.
 
-Round-1 execution model: the Qwen towers run through Hugging Face
-transformers on host (weights load from a local path; zero-egress
-environments get a clear unavailability error and the profile chain falls
-back to CLIP tagging). A flax port of the Qwen vision tower is the planned
-TPU path.
+Execution model (fastest available path wins):
+1. ALL-TPU: flax vision tower + flax text decoder with a jitted KV-cache
+   greedy generate — Qwen2.5 (qwen_vision/qwen_text.py) and Qwen3-VL with
+   DeepStack (qwen3_vision/qwen3_text.py) — when the converted checkpoints
+   exist; only the tokenizer/processor stays on host.
+2. Hybrid: host transformers LLM with the torch visual tower swapped for
+   the flax one (Qwen2.5 only).
+3. Host transformers end-to-end. Zero-egress environments get a clear
+   unavailability error and the profile chain falls back to CLIP tagging.
 """
 
 from facet_tpu.utils.tags import tags_to_string
