@@ -15,24 +15,44 @@ members per batch (sequential device calls, as the engine does); per-member
 throughput is also reported, plus the CLIP-only figure for continuity with
 round 1.
 
-Also reported: p50 whole-ensemble single-image latency, ingest-limited
-throughput including the host->device copy on THIS machine's link, and the
-measured link bandwidth. (This harness reaches its TPU through a ~50 MB/s
-relay; a real v5e VM moves batches over local DMA at GB/s.)
+WALL-CLOCK DISCIPLINE (round 3): the bench bounds its own runtime. All
+members compile at ONE batch shape; the headline JSON line is printed the
+moment the headline number exists, and the optional extras (b=1 latency —
+the only extra compile — and the ingest measurement) run only if budget
+remains, after which the same JSON enriched with those fields is printed
+again as the final line. Either line parses to the same headline value, so
+a driver reading the first or the last JSON line gets the same result, and
+a timeout after the first print still leaves a number on record. SIGTERM/
+SIGINT print the best-known JSON before exiting.
 
-Prints ONE JSON line. vs_baseline is relative to the only throughput number
-the reference ships: its auto-tuner's assumed 6.5 img/s batched-GPU constant
+vs_baseline is relative to the only throughput number the reference ships:
+its auto-tuner's assumed 6.5 img/s batched-GPU constant
 (config/percentile_normalizer.py:2224).
 """
 
 import argparse
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 6.5
+
+_START = time.monotonic()
+_RESULT = {}          # best-known result; printed by the signal handler
+
+
+def _emit():
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _on_term(signum, frame):
+    if _RESULT.get("value"):
+        _emit()
+    os._exit(0)
 
 
 def build_members(args):
@@ -152,7 +172,18 @@ def main():
     parser.add_argument("--repeats", type=int, default=2)
     parser.add_argument("--members", default="all", choices=["all", "clip"],
                         help="'clip' benches only the fused CLIP program")
+    parser.add_argument(
+        "--budget", type=float,
+        default=float(os.environ.get("FACET_BENCH_BUDGET_S", "330")),
+        help="wall-clock budget in seconds; optional sections (b=1 latency, "
+             "ingest) are skipped once the budget would be exceeded")
     args = parser.parse_args()
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    def remaining():
+        return args.budget - (time.monotonic() - _START)
 
     import jax
     import jax.numpy as jnp
@@ -171,7 +202,7 @@ def main():
     for buf in buffers:
         _ = jax.device_get(jnp.sum(buf.astype(jnp.int32)))  # force materialize
 
-    # compile + warmup each member
+    # compile + warmup each member — the ONLY compiles on the default path
     compile_s = {}
     for name, fn in members.items():
         t0 = time.perf_counter()
@@ -202,50 +233,60 @@ def main():
             jax.device_get([fn(buf) for fn in members.values()])
         best = max(best, args.steps * args.batch / (time.perf_counter() - t0))
 
-    # --- p50 single-image whole-ensemble latency (resident input)
-    single = buffers[0][:1]
-    jax.device_get([fn(single) for fn in members.values()])  # compile b=1
-    lat = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        jax.device_get([fn(single) for fn in members.values()])
-        lat.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(lat) * 1000)
-
-    # --- ingest-limited rate on this machine's host->device link
-    # (capped at 64 images: this harness relay moves ~15-25 MB/s, so a full
-    # 256-image 1.5 MP batch would spend minutes measuring the relay, not
-    # the framework; a b64 sub-batch compiles separately but measures the
-    # same link)
-    ingest_n = min(args.batch, 64)
-    host_batch = np.asarray(jax.device_get(buffers[0][:ingest_n]))
-    jax.device_get([fn(jax.device_put(host_batch))
-                    for fn in members.values()])   # compile the b=64 shapes
-    t0 = time.perf_counter()
-    buf = jax.device_put(host_batch)
-    jax.device_get([fn(buf) for fn in members.values()])
-    ingest_rate = ingest_n / (time.perf_counter() - t0)
-    link_mbps = ingest_rate * host_batch.nbytes / ingest_n / 1e6
-
     metric = ("full_ensemble_images_per_second_per_chip"
               if args.members == "all"
               else "clip_fused_images_per_second_per_chip")
-    result = {
+    _RESULT.update({
         "metric": metric,
         "value": round(best, 2),
         "unit": "images/sec",
         "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 2),
         "members": member_rates,
         "clip_only_images_per_second": member_rates.get("clip_fused"),
-        "p50_latency_ms": round(p50_ms, 2),
-        "ingest_limited_images_per_second": round(ingest_rate, 2),
-        "h2d_link_mb_per_second": round(link_mbps, 1),
-        "compile_seconds": compile_s,
         "image_shape": [args.height, args.width],
         "batch": args.batch,
+        "compile_seconds": compile_s,
         "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    })
+    _emit()          # the headline is on record from this moment on
+    enriched = False
+
+    # --- OPTIONAL: ingest-limited rate on this machine's host->device link.
+    # Compile-free: copy a 64-image host batch over the link, zero-pad it to
+    # the already-compiled batch shape ON DEVICE, and run the full ensemble.
+    # (This harness relay moves ~15-25 MB/s; a real v5e VM uses local DMA.)
+    if remaining() > 45:
+        ingest_n = min(args.batch, 64)
+        host_batch = np.asarray(jax.device_get(buffers[0][:ingest_n]))
+        pad = jax.jit(lambda x: jnp.pad(
+            x, ((0, args.batch - ingest_n), (0, 0), (0, 0), (0, 0))))
+        jax.device_get([fn(pad(jax.device_put(host_batch)))
+                        for fn in members.values()])  # warm the pad program
+        t0 = time.perf_counter()
+        buf = pad(jax.device_put(host_batch))
+        jax.device_get([fn(buf) for fn in members.values()])
+        dt = time.perf_counter() - t0
+        _RESULT["ingest_limited_images_per_second"] = round(ingest_n / dt, 2)
+        _RESULT["h2d_link_mb_per_second"] = round(
+            host_batch.nbytes / dt / 1e6, 1)
+        enriched = True
+
+    # --- OPTIONAL: p50 single-image whole-ensemble latency (resident
+    # input). This is the one extra compile (b=1 shapes); it only runs with
+    # generous budget left.
+    if remaining() > 150:
+        single = buffers[0][:1]
+        jax.device_get([fn(single) for fn in members.values()])  # compile b=1
+        lat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            jax.device_get([fn(single) for fn in members.values()])
+            lat.append(time.perf_counter() - t0)
+        _RESULT["p50_latency_ms"] = round(float(np.median(lat) * 1000), 2)
+        enriched = True
+
+    if enriched:
+        _emit()      # final line: same headline, plus the optional fields
     return 0
 
 
