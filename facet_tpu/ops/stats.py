@@ -15,7 +15,10 @@ tiled integer sums and one MXU matmul:
 - Immerkaer noise: same stencil trick, |response| partial sums;
 - H-S joint entropy: the (180, N) x (N, 256) one-hot product IS the joint
   histogram, computed as a chunked bf16 matmul on the MXU with f32
-  accumulation (counts < 2^24 stay exact), entropy reduced on device.
+  accumulation (counts < 2^24 stay exact) — with the S side RADIX-PACKED
+  two bins per column ({0, 1, 4096} entries, unpacked exactly per
+  sub-chunk), halving the dominant matmul's FLOPs; entropy reduced on
+  device.
 
 The public entry point `compute_batch_stats` groups arbitrary-shaped images
 into (H, W) buckets with power-of-two batch padding so XLA compiles one
@@ -37,6 +40,11 @@ SUM_TILE = 1024
 LAPSQ_SEG = 2048
 # H-S one-hot matmul chunk (pixels per MXU step)
 HS_CHUNK = 128 * 1024
+# Radix-packed entropy sub-chunk: counts within a sub-chunk must stay below
+# the 2^12 packing radix so the two fields of the f32 accumulator separate
+# exactly (c0 + 4096*c1 <= 2048 + 4096*2048 < 2^24)
+HS_SUBCHUNK = 2048
+HS_RADIX = 4096.0
 # Gray-histogram slice: per-slice f32 nibble-matmul counts stay exact below
 # 2^24; 8M-pixel slices keep the one-hot working set bounded as well
 _GRAY_HIST_SLICE = 8 * 1024 * 1024
@@ -210,9 +218,22 @@ def _batch_stats_impl(rgb_batch):
     lapsq_tiles = jnp.sum(sq.reshape(b, h, -1, LAPSQ_SEG), axis=3,
                           dtype=jnp.int32)
 
-    # --- H-S joint entropy via one-hot matmul (hist2d = OH_H^T @ OH_S)
+    # --- H-S joint entropy via RADIX-PACKED one-hot matmul.
+    # hist2d[h, s] is still an exact one-hot product, but the S side packs
+    # each EVEN/ODD bin pair into one column: the packed operand holds 1 for
+    # an even bin, 4096 for the odd partner (entries {0, 1, 4096} — every
+    # one exactly representable in bf16, since 4096 = 2^12 and a pixel's S
+    # hits exactly one bin of the pair). The f32 MXU accumulator of a
+    # 2048-pixel sub-chunk is then c_even + 4096 * c_odd with both counts
+    # <= 2048 < 4096, so an exact power-of-two floor-divide separates the
+    # fields. This HALVES the matmul FLOPs (2*N*180*128 vs 2*N*180*256 —
+    # the dominant compute of the whole fused program) while keeping the
+    # packed operand at exactly 128 lanes. Measured decision table:
+    # docs/PERF.md (the unpacked bf16 one-hot matmul was the round-2
+    # default; int8 / pallas / sort / chunk-sweep variants were all
+    # measured and rejected).
     h_bins = jnp.arange(180, dtype=jnp.int32)
-    s_bins = jnp.arange(256, dtype=jnp.int32)
+    sh_bins = jnp.arange(128, dtype=jnp.int32)
     hp = _pad_to_tiles(hh.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else hh.reshape(b, -1)
     sp = _pad_to_tiles(ss.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else ss.reshape(b, -1)
     if hp.shape[1] != n:
@@ -220,6 +241,7 @@ def _batch_stats_impl(rgb_batch):
         pad_mask = jnp.arange(hp.shape[1]) >= n
         hp = jnp.where(pad_mask[None, :], -1, hp)
     nchunks = hp.shape[1] // HS_CHUNK
+    nsub = HS_CHUNK // HS_SUBCHUNK
 
     def per_image(rows):
         h_row, s_row = rows
@@ -228,11 +250,24 @@ def _batch_stats_impl(rgb_batch):
             start = ci * HS_CHUNK
             hc = jax.lax.dynamic_slice(h_row, (start,), (HS_CHUNK,))
             sc = jax.lax.dynamic_slice(s_row, (start,), (HS_CHUNK,))
-            oh_h = (hc[:, None] == h_bins[None, :]).astype(jnp.bfloat16)
-            oh_s = (sc[:, None] == s_bins[None, :]).astype(jnp.bfloat16)
-            return acc + jax.lax.dot_general(
-                oh_h, oh_s, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32), None
+            hc = hc.reshape(nsub, HS_SUBCHUNK)
+            sc = sc.reshape(nsub, HS_SUBCHUNK)
+            oh_h = (hc[:, :, None] == h_bins[None, None, :]).astype(
+                jnp.bfloat16)
+            weight = jnp.where((sc & 1) == 1, HS_RADIX, 1.0).astype(
+                jnp.bfloat16)
+            packed_s = ((sc >> 1)[:, :, None] == sh_bins[None, None, :]
+                        ).astype(jnp.bfloat16) * weight[:, :, None]
+            # batched over sub-chunks: (nsub, 180, 128) f32, exact
+            packed = jax.lax.dot_general(
+                oh_h, packed_s, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            c_odd = jnp.floor(packed * (1.0 / HS_RADIX))
+            c_even = packed - c_odd * HS_RADIX
+            # interleave even/odd fields back into 256 S bins, fold sub-chunks
+            hist = jnp.stack([c_even, c_odd], axis=-1).reshape(
+                nsub, 180, 256).sum(axis=0)
+            return acc + hist, None
 
         hist2d, _ = jax.lax.scan(body, jnp.zeros((180, 256), jnp.float32),
                                  jnp.arange(nchunks))

@@ -260,3 +260,22 @@ class TestPhash:
         small = _cv2.resize(base, (200, 150), interpolation=_cv2.INTER_LINEAR)
         hb, hs = phash_batch([big, small])
         assert hamming_distance(hb, hs) <= 6
+
+
+class TestEntropyRadixPacking:
+    """The H-S entropy packs two S bins per matmul column (entries
+    {0, 1, 4096}); these inputs drive both packed fields of one column to
+    their sub-chunk maximum so any field bleed would show up exactly."""
+
+    def test_field_separation_extremes(self):
+        # uniform saturated red: every pixel lands in (h=0, s=255) — the ODD
+        # field of the last packed column holds the full sub-chunk count
+        red = np.broadcast_to(np.array([255, 0, 0], np.uint8),
+                              (256, 320, 3)).copy()
+        # half (255,0,0) / half (255,1,1): joint bins (0, 255) and (0, 254)
+        # — BOTH fields of the same packed column, each at half mass
+        mix = red.copy()
+        mix[:128] = np.array([255, 1, 1], np.uint8)
+        stats = compute_batch_stats([red, mix])
+        assert stats[0].hs_entropy == pytest.approx(0.0, abs=1e-6)
+        assert stats[1].hs_entropy == pytest.approx(1.0, abs=1e-5)
