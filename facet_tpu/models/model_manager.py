@@ -50,7 +50,11 @@ MODEL_HBM_REQUIREMENTS = {
     "dbcnn": 1.2,           # VGG16 + SCNN bilinear pooling
     "musiq": 0.8,           # multi-scale patch transformer
     "clipiqa": 2.0,         # CLIP towers + antonym prompts
-    "vlm_tagger": 18.0,     # Qwen2.5-VL-7B bf16
+    "vlm_tagger": 18.0,     # Qwen2.5-VL-7B bf16, single-chip figure; on a
+                            # multi-chip mesh the text decoder tensor-shards
+                            # over 'tp' (parallel/tp.py: ~8.8 GB/chip at
+                            # tp=2, ~4.4 at tp=4), which is how it fits
+                            # 16 GB v5e chips at all
     "qwen3_vl_tagger": 7.0, # Qwen3-VL-2B bf16
     "ram_tagger": 14.0,     # RAM++ swin-L @384px
 }
@@ -274,7 +278,21 @@ class ModelManager:
 
     def requirements(self, name):
         table = MODEL_HBM_REQUIREMENTS if self.hbm_gb > 0 else MODEL_RAM_REQUIREMENTS
-        return table.get(name, 1.0)
+        need = table.get(name, 1.0)
+        if name == "vlm_tagger" and self.hbm_gb > 0:
+            # the tagger tensor-shards its 7B decoder over 'tp' when several
+            # chips are visible; the planner must budget the PER-CHIP share
+            import jax
+
+            from facet_tpu.models.qwen_text import QwenTextConfig
+            from facet_tpu.parallel.tp import decoder_hbm_gb, pick_tp
+
+            cfg = QwenTextConfig()
+            tp = pick_tp(cfg, len(jax.devices()), self.hbm_gb)
+            if tp is not None:
+                # sharded decoder + replicated vision tower/activations
+                need = decoder_hbm_gb(cfg, tp) + 2.5
+        return need
 
     def group_passes(self, model_names, capacity_gb=None):
         """First-fit-decreasing bin packing of models into device passes."""

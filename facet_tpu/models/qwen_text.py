@@ -230,9 +230,20 @@ class QwenTextDecoder:
     """
 
     def __init__(self, params, config=QwenTextConfig(), dtype=jnp.float32,
-                 max_new_tokens=96):
+                 max_new_tokens=96, mesh=None):
+        """mesh: optional ('dp', 'tp') jax.sharding.Mesh. With tp > 1 the
+        decoder weights shard Megatron-style over 'tp' (parallel/tp.py) so
+        the 7B model fits 16 GB v5e chips; batches shard over 'dp' when
+        divisible. XLA's SPMD partitioner inserts the collectives."""
         self.config = config
         self.model = QwenTextModel(config, dtype)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            from facet_tpu.parallel.tp import (
+                shard_qwen_text_params, validate_tp)
+
+            validate_tp(config, mesh.shape["tp"])
+            params = shard_qwen_text_params(params, mesh)
         self.params = params
         self.max_new_tokens = max_new_tokens
         self._programs = {}
@@ -244,6 +255,12 @@ class QwenTextDecoder:
         cfg = self.config
         total = prompt_len + self.max_new_tokens
         model = self.model
+        constrain_cache = None
+        if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
+            from facet_tpu.parallel.tp import kv_cache_constraint
+
+            constrain_cache = kv_cache_constraint(
+                self.mesh, dp=batch % self.mesh.shape["dp"] == 0)
 
         def run(params, embeds, valid, position_ids, next_pos, eos_ids):
             """embeds (B,T,E); valid (B,T) bool; position_ids (3,B,T);
@@ -255,6 +272,8 @@ class QwenTextDecoder:
             cache = [{"k": jnp.zeros((b, total, kv, hd), embeds.dtype),
                       "v": jnp.zeros((b, total, kv, hd), embeds.dtype)}
                      for _ in range(cfg.num_layers)]
+            if constrain_cache is not None:
+                cache = [constrain_cache(c) for c in cache]
             slot_valid = jnp.concatenate(
                 [valid, jnp.zeros((b, self.max_new_tokens), bool)], axis=1)
 
@@ -305,10 +324,20 @@ class QwenTextDecoder:
         up to (and excluding) the first eos."""
         b, t, _ = embeds.shape
         run = self._program(t, b)
-        out = run(self.params, jnp.asarray(embeds),
-                  jnp.asarray(valid, bool), jnp.asarray(position_ids),
-                  jnp.asarray(next_pos, jnp.int32),
-                  jnp.asarray(eos_ids, jnp.int32))
+        args = (jnp.asarray(embeds), jnp.asarray(valid, bool),
+                jnp.asarray(position_ids), jnp.asarray(next_pos, jnp.int32),
+                jnp.asarray(eos_ids, jnp.int32))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape.get("dp", 1)
+            bdim = ("dp",) if b % dp == 0 else (None,)
+            # position_ids carry batch on axis 1; eos_ids have no batch axis
+            specs = (P(*bdim, None, None), P(*bdim, None),
+                     P(None, *bdim, None), P(*bdim), P(None))
+            args = tuple(jax.device_put(a, NamedSharding(self.mesh, s))
+                         for a, s in zip(args, specs))
+        out = run(self.params, *args)
         return np.asarray(jax.device_get(out))
 
 

@@ -168,14 +168,45 @@ class VLMTagger:
             # bf16 weights on device: the decoder must fit HBM
             params = {"params": jax.tree.map(
                 lambda a: jnp.asarray(a, jnp.bfloat16), params["params"])}
+            extra_kw = {}
+            if is_25:
+                mesh = self._decoder_mesh(TCfg())
+                if mesh is not None:
+                    extra_kw["mesh"] = mesh
             decoder = Decoder(params, TCfg(), dtype=jnp.bfloat16,
-                              max_new_tokens=self.max_new_tokens)
+                              max_new_tokens=self.max_new_tokens, **extra_kw)
             self._device = (encoder, decoder)
             print("VLM tagger: full TPU path (vision tower + text decoder)")
             return True
         except Exception as exc:
             print(f"VLM tagger: TPU decoder path unavailable ({exc})")
             return False
+
+    @staticmethod
+    def _decoder_mesh(text_config):
+        """Pick a ('dp', 'tp') mesh for the text decoder, or None.
+
+        The Qwen2.5-VL-7B decoder is ~15.5 GB in bf16 — it cannot share a
+        16 GB v5e chip with its KV cache (the reference runs the whole
+        model on one 24 GB GPU, models/model_manager.py:652-667), so when
+        several devices are visible the decoder tensor-shards over the
+        smallest 'tp' that brings per-chip weights under ~60% of HBM,
+        leaving room for cache + activations. Remaining devices form the
+        'dp' axis for batch parallelism."""
+        import jax
+
+        from facet_tpu.models.model_manager import detect_hbm_gb
+        from facet_tpu.parallel.mesh import get_mesh
+        from facet_tpu.parallel.tp import decoder_hbm_gb, pick_tp
+
+        n = len(jax.devices())
+        tp = pick_tp(text_config, n, detect_hbm_gb())
+        if tp is None:
+            return None
+        mesh = get_mesh(dp=n // tp, tp=tp)
+        print(f"VLM tagger: decoder tensor-sharded tp={tp} "
+              f"({decoder_hbm_gb(text_config, tp):.1f} GB/chip), dp={n // tp}")
+        return mesh
 
     def _attach_tpu_vision(self):
         """Swap the torch visual tower for the flax one when converted

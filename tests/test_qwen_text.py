@@ -371,3 +371,71 @@ class TestQwenTextParity:
 
         for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(tree)):
             np.testing.assert_array_equal(a, b)
+
+
+class TestTensorParallel:
+    """The ('dp','tp') mesh path (parallel/tp.py): Megatron-style sharding
+    specs over the unchanged decoder must reproduce the single-device
+    greedy tokens exactly — GSPMD only changes where the math runs."""
+
+    def _generate(self, tiny_config, mesh, batch):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from facet_tpu.models.qwen_text import (QwenTextDecoder,
+                                                init_text_params)
+
+        cfg = dataclasses.replace(tiny_config, tie_word_embeddings=False)
+        _, params = init_text_params(cfg, seed=7)
+        dec = QwenTextDecoder(params, cfg, dtype=jnp.float32,
+                              max_new_tokens=6, mesh=mesh)
+        rng = np.random.default_rng(3)
+        t = 8
+        embeds = rng.standard_normal(
+            (batch, t, tiny_config.hidden_size)).astype(np.float32) * 0.1
+        valid = np.ones((batch, t), bool)
+        valid[0, :2] = False            # a left-padded row
+        pos = np.broadcast_to(np.arange(t), (3, batch, t)).copy()
+        next_pos = np.full((batch,), t, np.int64)
+        eos = np.asarray([cfg.vocab_size - 1], np.int32)
+        return dec.generate(embeds, valid, pos, next_pos, eos)
+
+    def test_tp_matches_single_device(self, tiny_config):
+        import jax
+
+        from facet_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(dp=4, tp=2, devices=tuple(jax.devices()[:8]))
+        want = self._generate(tiny_config, None, batch=4)
+        got = self._generate(tiny_config, mesh, batch=4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_tp_uneven_batch_replicates_dp(self, tiny_config):
+        """batch=3 does not divide dp=4: inputs replicate, tp still shards."""
+        import jax
+
+        from facet_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(dp=4, tp=2, devices=tuple(jax.devices()[:8]))
+        want = self._generate(tiny_config, None, batch=3)
+        got = self._generate(tiny_config, mesh, batch=3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_tp_validation_rejects_indivisible(self, tiny_config):
+        import pytest as _pytest
+
+        from facet_tpu.parallel.tp import validate_tp
+
+        with _pytest.raises(ValueError):
+            validate_tp(tiny_config, 3)   # kv_heads=2 not divisible by 3
+
+    def test_hbm_accounting(self):
+        """The 7B decoder must fit a 16 GB chip only after tp-sharding."""
+        from facet_tpu.models.qwen_text import QwenTextConfig
+        from facet_tpu.parallel.tp import decoder_hbm_gb
+
+        full = decoder_hbm_gb(QwenTextConfig(), tp=1)
+        half = decoder_hbm_gb(QwenTextConfig(), tp=2)
+        assert full > 14.0          # bf16 7B decoder: no single-chip fit
+        assert half < 8.5           # tp=2: fits with room for cache
