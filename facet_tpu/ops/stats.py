@@ -226,12 +226,13 @@ def _batch_stats_impl(rgb_batch):
     # hits exactly one bin of the pair). The f32 MXU accumulator of a
     # 2048-pixel sub-chunk is then c_even + 4096 * c_odd with both counts
     # <= 2048 < 4096, so an exact power-of-two floor-divide separates the
-    # fields. This HALVES the matmul FLOPs (2*N*180*128 vs 2*N*180*256 —
-    # the dominant compute of the whole fused program) while keeping the
-    # packed operand at exactly 128 lanes. Measured decision table:
-    # docs/PERF.md (the unpacked bf16 one-hot matmul was the round-2
-    # default; int8 / pallas / sort / chunk-sweep variants were all
-    # measured and rejected).
+    # fields. This HALVES the matmul FLOPs (2*N*180*128 vs 2*N*180*256)
+    # while keeping the packed operand at exactly 128 lanes. Measured: the
+    # op is OUTPUT-TILE-bound, not FLOP-bound — 3.26 ms/img packed vs 3.29
+    # unpacked at 1.5 MP — so the win is budget headroom, not wall-clock;
+    # every other formulation (int8 / pallas / sort / chunk sweeps /
+    # per-chunk interleave) measured equal or worse. Decision table:
+    # docs/PERF.md.
     h_bins = jnp.arange(180, dtype=jnp.int32)
     sh_bins = jnp.arange(128, dtype=jnp.int32)
     hp = _pad_to_tiles(hh.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else hh.reshape(b, -1)
@@ -264,13 +265,16 @@ def _batch_stats_impl(rgb_batch):
                 preferred_element_type=jnp.float32)
             c_odd = jnp.floor(packed * (1.0 / HS_RADIX))
             c_even = packed - c_odd * HS_RADIX
-            # interleave even/odd fields back into 256 S bins, fold sub-chunks
-            hist = jnp.stack([c_even, c_odd], axis=-1).reshape(
-                nsub, 180, 256).sum(axis=0)
-            return acc + hist, None
+            # keep separate even/odd accumulators across the scan — the
+            # field interleave happens ONCE at the end, not per chunk
+            # (measured: the per-chunk interleave costs ~0.15 ms/img)
+            ae, ao = acc
+            return (ae + c_even.sum(0), ao + c_odd.sum(0)), None
 
-        hist2d, _ = jax.lax.scan(body, jnp.zeros((180, 256), jnp.float32),
-                                 jnp.arange(nchunks))
+        (acc_e, acc_o), _ = jax.lax.scan(
+            body, (jnp.zeros((180, 128), jnp.float32),
+                   jnp.zeros((180, 128), jnp.float32)), jnp.arange(nchunks))
+        hist2d = jnp.stack([acc_e, acc_o], axis=-1).reshape(180, 256)
         prob = hist2d / jnp.sum(hist2d)
         return -jnp.sum(jnp.where(prob > 0,
                                   prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)),
