@@ -31,6 +31,7 @@ def create_app(db_path=None, config_path=None, config=None, static_dir=None):
 
     from facet_tpu.api.routers import (
         comparison,
+        filter_options,
         gallery,
         persons,
         stats,
@@ -38,7 +39,8 @@ def create_app(db_path=None, config_path=None, config=None, static_dir=None):
         thumbnails,
     )
 
-    for module in (gallery, stats, thumbnails, persons, comparison, system):
+    for module in (gallery, stats, thumbnails, persons, comparison, system,
+                   filter_options):
         module.register(app, ctx)
 
     if static_dir and os.path.isdir(static_dir):

@@ -35,6 +35,38 @@ def register(app, ctx):
                 "auth_required": ctx.auth.auth_required(),
                 "multi_user": ctx.config.multi_user}
 
+    @app.post("/api/auth/edition/login")
+    def edition_login(request):
+        """Second-stage login for edit rights in legacy single-user mode
+        (reference api/routers/auth.py:71-85)."""
+        import hmac as _hmac
+
+        if ctx.config.multi_user:
+            raise HTTPError(400, "use /api/auth/login for multi-user auth")
+        body = request.json()
+        password = (body.get("password") or "").encode()
+        edition = (ctx.config.edition_password or "").encode()
+        if not edition or not _hmac.compare_digest(password, edition):
+            raise HTTPError(401, "invalid password")
+        return {"token": ctx.auth.issue_token("editor", "admin"),
+                "user": "editor", "role": "admin"}
+
+    @app.get("/api/auth/status")
+    def auth_status(request):
+        """Authentication status + feature flags for the client
+        (reference api/routers/auth.py:88-104)."""
+        user = request.state.get("user")
+        role = request.state.get("role")
+        return {
+            "authenticated": user is not None,
+            "multi_user": ctx.config.multi_user,
+            "edition_enabled": bool(ctx.config.edition_password),
+            "edition_authenticated": role in ("admin", "superadmin"),
+            "user_id": user,
+            "user_role": role,
+            "features": ctx.config.features(),
+        }
+
     # ----------------------------------------------------------------- i18n
 
     @app.get("/api/i18n/languages")

@@ -555,3 +555,109 @@ class TestAuthModes:
             jsonlib.dump(raw, fh)
         cfg = APIConfig(db_path=seeded_db, config_path=tmp_config)
         assert cfg.share_secret != leaked
+
+
+class TestFilterOptionsLazy:
+    """The eight per-filter lazy dropdown endpoints
+    (reference api/routers/filter_options.py:43-214)."""
+
+    def test_cameras_with_counts(self, client):
+        cams = client.get("/api/filter_options/cameras").json()["cameras"]
+        assert sorted(map(tuple, cams)) == [("CamA", 6), ("CamB", 6)]
+
+    def test_lenses_with_counts(self, client):
+        lenses = client.get("/api/filter_options/lenses").json()["lenses"]
+        assert list(map(tuple, lenses)) == [("50mm", 12)]
+
+    def test_categories_with_counts(self, client):
+        cats = client.get("/api/filter_options/categories").json()["categories"]
+        assert sorted(map(tuple, cats)) == [("landscape", 8), ("portrait", 4)]
+
+    def test_tags_via_photo_tags(self, client):
+        tags = client.get("/api/filter_options/tags").json()["tags"]
+        assert ("sunset", 8) in set(map(tuple, tags))
+
+    def test_persons_with_photo_counts(self, client):
+        persons = client.get("/api/filter_options/persons").json()["persons"]
+        assert list(map(tuple, persons)) == [(1, "Alice", 2)]
+
+    def test_apertures_rounded(self, client):
+        aps = client.get("/api/filter_options/apertures").json()["apertures"]
+        assert list(map(tuple, aps)) == [(2.8, 12)]
+
+    def test_empty_option_families(self, client):
+        # composition_pattern / focal_length are unset in the seed library
+        assert client.get("/api/filter_options/patterns").json()["patterns"] == []
+        assert client.get(
+            "/api/filter_options/focal_lengths").json()["focal_lengths"] == []
+
+    def test_stats_cache_fast_path(self, client, seeded_db):
+        from facet_tpu.db.stats_cache import refresh_stats_cache
+
+        refresh_stats_cache(seeded_db)
+        res = client.get("/api/filter_options/cameras").json()
+        assert res["cached"] is True
+        assert sorted(map(tuple, res["cameras"])) == [("CamA", 6), ("CamB", 6)]
+
+
+class TestAuthStatusEdition:
+    """/api/auth/status + /api/auth/edition/login
+    (reference api/routers/auth.py:71-104)."""
+
+    def test_status_open_instance(self, client):
+        st = client.get("/api/auth/status").json()
+        assert st["authenticated"] and not st["multi_user"]
+        assert not st["edition_enabled"]
+        assert st["edition_authenticated"]          # open instance = admin
+
+    def test_edition_login_flow(self, seeded_db, tmp_config):
+        import json as jsonlib
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw["viewer"]["password"] = "viewpass"
+        raw["viewer"]["edition_password"] = "editpass"
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        client = TestClient(create_app(db_path=seeded_db,
+                                       config_path=tmp_config))
+        # first-stage viewer login -> read-only role
+        tok = client.post("/api/auth/login",
+                          json={"password": "viewpass"}).json()["token"]
+        auth = {"Authorization": f"Bearer {tok}"}
+        st = client.get("/api/auth/status", headers=auth).json()
+        assert st["edition_enabled"] and not st["edition_authenticated"]
+        # wrong edition password rejected
+        assert client.post("/api/auth/edition/login",
+                           json={"password": "nope"}).status_code == 401
+        # second-stage edition login -> edit rights
+        etok = client.post("/api/auth/edition/login",
+                           json={"password": "editpass"}).json()["token"]
+        eauth = {"Authorization": f"Bearer {etok}"}
+        st = client.get("/api/auth/status", headers=eauth).json()
+        assert st["edition_authenticated"]
+
+    def test_edition_login_rejected_in_multi_user(self, seeded_db, tmp_config):
+        import json as jsonlib
+
+        from facet_tpu.api.config import APIConfig
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw["users"] = {"bob": {"password_hash": APIConfig.hash_password("pw"),
+                                "role": "user"}}
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        client = TestClient(create_app(db_path=seeded_db,
+                                       config_path=tmp_config))
+        res = client.post("/api/auth/edition/login",
+                          json={"password": "anything"})
+        assert res.status_code == 400
