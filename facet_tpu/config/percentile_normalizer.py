@@ -431,6 +431,39 @@ class PercentileNormalizer:
             "issues": issues,
         }
 
+    def metric_statistics(self, category="default"):
+        """Per-metric weight / measured correlation / variance-aware
+        expected correlation table (the --compute-recommendations --verbose
+        detail; reference photos.py:144-145)."""
+        rows = self._load_rows()
+        if category != "default":
+            rows = [r for r in rows if r["category"] == category]
+        if not rows:
+            return []
+        aggs = [r["aggregate"] for r in rows]
+        agg_std = float(np.std(aggs)) or 1.0
+        weights = self.config.get_weights(category)
+        num = len(self.METRIC_WEIGHT_KEYS)
+        out = []
+        for metric, key in self.METRIC_WEIGHT_KEYS.items():
+            pairs = [(r["aggregate"], r[metric]) for r in rows
+                     if isinstance(r.get(metric), (int, float))]
+            if len(pairs) < 2:
+                continue
+            xs = [p[1] for p in pairs]
+            ys = [p[0] for p in pairs]
+            corr = self._metric_correlation(xs, ys)
+            weight = weights.get(key, 0.0)
+            out.append({
+                "metric": metric,
+                "weight": weight,
+                "correlation": corr,
+                "expected": self.expected_correlation(
+                    weight, num, float(np.std(xs)), agg_std),
+                "samples": len(pairs),
+            })
+        return out
+
     # ----------------------------------------------------- simulate / apply
 
     def _record_history(self, issues, applied):
@@ -541,13 +574,24 @@ def recalculate_batch_settings(measured_mb_per_sec, measured_imgs_per_sec,
 # ----------------------------------------------------------- CLI driver
 
 
-def run_recommendations(db_path, config, apply=False, simulate=False):
+def run_recommendations(db_path, config, apply=False, simulate=False,
+                        verbose=False):
     normalizer = PercentileNormalizer(db_path, config)
     report = normalizer.health_report()
     print(f"scoring health: {report.get('health_score')}/100 over"
           f" {report['photos']} photos"
           f" (mean {report.get('aggregate_mean')},"
           f" std {report.get('aggregate_std')})")
+    if verbose:
+        stats = normalizer.metric_statistics()
+        if stats:
+            print(f"{'metric':<24} {'weight':>7} {'corr':>7} "
+                  f"{'expected':>9} {'n':>6}")
+            for s in stats:
+                corr = f"{s['correlation']:.3f}" \
+                    if s["correlation"] is not None else "-"
+                print(f"{s['metric']:<24} {s['weight']:>7.3f} {corr:>7} "
+                      f"{s['expected']:>9.3f} {s['samples']:>6}")
     issues = report["issues"]
     if not issues:
         print("no recommendations — scoring looks healthy")

@@ -24,9 +24,12 @@ def cli_face_ops(db_path, config, args):
     if args.refill_face_thumbnails:
         n = refill_face_thumbnails(db_path, config)
         print(f"refilled {n} face thumbnails")
-    if args.cluster_faces or args.cluster_faces_force:
-        stats = run_face_clustering(db_path, config,
-                                    force=args.cluster_faces_force)
+    if args.cluster_faces or args.cluster_faces_force \
+            or getattr(args, "cluster_faces_incremental_named", False):
+        stats = run_face_clustering(
+            db_path, config, force=args.cluster_faces_force,
+            named_only=getattr(args, "cluster_faces_incremental_named",
+                               False))
         print(f"clustering: {stats}")
     return 0
 

@@ -29,6 +29,8 @@ def build_parser():
     scan.add_argument("--limit", type=int, default=None, help="max photos this run")
     scan.add_argument("--dry-run", action="store_true",
                       help="score a sample without writing the database")
+    scan.add_argument("--dry-run-count", type=int, default=10,
+                      help="photos to score in --dry-run mode (default 10)")
     scan.add_argument("--batch-size", type=int, default=None)
     scan.add_argument("--workers", type=int, default=None)
 
@@ -57,6 +59,9 @@ def build_parser():
                        help="extract faces for photos missing face rows")
     faces.add_argument("--cluster-faces", action="store_true",
                        help="incremental person clustering")
+    faces.add_argument("--cluster-faces-incremental-named", action="store_true",
+                       help="recluster keeping only NAMED persons"
+                            " (unnamed auto-clusters are dropped)")
     faces.add_argument("--cluster-faces-force", action="store_true",
                        help="wipe persons and recluster everything")
     faces.add_argument("--refill-face-thumbnails", action="store_true")
@@ -88,6 +93,8 @@ def build_parser():
                       help="apply recommendations (with --compute-recommendations)")
     misc.add_argument("--simulate", action="store_true",
                       help="simulate recommendations (with --compute-recommendations)")
+    misc.add_argument("--verbose", "-v", action="store_true",
+                      help="detailed statistics (with --compute-recommendations)")
     misc.add_argument("--vacuum", action="store_true", help="vacuum/analyze the database")
     misc.add_argument("--profile", metavar="DIR", default=None,
                       help="capture a jax.profiler trace of the scan into DIR")
@@ -197,6 +204,7 @@ def main(argv=None):
         return 0
 
     if args.extract_faces or args.cluster_faces or args.cluster_faces_force \
+            or args.cluster_faces_incremental_named \
             or args.refill_face_thumbnails:
         from facet_tpu.faces import cli_face_ops
 
@@ -206,7 +214,8 @@ def main(argv=None):
         from facet_tpu.config.percentile_normalizer import run_recommendations
 
         return run_recommendations(db_path, config, apply=args.apply,
-                                   simulate=args.simulate)
+                                   simulate=args.simulate,
+                                   verbose=args.verbose)
 
     if args.recompute_tags_vlm:
         from facet_tpu.processing.scorer import Facet
@@ -329,7 +338,7 @@ def main(argv=None):
     print(f"found {len(files)} photos to process")
 
     if args.dry_run:
-        sample = files[: min(10, len(files))]
+        sample = files[: min(args.dry_run_count, len(files))]
         rows, errors = scorer.score_paths(sample)
         print(f"{'file':<40} {'aggregate':<10} {'aesthetic':<10} {'category'}")
         for row in rows:

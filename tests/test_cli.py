@@ -131,3 +131,87 @@ class TestCLITail:
                              "--recompute-tags-vlm"], capsys)
         assert code == 0  # graceful: no weights installed in CI
         assert "tagger" in out or "unavailable" in out
+
+
+class TestRound3Flags:
+    """--cluster-faces-incremental-named / --dry-run-count / --verbose
+    (reference photos.py:119-120, 144-145, 155-156)."""
+
+    def test_cluster_faces_incremental_named(self, cli_env, capsys):
+        db, cfg = cli_env
+        rng = np.random.default_rng(7)
+        emb = rng.standard_normal(512).astype(np.float32)
+        emb /= np.linalg.norm(emb)
+        with get_connection(db) as conn:
+            # an UNNAMED auto-cluster with one assigned face
+            conn.execute(
+                "INSERT INTO persons (id, name, face_count, auto_clustered,"
+                " centroid) VALUES (9, '', 1, 1, ?)", (emb.tobytes(),))
+            conn.execute(
+                "INSERT INTO faces (photo_path, face_index, embedding,"
+                " bbox_x1, bbox_y1, bbox_x2, bbox_y2, confidence, person_id)"
+                " VALUES ('/cli/p0.jpg', 0, ?, 1, 1, 9, 9, 0.9, 9)",
+                (emb.tobytes(),))
+            # the NAMED person 1 needs a real face row to survive the
+            # post-cluster stats refresh (empty persons are pruned)
+            other = rng.standard_normal(512).astype(np.float32)
+            other /= np.linalg.norm(other)
+            conn.execute(
+                "INSERT INTO faces (photo_path, face_index, embedding,"
+                " bbox_x1, bbox_y1, bbox_x2, bbox_y2, confidence, person_id)"
+                " VALUES ('/cli/p1.jpg', 0, ?, 1, 1, 9, 9, 0.9, 1)",
+                (other.tobytes(),))
+        code, out = run_cli(["--db", db, "--config", cfg,
+                             "--cluster-faces-incremental-named"], capsys)
+        assert code == 0 and "clustering:" in out
+        with get_connection(db) as conn:
+            # the unnamed person is gone, the named ones survive
+            assert conn.execute(
+                "SELECT COUNT(*) FROM persons WHERE id = 9").fetchone()[0] == 0
+            assert conn.execute(
+                "SELECT COUNT(*) FROM persons WHERE id = 1").fetchone()[0] == 1
+            assert conn.execute(
+                "SELECT person_id FROM faces WHERE photo_path = '/cli/p0.jpg'"
+            ).fetchone()[0] != 9
+
+    def test_dry_run_count_reaches_scorer(self, tmp_path, tmp_config,
+                                          monkeypatch, capsys):
+        import facet_tpu.processing.scorer as scorer_mod
+
+        pics = tmp_path / "pics"
+        pics.mkdir()
+        for i in range(6):
+            Image.new("RGB", (32, 24), (i * 30, 90, 120)).save(
+                pics / f"s{i}.jpg")
+
+        seen = {}
+
+        class StubFacet:
+            def __init__(self, *a, **kw):
+                pass
+
+            def get_already_scanned_set(self):
+                return set()
+
+            def score_paths(self, paths):
+                seen["paths"] = list(paths)
+                return ([{"path": p, "aggregate": 5.0, "aesthetic": 6.0,
+                          "category": "default"} for p in paths], {})
+
+        monkeypatch.setattr(scorer_mod, "Facet", StubFacet)
+        db = str(tmp_path / "dr.db")
+        code, out = run_cli(["--db", db, "--config", tmp_config, str(pics),
+                             "--dry-run", "--dry-run-count", "3"], capsys)
+        assert code == 0
+        assert len(seen["paths"]) == 3
+        assert "aggregate" in out
+
+    def test_verbose_recommendations_table(self, cli_env, capsys):
+        db, cfg = cli_env
+        code, out = run_cli(["--db", db, "--config", cfg,
+                             "--compute-recommendations", "--verbose"],
+                            capsys)
+        assert code == 0
+        assert "scoring health" in out
+        # the per-metric detail table only appears with --verbose
+        assert "expected" in out and "tech_sharpness" in out
