@@ -1,25 +1,32 @@
-/* Facet viewer — build-free SPA over the JSON API.
+/* Facet viewer — DOM layer over store.js and the JSON API.
  *
- * Covers the reference client's feature set (gallery with the full filter
- * vocabulary, per-photo score breakdown with weighted contributions,
- * similar photos, stats dashboards, person management with merge-suggestion
- * review, keyboard-driven pairwise comparison voting, JWT auth, i18n) in
- * plain JavaScript served by run_api.py --static.
+ * Covers the reference client's feature surface (client/src/app/features/*)
+ * in build-free JavaScript: infinite-scroll gallery with the full filter
+ * vocabulary and lazy per-filter dropdowns, per-photo score breakdown with
+ * weighted contributions and per-user ratings, five-tab statistics
+ * (gear / categories / distribution / timeline / correlations) with
+ * per-category drill-down and a weight editor, person management with
+ * avatar selection and merge-suggestion review, keyboard-driven pairwise
+ * voting with learned-weight review, JWT auth with edition login, i18n.
  */
 
 "use strict";
 
+const S = window.FacetStore;
+
 const state = {
   token: localStorage.getItem("facet_token") || null,
-  page: 1,
-  pageSize: 60,
-  sort: "aggregate",
   view: "gallery",
   lang: localStorage.getItem("facet_lang") || "en",
   catalog: {},
   config: null,
-  weights: null, // {category: {metric: fraction}} for breakdown bars
+  weights: null,      // {category: {metric: fraction}} for breakdown bars
+  statsTab: "gear",
+  role: null,
 };
+
+const gallery = S.createGalleryStore(60);
+let t = S.makeT({});
 
 // ----------------------------------------------------------------- api
 
@@ -44,12 +51,27 @@ function thumbUrl(path, size) {
   return "/api/thumbnail" + path + "?size=" + (size || 320) + token;
 }
 
+function toast(message) {
+  const el = document.getElementById("toast");
+  el.textContent = message;
+  el.hidden = false;
+  clearTimeout(toast._timer);
+  toast._timer = setTimeout(() => { el.hidden = true; }, 2500);
+}
+
+// (no regex literals in this file: the contract tests' literal stripper
+// only understands strings and comments)
+const esc = (text) => String(text ?? "")
+  .split("&").join("&amp;").split("<").join("&lt;")
+  .split(">").join("&gt;").split('"').join("&quot;");
+
 // ----------------------------------------------------------------- i18n
 
 async function loadLanguage(lang) {
   const data = await api("/api/i18n/" + lang);
   state.lang = data.language;
   state.catalog = data.catalog;
+  t = S.makeT(state.catalog);
   localStorage.setItem("facet_lang", state.lang);
   document.querySelectorAll("[data-i18n]").forEach((el) => {
     const key = el.dataset.i18n;
@@ -61,7 +83,11 @@ async function loadLanguage(lang) {
   });
 }
 
-const t = (key) => state.catalog[key] || key;
+// translated name for a scoring category / pattern / sort column, falling
+// back to the raw identifier when no catalog entry exists
+const catName = (cat) => state.catalog["category_names." + cat] || cat;
+const patName = (p) => state.catalog["composition_patterns." + p] || p;
+const sortName = (col) => state.catalog["sort_options." + col] || col;
 
 // ----------------------------------------------------------------- auth
 
@@ -107,127 +133,168 @@ document.getElementById("logout-btn").addEventListener("click", () => {
 
 function switchView(name) {
   state.view = name;
-  document.querySelectorAll("nav button").forEach((b) =>
+  document.querySelectorAll("nav button[data-view]").forEach((b) =>
     b.classList.toggle("active", b.dataset.view === name));
   for (const view of ["gallery", "stats", "persons", "comparison"]) {
     document.getElementById(view + "-view").hidden = view !== name;
   }
-  if (name === "gallery") loadGallery();
+  if (name === "gallery" && !gallery.photos.length) reloadGallery();
   if (name === "stats") loadStats();
   if (name === "persons") loadPersons();
-  if (name === "comparison") loadPair();
+  if (name === "comparison") { loadPair(); loadComparisonStats(); }
 }
 
-document.querySelectorAll("nav button").forEach((b) =>
+document.querySelectorAll("nav button[data-view]").forEach((b) =>
   b.addEventListener("click", () => switchView(b.dataset.view)));
 
 // ----------------------------------------------------------------- gallery
 
-const RANGE_INPUTS = [
+// DOM id -> store filter field (numeric/text inputs)
+const FILTER_INPUTS = [
   ["min-score", "min_score"], ["max-score", "max_score"],
+  ["min-aesthetic", "min_aesthetic"], ["max-aesthetic", "max_aesthetic"],
   ["min-quality", "min_quality"], ["max-quality", "max_quality"],
+  ["min-sharpness", "min_sharpness"], ["max-sharpness", "max_sharpness"],
+  ["min-face-quality", "min_face_quality"],
   ["min-iso", "min_iso"], ["max-iso", "max_iso"],
   ["min-f-stop", "min_f_stop"], ["max-f-stop", "max_f_stop"],
   ["min-focal", "min_focal"], ["max-focal", "max_focal"],
   ["min-faces", "min_faces"], ["max-faces", "max_faces"],
   ["min-rating", "min_rating"],
 ];
+const FILTER_SELECTS = [
+  ["type-filter", "type"], ["camera-filter", "camera"],
+  ["lens-filter", "lens"], ["category-filter", "category"],
+  ["tag-filter", "tag"], ["person-filter", "person_id"],
+  ["pattern-filter", "pattern"],
+];
+const FILTER_CHECKS = [
+  ["hide-blinks", "hide_blinks"], ["hide-bursts", "hide_bursts"],
+  ["hide-duplicates", "hide_duplicates"], ["hide-rejected", "hide_rejected"],
+  ["favorites-only", "favorites_only"], ["monochrome-only", "monochrome_only"],
+];
 
-function galleryParams() {
-  const params = new URLSearchParams({
-    page: state.page, page_size: state.pageSize, sort: state.sort,
-    order: document.getElementById("order-asc").checked ? "asc" : "desc",
-    hide_blinks: document.getElementById("hide-blinks").checked,
-    hide_bursts: document.getElementById("hide-bursts").checked,
-    hide_duplicates: document.getElementById("hide-duplicates").checked,
-    hide_rejected: document.getElementById("hide-rejected").checked,
-  });
-  const type = document.getElementById("type-filter").value;
-  if (type) params.set("type", type);
-  const search = document.getElementById("search").value.trim();
-  if (search) params.set("search", search);
-  for (const [id, key] of [["camera-filter", "camera"],
-                           ["lens-filter", "lens"],
-                           ["category-filter", "category"],
-                           ["tag-filter", "tag"],
-                           ["person-filter", "person_id"],
-                           ["pattern-filter", "pattern"]]) {
-    const val = document.getElementById(id).value;
-    if (val) params.set(key, val);
+function readFiltersFromDom() {
+  const f = gallery.filters;
+  for (const [id, field] of FILTER_INPUTS) {
+    f[field] = document.getElementById(id).value;
   }
-  for (const [id, key] of RANGE_INPUTS) {
-    const val = document.getElementById(id).value;
-    if (val !== "") params.set(key, val);
+  for (const [id, field] of FILTER_SELECTS) {
+    f[field] = document.getElementById(id).value;
   }
-  const dateFrom = document.getElementById("date-from").value;
-  if (dateFrom) params.set("date_from", dateFrom.replace(/-/g, ":"));
-  const dateTo = document.getElementById("date-to").value;
-  if (dateTo) params.set("date_to", dateTo.replace(/-/g, ":"));
-  if (document.getElementById("favorites-only").checked)
-    params.set("favorites_only", "true");
-  if (document.getElementById("monochrome-only").checked)
-    params.set("monochrome_only", "true");
-  return params;
+  for (const [id, field] of FILTER_CHECKS) {
+    f[field] = document.getElementById(id).checked;
+  }
+  f.search = document.getElementById("search").value.trim();
+  f.date_from = document.getElementById("date-from").value.split("-").join(":");
+  f.date_to = document.getElementById("date-to").value.split("-").join(":");
+  gallery.order = document.getElementById("order-asc").checked ? "asc" : "desc";
+  const badge = document.getElementById("filter-badge");
+  const n = S.activeFilterCount(f);
+  badge.hidden = n === 0;
+  badge.textContent = String(n);
 }
 
 function hoverSummary(photo) {
   const parts = [];
-  for (const [col, label] of METRICS) {
-    if (photo[col] != null) parts.push(`${t(label)}: ${Number(photo[col]).toFixed(1)}`);
+  for (const [col, label] of S.METRICS) {
+    if (photo[col] != null)
+      parts.push(`${t(label)}: ${Number(photo[col]).toFixed(1)}`);
   }
-  if (photo.category) parts.push(`${t("gallery.category")}: ${photo.category}`);
+  if (photo.category)
+    parts.push(`${t("gallery.category")}: ${catName(photo.category)}`);
   return parts.join("\n");
 }
 
-async function loadGallery() {
-  const data = await api("/api/photos?" + galleryParams());
-  const grid = document.getElementById("grid");
-  grid.innerHTML = "";
-  if (!data.photos.length) {
-    grid.innerHTML = `<p class="hint">${t("gallery.no_results")}</p>`;
+function photoCard(photo) {
+  const card = document.createElement("div");
+  card.className = "card";
+  const score = photo.aggregate == null ? "—" : photo.aggregate.toFixed(1);
+  card.title = hoverSummary(photo);
+  card.innerHTML =
+    `<img loading="lazy" src="${thumbUrl(photo.path, 320)}">` +
+    `<span class="score ${photo.aggregate >= 7 ? "good" : ""}">${score}</span>` +
+    (photo.is_favorite ? '<span class="fav-flag">♥</span>' : "") +
+    `<div class="caption">${esc(photo.filename || photo.path)}</div>`;
+  card.addEventListener("click", () => openModal(photo));
+  return card;
+}
+
+async function loadNextPage() {
+  if (gallery.loading || !gallery.hasMore) return;
+  gallery.loading = true;
+  document.getElementById("load-status").textContent = t("gallery.loading");
+  try {
+    const data = await api("/api/photos?" + gallery.nextQuery());
+    const added = gallery.appendPage(data);
+    const grid = document.getElementById("grid");
+    for (const photo of added) grid.appendChild(photoCard(photo));
+    document.getElementById("gallery-count").textContent =
+      t("gallery.count", { shown: gallery.photos.length,
+                           total: gallery.total });
+    document.getElementById("load-status").textContent = gallery.hasMore
+      ? "" : (gallery.photos.length ? t("gallery.end") : t("gallery.no_results"));
+  } finally {
+    gallery.loading = false;
   }
-  for (const photo of data.photos) {
-    const card = document.createElement("div");
-    card.className = "card";
-    const score = photo.aggregate == null ? "—" : photo.aggregate.toFixed(1);
-    card.title = hoverSummary(photo); // score-breakdown tooltip
-    card.innerHTML =
-      `<img loading="lazy" src="${thumbUrl(photo.path, 320)}">` +
-      `<span class="score ${photo.aggregate >= 7 ? "good" : ""}">${score}</span>` +
-      `<div class="caption">${photo.filename || photo.path}</div>`;
-    card.addEventListener("click", () => openModal(photo));
-    grid.appendChild(card);
+}
+
+function reloadGallery() {
+  readFiltersFromDom();
+  gallery.reset();
+  document.getElementById("grid").innerHTML = "";
+  loadNextPage();
+}
+
+// infinite scroll: load the next page when the sentinel becomes visible
+new IntersectionObserver((entries) => {
+  if (entries.some((e) => e.isIntersecting) && state.view === "gallery") {
+    loadNextPage();
   }
-  document.getElementById("page-label").textContent =
-    `${data.page} / ${data.pages} (${data.total})`;
-  state.pages = data.pages;
+}, { rootMargin: "600px" }).observe(document.getElementById("scroll-sentinel"));
+
+// ---- filter dropdowns (lazy per-filter endpoints with counts)
+
+function fillOptions(id, rows, valueOf, labelOf) {
+  const select = document.getElementById(id);
+  const current = select.value;
+  select.querySelectorAll("option:not(:first-child)").forEach((o) => o.remove());
+  for (const row of rows || []) {
+    const opt = document.createElement("option");
+    opt.value = valueOf(row);
+    opt.textContent = labelOf(row);
+    select.appendChild(opt);
+  }
+  select.value = current;   // keep the active selection across refreshes
 }
 
 async function loadFilterOptions() {
-  const [opts, counts, config, persons, weights] = await Promise.all([
-    api("/api/filter_options"), api("/api/type_counts"), api("/api/config"),
-    api("/api/persons").catch(() => ({ persons: [] })),
+  const [config, counts, weights] = await Promise.all([
+    api("/api/config"), api("/api/type_counts"),
     api("/api/stats/category_weights").catch(() => ({ weights: {} }))]);
   state.config = config;
   state.weights = weights.weights || {};
-  const fill = (id, values, labels) => {
-    const select = document.getElementById(id);
-    select.querySelectorAll("option:not(:first-child)").forEach((o) => o.remove());
-    values.forEach((v, i) => {
-      const opt = document.createElement("option");
-      opt.value = v; opt.textContent = labels ? labels[i] : v;
-      select.appendChild(opt);
-    });
-  };
-  fill("camera-filter", opts.cameras);
-  fill("lens-filter", opts.lenses || []);
-  fill("category-filter", opts.categories);
-  fill("tag-filter", opts.tags.slice(0, 60));
-  fill("pattern-filter", opts.patterns || []);
-  fill("person-filter", persons.persons.map((p) => p.id),
-       persons.persons.map((p) => p.name || `#${p.id}`));
+
+  // each dropdown family loads from its own lazy endpoint, with counts
+  const lazy = [
+    ["cameras", "camera-filter", (r) => r[0], (r) => `${r[0]} (${r[1]})`],
+    ["lenses", "lens-filter", (r) => r[0], (r) => `${r[0]} (${r[1]})`],
+    ["categories", "category-filter",
+     (r) => r[0], (r) => `${catName(r[0])} (${r[1]})`],
+    ["tags", "tag-filter", (r) => r[0], (r) => `${r[0]} (${r[1]})`],
+    ["patterns", "pattern-filter",
+     (r) => r[0], (r) => `${patName(r[0])} (${r[1]})`],
+    ["persons", "person-filter",
+     (r) => r[0], (r) => `${r[1] || "#" + r[0]} (${r[2]})`],
+  ];
+  await Promise.all(lazy.map(async ([family, id, valueOf, labelOf]) => {
+    const data = await api("/api/filter_options/" + family)
+      .catch(() => ({ [family]: [] }));
+    fillOptions(id, data[family], valueOf, labelOf);
+  }));
 
   const typeSelect = document.getElementById("type-filter");
+  const currentType = typeSelect.value;
   typeSelect.innerHTML = "";
   for (const [name, count] of Object.entries(counts)) {
     const opt = document.createElement("option");
@@ -235,86 +302,71 @@ async function loadFilterOptions() {
     opt.textContent = `${t("type." + name)} (${count})`;
     typeSelect.appendChild(opt);
   }
+  typeSelect.value = currentType;
+
   const sortSelect = document.getElementById("sort-select");
   sortSelect.innerHTML = "";
   const groups = config.sort_options || {};
-  for (const cols of Object.values(groups)) {
+  for (const [group, cols] of Object.entries(groups)) {
+    const optgroup = document.createElement("optgroup");
+    optgroup.label = state.catalog["sort_groups." + group] || group;
     for (const col of cols) {
       const opt = document.createElement("option");
-      opt.value = col; opt.textContent = col;
-      if (col === state.sort) opt.selected = true;
-      sortSelect.appendChild(opt);
+      opt.value = col;
+      opt.textContent = sortName(col);
+      if (col === gallery.sort) opt.selected = true;
+      optgroup.appendChild(opt);
     }
+    sortSelect.appendChild(optgroup);
   }
-  const badge = document.getElementById("type-counts");
-  badge.innerHTML = Object.entries(counts)
-    .map(([k, v]) => `<div><span>${t("type." + k)}</span><span>${v}</span></div>`)
-    .join("");
+
+  document.getElementById("type-counts").innerHTML =
+    Object.entries(counts).map(([k, v]) =>
+      `<div><span>${t("type." + k)}</span><span>${v}</span></div>`).join("");
 }
 
-for (const id of ["type-filter", "camera-filter", "lens-filter",
-                  "category-filter", "tag-filter", "person-filter",
-                  "pattern-filter", "hide-blinks", "hide-bursts",
-                  "hide-duplicates", "hide-rejected", "favorites-only",
-                  "monochrome-only", "order-asc", "min-rating",
-                  "date-from", "date-to"]) {
-  document.getElementById(id).addEventListener("change", () => {
-    state.page = 1; loadGallery();
-  });
+for (const [id] of [...FILTER_SELECTS, ...FILTER_CHECKS]) {
+  document.getElementById(id).addEventListener("change", reloadGallery);
 }
-for (const [id] of RANGE_INPUTS) {
-  if (id === "min-rating") continue; // select handled above
-  document.getElementById(id).addEventListener("change", () => {
-    state.page = 1; loadGallery();
-  });
+for (const [id] of FILTER_INPUTS) {
+  document.getElementById(id).addEventListener("change", reloadGallery);
+}
+for (const id of ["date-from", "date-to", "order-asc"]) {
+  document.getElementById(id).addEventListener("change", reloadGallery);
 }
 document.getElementById("sort-select").addEventListener("change", (e) => {
-  state.sort = e.target.value; state.page = 1; loadGallery();
+  gallery.sort = e.target.value;
+  reloadGallery();
 });
 let searchTimer;
 document.getElementById("search").addEventListener("input", () => {
   clearTimeout(searchTimer);
-  searchTimer = setTimeout(() => { state.page = 1; loadGallery(); }, 350);
+  searchTimer = setTimeout(reloadGallery, 350);
 });
-document.getElementById("prev-page").addEventListener("click", () => {
-  if (state.page > 1) { state.page--; loadGallery(); }
-});
-document.getElementById("next-page").addEventListener("click", () => {
-  if (state.page < (state.pages || 1)) { state.page++; loadGallery(); }
+document.getElementById("reset-filters").addEventListener("click", () => {
+  for (const [id] of FILTER_INPUTS) document.getElementById(id).value = "";
+  for (const [id] of FILTER_SELECTS) document.getElementById(id).value = "";
+  for (const [id, field] of FILTER_CHECKS) {
+    document.getElementById(id).checked = S.FILTER_PARAMS[field][1];
+  }
+  document.getElementById("search").value = "";
+  document.getElementById("date-from").value = "";
+  document.getElementById("date-to").value = "";
+  reloadGallery();
 });
 
 // ------------------------------------------------------------ photo modal
 
-const METRICS = [
-  ["aggregate", "gallery.score"], ["aesthetic", "gallery.aesthetic"],
-  ["quality_score", "gallery.quality"], ["tech_sharpness", "gallery.sharpness"],
-  ["exposure_score", "gallery.exposure"], ["comp_score", "gallery.composition"],
-  ["color_score", "gallery.color"], ["contrast_score", "gallery.contrast"],
-  ["face_quality", "gallery.faces"],
-];
-
-// metric column -> category weight key (for the contribution breakdown)
-const WEIGHT_KEYS = {
-  aesthetic: "aesthetic", quality_score: "quality",
-  tech_sharpness: "tech_sharpness", exposure_score: "exposure",
-  comp_score: "composition", color_score: "color",
-  contrast_score: "contrast", face_quality: "face_quality",
-};
-
 function contributionHtml(photo) {
-  const weights = (state.weights || {})[photo.category] || {};
+  const rows = S.scoreBreakdown(photo, (state.weights || {})[photo.category]);
   let html = "";
-  for (const [col, label] of METRICS) {
-    const val = photo[col];
-    if (val == null) continue;
-    const wkey = WEIGHT_KEYS[col];
-    const weight = wkey ? weights[wkey] || 0 : null;
-    const contribution = weight != null && col !== "aggregate"
-      ? ` <i>(${Math.round(weight * 100)}% → ${(val * weight).toFixed(2)})</i>`
+  for (const row of rows) {
+    const note = row.contribution != null && row.col !== "aggregate"
+      ? ` <i>(${Math.round(row.weight * 100)}% → ${row.contribution.toFixed(2)})</i>`
       : "";
-    html += `<div class="metric"><span>${t(label)}${contribution}</span>` +
-      `<b>${Number(val).toFixed(2)}</b></div>` +
-      `<div class="bar"><div style="width:${Math.min(100, val * 10)}%"></div></div>`;
+    html += `<div class="metric"><span>${t(row.label)}${note}</span>` +
+      `<b>${row.value.toFixed(2)}</b></div>` +
+      `<div class="bar"><div style="width:${Math.min(100, row.value * 10)}%"></div></div>`;
   }
   return html;
 }
@@ -340,22 +392,23 @@ function openModal(photo) {
   modal.hidden = false;
   document.getElementById("modal-img").src = thumbUrl(photo.path, 1280);
   const meta = document.getElementById("modal-meta");
-  let html = `<h3>${photo.filename}</h3>`;
+  let html = `<h3>${esc(photo.filename)}</h3>`;
   html += contributionHtml(photo);
   html += `<div class="metric"><span>${t("gallery.category")}</span>` +
-    `<b>${photo.category || "—"}</b></div>`;
+    `<b>${photo.category ? catName(photo.category) : "—"}</b></div>`;
   if (photo.composition_pattern)
-    html += `<div class="metric"><span>Pattern</span><b>${photo.composition_pattern}</b></div>`;
+    html += `<div class="metric"><span>${t("gallery.pattern")}</span>` +
+      `<b>${patName(photo.composition_pattern)}</b></div>`;
   if (photo.tags && photo.tags.length)
     html += `<div class="metric"><span>${t("gallery.tags")}</span>` +
-      `<b>${photo.tags.join(", ")}</b></div>`;
+      `<b>${esc(photo.tags.join(", "))}</b></div>`;
   if (photo.camera_model)
-    html += `<div class="metric"><span>Camera</span><b>${photo.camera_model}` +
-      (photo.lens_model ? " · " + photo.lens_model : "") + `</b></div>`;
+    html += `<div class="metric"><span>${t("gallery.camera")}</span>` +
+      `<b>${esc(photo.camera_model)}` +
+      (photo.lens_model ? " · " + esc(photo.lens_model) : "") + `</b></div>`;
   if (photo.iso)
     html += `<div class="metric"><span>ISO / f / s</span>` +
-      `<b>${photo.iso} / f${photo.f_stop || "?"} / ${photo.shutter_speed || "?"}</b></div>`;
-  // star rating control
+      `<b>${photo.iso} / f${photo.f_stop || "?"} / ${esc(photo.shutter_speed || "?")}</b></div>`;
   let stars = '<div class="stars">';
   for (let i = 1; i <= 5; i++) {
     stars += `<span data-star="${i}">${i <= (photo.star_rating || 0) ? "★" : "☆"}</span>`;
@@ -364,28 +417,30 @@ function openModal(photo) {
   html += stars;
   html += `<div class="modal-actions">` +
     `<button id="fav-btn">${photo.is_favorite ? "♥" : "♡"} ${t("gallery.favorites")}</button>` +
-    `<button id="reject-btn">${photo.is_rejected ? "✓ rejected" : "✗ reject"}</button>` +
+    `<button id="reject-btn">${photo.is_rejected ? "✓ " + t("gallery.rejected") : "✗ " + t("gallery.reject")}</button>` +
     `</div>`;
   meta.innerHTML = html;
   meta.querySelectorAll("[data-star]").forEach((el) =>
     el.addEventListener("click", async () => {
+      const rating = Number(el.dataset.star);
       await api("/api/photos/rating", {
-        method: "POST",
-        json: { path: photo.path, rating: Number(el.dataset.star) },
-      });
-      photo.star_rating = Number(el.dataset.star);
+        method: "POST", json: { path: photo.path, rating } });
+      gallery.patchPhoto(photo.path, { star_rating: rating });
+      photo.star_rating = rating;
       openModal(photo);
     }));
   document.getElementById("fav-btn").addEventListener("click", async () => {
     photo.is_favorite = photo.is_favorite ? 0 : 1;
     await api("/api/photos/favorite", {
       method: "POST", json: { path: photo.path, favorite: !!photo.is_favorite } });
+    gallery.patchPhoto(photo.path, { is_favorite: photo.is_favorite });
     openModal(photo);
   });
   document.getElementById("reject-btn").addEventListener("click", async () => {
     photo.is_rejected = photo.is_rejected ? 0 : 1;
     await api("/api/photos/rejected", {
       method: "POST", json: { path: photo.path, rejected: !!photo.is_rejected } });
+    gallery.patchPhoto(photo.path, { is_rejected: photo.is_rejected });
     openModal(photo);
   });
   loadSimilar(photo);
@@ -421,101 +476,220 @@ function barChart(canvasId, labels, values, color) {
   });
 }
 
+function htmlTable(rows, cols, headers) {
+  return "<table><tr>" +
+    cols.map((c, i) => `<th>${headers ? headers[i] : c}</th>`).join("") +
+    "</tr>" + rows.map((r) => "<tr>" + cols.map((c) =>
+      `<td>${r[c] ?? "—"}</td>`).join("") + "</tr>").join("") + "</table>";
+}
+
+document.querySelectorAll("#stats-tabs button").forEach((b) =>
+  b.addEventListener("click", () => {
+    state.statsTab = b.dataset.tab;
+    document.querySelectorAll("#stats-tabs button").forEach((x) =>
+      x.classList.toggle("active", x === b));
+    document.querySelectorAll(".stats-tab").forEach((pane) => {
+      pane.hidden = pane.id !== "stats-tab-" + state.statsTab;
+    });
+    loadStatsTab(state.statsTab);
+  }));
+
 async function loadStats() {
-  const [overview, dist, gear, timeline, cats, corr, settings] =
-    await Promise.all([
-      api("/api/stats/overview"), api("/api/stats/score_distribution"),
-      api("/api/stats/gear"), api("/api/stats/timeline"),
-      api("/api/stats/categories"),
-      api("/api/stats/correlations").catch(() => null),
-      api("/api/stats/settings").catch(() => null)]);
+  const overview = await api("/api/stats/overview");
   const cards = [
-    ["Photos", overview.total_photos], ["Avg", overview.avg_score],
-    ["Faces", overview.faces], ["People", overview.persons],
-    ["Blinks", overview.blinks],
+    [t("stats.total_photos"), overview.total_photos],
+    [t("stats.avg_score"), overview.avg_score],
+    [t("stats.faces"), overview.faces],
+    [t("stats.persons"), overview.persons],
+    [t("stats.blinks"), overview.blinks],
     [t("quality.excellent"), overview.quality_counts.excellent],
   ];
   document.getElementById("stats-cards").innerHTML = cards.map(
     ([label, value]) =>
       `<div class="stat-card"><div class="value">${value ?? "—"}</div>` +
       `<div class="label">${label}</div></div>`).join("");
-  barChart("dist-chart", dist.bins.map((b) => b.toFixed(1)), dist.counts);
-  barChart("timeline-chart", timeline.months.map((m) => m.month),
-           timeline.months.map((m) => m.count), "#43b581");
-  const table = (rows, cols) =>
-    "<table><tr>" + cols.map((c) => `<th>${c}</th>`).join("") + "</tr>" +
-    rows.map((r) => "<tr>" + cols.map((c) =>
-      `<td>${r[c.toLowerCase().replace(" ", "_")] ?? "—"}</td>`).join("") +
-      "</tr>").join("") + "</table>";
-  document.getElementById("gear-tables").innerHTML =
-    table(gear.cameras.slice(0, 10), ["Camera", "Count", "Avg_score"]) +
-    table(gear.lenses.slice(0, 10), ["Lens", "Count", "Avg_score"]);
-  document.getElementById("category-table").innerHTML =
-    table(cats.categories, ["Category", "Count", "Avg_score", "Max_score"]);
-  if (corr) {
+  state._overview = overview;
+  loadStatsTab(state.statsTab);
+}
+
+const _statsLoaded = {};
+
+async function loadStatsTab(tab) {
+  // overview cards refresh every visit; tab bodies load lazily once
+  if (tab === "gear" && !_statsLoaded.gear) {
+    _statsLoaded.gear = true;
+    const [gear, settings] = await Promise.all([
+      api("/api/stats/gear"), api("/api/stats/settings").catch(() => null)]);
+    document.getElementById("gear-tables").innerHTML =
+      htmlTable(gear.cameras.slice(0, 12),
+                ["camera", "count", "avg_score"],
+                [t("stats.camera"), t("stats.count"), t("stats.avg_score")]) +
+      htmlTable(gear.lenses.slice(0, 12),
+                ["lens", "count", "avg_score"],
+                [t("stats.lens"), t("stats.count"), t("stats.avg_score")]);
+    if (settings) {
+      const isoB = [100, 200, 400, 800, 1600, 3200, 6400, 12800, 102400];
+      barChart("iso-chart", isoB.map((b) => "≤" + b),
+               S.bucketize(settings.iso, isoB), "#c98a3d");
+      const apB = [1.4, 2, 2.8, 4, 5.6, 8, 11, 16, 32];
+      barChart("aperture-chart", apB.map((b) => "f" + b),
+               S.bucketize(settings.aperture, apB), "#7a5cc9");
+      const flB = [24, 35, 50, 85, 135, 200, 400, 800];
+      barChart("focal-chart", flB.map((b) => b + "mm"),
+               S.bucketize(settings.focal_length, flB), "#3da3a0");
+    }
+  }
+  if (tab === "categories" && !_statsLoaded.categories) {
+    _statsLoaded.categories = true;
+    const cats = await api("/api/stats/categories");
+    const rows = cats.categories.map((c) => Object.assign({}, c, {
+      category: catName(c.category),
+    }));
+    document.getElementById("category-table").innerHTML = htmlTable(
+      rows, ["category", "count", "avg_score", "max_score"],
+      [t("stats.category"), t("stats.count"), t("stats.avg_score"),
+       t("stats.max_score")]);
+    const names = cats.categories.map((c) => c.category);
+    fillSelectOnce("metrics-category", names, () => loadCategoryMetrics());
+    fillSelectOnce("weights-category", names, () => loadWeightsEditor());
+    loadCategoryMetrics();
+    loadWeightsEditor();
+  }
+  if (tab === "distribution" && !_statsLoaded.distribution) {
+    _statsLoaded.distribution = true;
+    const dist = await api("/api/stats/score_distribution");
+    barChart("dist-chart", dist.bins.map((b) => b.toFixed(1)), dist.counts);
+    const q = (state._overview || {}).quality_counts || {};
+    document.getElementById("quality-tiers").innerHTML = htmlTable(
+      ["best", "excellent", "great", "good"].map((tier) => ({
+        tier: t("quality." + tier), count: q[tier] ?? "—" })),
+      ["tier", "count"], [t("stats.tier"), t("stats.count")]);
+  }
+  if (tab === "timeline" && !_statsLoaded.timeline) {
+    _statsLoaded.timeline = true;
+    const timeline = await api("/api/stats/timeline");
+    barChart("timeline-chart", timeline.months.map((m) => m.month),
+             timeline.months.map((m) => m.count), "#43b581");
+    document.getElementById("timeline-table").innerHTML = htmlTable(
+      timeline.months.slice(-24).reverse(),
+      ["month", "count", "avg_score"],
+      [t("stats.month"), t("stats.count"), t("stats.avg_score")]);
+  }
+  if (tab === "correlations" && !_statsLoaded.correlations) {
+    _statsLoaded.correlations = true;
+    const catCorr = await api("/api/stats/category_correlations")
+      .catch(() => null);
+    state._catCorr = catCorr;
+    const cats = catCorr ? Object.keys(catCorr.correlations) : [];
+    fillSelectOnce("correlations-category", ["__global__", ...cats],
+                   () => renderCorrelations(),
+                   (c) => c === "__global__" ? t("stats.global") : catName(c));
+    renderCorrelations();
+    const overlap = await api("/api/stats/category_overlap").catch(() => null);
+    if (overlap) {
+      const rows = overlap.per_category.map((r) => Object.assign({}, r, {
+        name: catName(r.name),
+      }));
+      document.getElementById("overlap-table").innerHTML =
+        `<p class="hint">${t("stats.uncategorized", { n: overlap.uncategorized })}</p>` +
+        htmlTable(rows, ["name", "priority", "assigned", "matched",
+                         "captured_by_higher"],
+                  [t("stats.category"), t("stats.priority"),
+                   t("stats.assigned"), t("stats.matched"),
+                   t("stats.captured")]) +
+        htmlTable(overlap.overlaps.slice(0, 15).map((o) => ({
+          pair: o.pair.map(catName).join(" ↔ "), count: o.count })),
+                  ["pair", "count"],
+                  [t("stats.overlap_pair"), t("stats.count")]);
+    }
+  }
+}
+
+function fillSelectOnce(id, values, onchange, labelOf) {
+  const select = document.getElementById(id);
+  if (select.options.length) return;
+  select.innerHTML = values.map((v) =>
+    `<option value="${esc(v)}">${esc(labelOf ? labelOf(v) : catName(v))}</option>`).join("");
+  select.addEventListener("change", onchange);
+}
+
+async function renderCorrelations() {
+  const choice = document.getElementById("correlations-category").value
+    || "__global__";
+  if (choice === "__global__") {
+    const corr = await api("/api/stats/correlations").catch(() => null);
+    if (!corr) return;
     const rows = Object.entries(corr.correlation_with_aggregate)
       .filter(([, v]) => v != null)
       .sort((a, b) => Math.abs(b[1]) - Math.abs(a[1]))
-      .map(([metric, r]) => ({ metric, r: r.toFixed(3) }));
+      .map(([metric, r]) => ({ metric: sortName(metric), r: r.toFixed(3) }));
     document.getElementById("correlation-table").innerHTML =
-      table(rows, ["Metric", "R"]);
+      htmlTable(rows, ["metric", "r"], [t("stats.metric"), "r"]);
+    return;
   }
-  if (settings) {
-    // bucket the long tails so the histograms stay readable
-    const bucketed = (rows, buckets) => {
-      const counts = new Array(buckets.length).fill(0);
-      for (const row of rows) {
-        const v = Number(row.value);
-        let i = buckets.findIndex((b) => v <= b);
-        if (i < 0) i = buckets.length - 1;
-        counts[i] += row.count;
-      }
-      return counts;
-    };
-    const isoB = [100, 200, 400, 800, 1600, 3200, 6400, 12800, 102400];
-    barChart("iso-chart", isoB.map((b) => "≤" + b),
-             bucketed(settings.iso || [], isoB), "#c98a3d");
-    const apB = [1.4, 2, 2.8, 4, 5.6, 8, 11, 16, 32];
-    barChart("aperture-chart", apB.map((b) => "f" + b),
-             bucketed(settings.aperture || [], apB), "#7a5cc9");
-    const flB = [24, 35, 50, 85, 135, 200, 400, 800];
-    barChart("focal-chart", flB.map((b) => b + "mm"),
-             bucketed(settings.focal_length || [], flB), "#3da3a0");
-  }
-  loadCategoryMetrics(cats.categories.map((c) => c.category));
+  const data = state._catCorr;
+  if (!data) return;
+  const corr = data.correlations[choice] || {};
+  const configured = (data.configured_weights || {})[choice] || {};
+  const rows = data.dimensions
+    .filter((d) => corr[d] != null || configured[d])
+    .map((d) => ({
+      metric: sortName(d),
+      r: corr[d] != null ? corr[d].toFixed(3) : "—",
+      weight: (configured[d] || 0) + "%",
+    }))
+    .sort((a, b) => Math.abs(Number(b.r) || 0) - Math.abs(Number(a.r) || 0));
+  document.getElementById("correlation-table").innerHTML =
+    htmlTable(rows, ["metric", "r", "weight"],
+              [t("stats.metric"), "r", t("stats.weight")]);
 }
 
-async function loadCategoryMetrics(categories) {
-  const select = document.getElementById("metrics-category");
-  if (!select.options.length) {
-    select.innerHTML = categories.map(
-      (c) => `<option value="${c}">${c}</option>`).join("");
-    select.addEventListener("change", () => loadCategoryMetrics(categories));
-  }
-  const cat = select.value || categories[0];
+async function loadCategoryMetrics() {
+  const cat = document.getElementById("metrics-category").value;
   if (!cat) return;
   try {
     const data = await api("/api/stats/category_metrics?category=" +
                            encodeURIComponent(cat));
-    // endpoint returns raw per-photo vectors; summarize client-side
-    const rows = Object.entries(data.metrics || {})
-      .filter(([, v]) => v.length)
-      .map(([metric, v]) => ({
-        metric,
-        avg: (v.reduce((a, b) => a + b, 0) / v.length).toFixed(2),
-        min: Math.min(...v).toFixed(2),
-        max: Math.max(...v).toFixed(2),
-      }));
-    const cols = ["Metric", "Avg", "Min", "Max"];
-    document.getElementById("category-metrics-table").innerHTML =
-      "<table><tr>" + cols.map((c) => `<th>${c}</th>`).join("") + "</tr>" +
-      rows.map((r) => "<tr>" + cols.map((c) =>
-        `<td>${r[c.toLowerCase()]}</td>`).join("") + "</tr>").join("") +
-      "</table>";
+    const rows = S.summarizeMetrics(data.metrics).map((r) => ({
+      metric: sortName(r.metric), avg: r.avg.toFixed(2),
+      min: r.min.toFixed(2), max: r.max.toFixed(2) }));
+    document.getElementById("category-metrics-table").innerHTML = htmlTable(
+      rows, ["metric", "avg", "min", "max"],
+      [t("stats.metric"), t("stats.avg"), t("stats.min"), t("stats.max")]);
   } catch (err) {
     document.getElementById("category-metrics-table").textContent = "";
   }
 }
+
+async function loadWeightsEditor() {
+  const cat = document.getElementById("weights-category").value;
+  if (!cat) return;
+  const data = await api("/api/stats/category_weights");
+  state.weights = data.weights || {};
+  const weights = state.weights[cat] || {};
+  const editor = document.getElementById("weights-editor");
+  editor.innerHTML = Object.entries(weights).map(([key, frac]) =>
+    `<div class="range-row"><span>${sortName(key)}</span>` +
+    `<input type="number" min="0" max="100" step="1" data-wkey="${key}"` +
+    ` value="${Math.round(frac * 100)}"> %</div>`).join("");
+}
+
+document.getElementById("save-weights").addEventListener("click", async () => {
+  const cat = document.getElementById("weights-category").value;
+  const weights = {};
+  document.querySelectorAll("#weights-editor [data-wkey]").forEach((el) => {
+    weights[el.dataset.wkey + "_percent"] = Number(el.value);
+  });
+  try {
+    await api("/api/stats/update_weights", {
+      method: "POST", json: { category: cat, weights } });
+    document.getElementById("weights-status").textContent = t("stats.saved");
+    toast(t("stats.saved"));
+    loadWeightsEditor();    // server may auto-correct to sum 100
+  } catch (err) {
+    document.getElementById("weights-status").textContent = String(err.message);
+  }
+});
 
 // ----------------------------------------------------------------- persons
 
@@ -532,16 +706,20 @@ async function loadPersons() {
     const row = document.createElement("div");
     row.className = "merge-row";
     const names = group.person_ids.map((id, i) =>
-      `${group.names[i] || "(unnamed)"} #${id}`).join(" · ");
+      `${esc(group.names[i]) || t("persons.unnamed")} #${id}`).join(" · ");
     row.innerHTML =
       `<span>${names} <i>(${(group.avg_similarity * 100).toFixed(0)}%)</i></span>` +
-      `<button>${t("persons.merge")}</button>`;
-    row.querySelector("button").addEventListener("click", async () => {
+      `<button class="merge-btn">${t("persons.merge")}</button>` +
+      `<button class="dismiss-btn">${t("persons.dismiss")}</button>`;
+    row.querySelector(".merge-btn").addEventListener("click", async () => {
       const [target, ...sources] = group.person_ids;
       await api("/api/persons/merge_batch", {
         method: "POST", json: { target_id: target, source_ids: sources } });
+      toast(t("persons.merged"));
       loadPersons();
     });
+    row.querySelector(".dismiss-btn").addEventListener("click", () =>
+      row.remove());
     list.appendChild(row);
   }
 
@@ -554,21 +732,43 @@ async function loadPersons() {
       `<img src="/api/person_thumbnail/${person.id}` +
       (state.token ? "?token=" + encodeURIComponent(state.token) : "") + `"
          onerror="this.style.visibility='hidden'">` +
-      `<input value="${person.name || ""}" placeholder="${t("persons.unnamed")}">` +
-      `<div class="caption">${person.photo_count} photos</div>` +
+      `<input value="${esc(person.name || "")}" placeholder="${t("persons.unnamed")}">` +
+      `<div class="caption">${t("persons.photo_count", { n: person.photo_count })}</div>` +
       `<div class="person-actions">` +
       `<button class="view-btn">${t("nav.gallery")}</button>` +
-      `<button class="del-btn">${t("persons.delete")}</button></div>`;
+      `<button class="avatar-btn">${t("persons.avatar")}</button>` +
+      `<button class="del-btn">${t("persons.delete")}</button></div>` +
+      `<div class="face-picker" hidden></div>`;
     const input = card.querySelector("input");
     input.addEventListener("change", async () => {
       await api(`/api/persons/${person.id}/rename`, {
         method: "POST", json: { name: input.value } });
+      toast(t("persons.renamed"));
     });
     card.querySelector(".view-btn").addEventListener("click", () => {
       switchView("gallery");
       document.getElementById("person-filter").value = person.id;
-      state.page = 1;
-      loadGallery();
+      reloadGallery();
+    });
+    card.querySelector(".avatar-btn").addEventListener("click", async () => {
+      const picker = card.querySelector(".face-picker");
+      if (!picker.hidden) { picker.hidden = true; return; }
+      const faces = await api(`/api/persons/${person.id}/faces`);
+      picker.innerHTML = "";
+      for (const face of faces.faces.slice(0, 12)) {
+        const img = document.createElement("img");
+        img.src = "/api/face_thumbnail/" + face.id +
+          (state.token ? "?token=" + encodeURIComponent(state.token) : "");
+        img.title = face.photo_path;
+        img.addEventListener("click", async () => {
+          await api(`/api/persons/${person.id}/avatar`, {
+            method: "POST", json: { face_id: face.id } });
+          toast(t("persons.avatar_set"));
+          loadPersons();
+        });
+        picker.appendChild(img);
+      }
+      picker.hidden = false;
     });
     card.querySelector(".del-btn").addEventListener("click", async () => {
       await api(`/api/persons/${person.id}`, { method: "DELETE" });
@@ -592,7 +792,7 @@ async function loadPair() {
   const status = document.getElementById("comparison-status");
   if (!data.pair) {
     currentPair = null;
-    status.textContent = data.message || "no pairs";
+    status.textContent = data.message || t("comparison.no_pairs");
     return;
   }
   currentPair = data.pair;
@@ -624,6 +824,7 @@ async function vote(winner) {
   document.getElementById("comparison-status").textContent =
     `${t("comparison.submitted")} (${res.count})`;
   loadPair();
+  loadComparisonStats();
 }
 
 document.querySelectorAll("[data-vote]").forEach((b) =>
@@ -637,6 +838,93 @@ document.addEventListener("keydown", (e) => {
   if (key) { e.preventDefault(); vote(key); }
 });
 
+async function loadComparisonStats() {
+  const box = document.getElementById("comparison-stats");
+  try {
+    const stats = await api("/api/comparison/statistics");
+    const byWinner = stats.by_winner || {};
+    const rows = [
+      [t("comparison.total_votes"), stats.comparisons ?? 0],
+      [t("comparison.ties"), byWinner.tie ?? 0],
+      [t("comparison.skips"), byWinner.skip ?? 0],
+      [t("comparison.coverage"),
+       stats.coverage != null ? (stats.coverage * 100).toFixed(0) + "%" : "—"],
+      [t("comparison.agreement"),
+       stats.agreement_accuracy != null
+         ? (stats.agreement_accuracy * 100).toFixed(0) + "%" : "—"],
+    ];
+    box.innerHTML = rows.map(([label, value]) =>
+      `<div class="metric"><span>${label}</span><b>${value}</b></div>`).join("");
+  } catch (err) {
+    box.textContent = "";
+  }
+  try {
+    const learned = await api("/api/comparison/learned_weights");
+    const lw = document.getElementById("learned-weights");
+    const applyBtn = document.getElementById("apply-weights-btn");
+    if (!learned.available) {
+      lw.innerHTML = `<p class="hint">${esc(learned.message)}</p>`;
+      applyBtn.hidden = true;
+    } else {
+      const rows = Object.keys(learned.suggested_weights).map((key) => ({
+        metric: sortName(key.endsWith("_percent")
+          ? key.slice(0, -"_percent".length) : key),
+        current: learned.current_weights[key] + "%",
+        suggested: learned.suggested_weights[key] + "%",
+      }));
+      lw.innerHTML =
+        `<p class="hint">${t("comparison.accuracy_gain", {
+          before: (learned.accuracy_before * 100).toFixed(0),
+          after: (learned.accuracy_after * 100).toFixed(0) })}</p>` +
+        htmlTable(rows, ["metric", "current", "suggested"],
+                  [t("stats.metric"), t("comparison.current"),
+                   t("comparison.suggested")]);
+      applyBtn.hidden = !learned.suggest_changes;
+    }
+  } catch (err) {
+    document.getElementById("learned-weights").textContent = "";
+  }
+  try {
+    const snaps = await api("/api/comparison/snapshots");
+    const box2 = document.getElementById("snapshots");
+    if (!snaps.snapshots.length) { box2.innerHTML = ""; return; }
+    box2.innerHTML = `<h4>${t("comparison.snapshots")}</h4>` +
+      snaps.snapshots.slice(0, 5).map((s) =>
+        `<div class="merge-row"><span>#${s.id} ${esc(s.category || "")} ` +
+        `${esc(s.timestamp || "")}</span>` +
+        `<button data-restore="${s.id}">${t("comparison.restore")}</button></div>`)
+        .join("");
+    box2.querySelectorAll("[data-restore]").forEach((b) =>
+      b.addEventListener("click", async () => {
+        await api(`/api/comparison/snapshots/${b.dataset.restore}/restore`, {
+          method: "POST" });
+        toast(t("comparison.restored"));
+        loadComparisonStats();
+      }));
+  } catch (err) { /* snapshots panel is optional */ }
+}
+
+document.getElementById("optimize-btn").addEventListener("click", async () => {
+  try {
+    await api("/api/comparison/optimize", { method: "POST", json: {} });
+    toast(t("comparison.optimized"));
+    loadComparisonStats();
+  } catch (err) {
+    toast(String(err.message));
+  }
+});
+
+document.getElementById("apply-weights-btn").addEventListener("click",
+  async () => {
+    try {
+      await api("/api/comparison/apply_weights", { method: "POST", json: {} });
+      toast(t("comparison.applied"));
+      loadComparisonStats();
+    } catch (err) {
+      toast(String(err.message));
+    }
+  });
+
 // ----------------------------------------------------------------- boot
 
 document.getElementById("lang-select").addEventListener("change", async (e) => {
@@ -648,9 +936,10 @@ async function boot() {
   document.getElementById("lang-select").value = state.lang;
   await loadLanguage(state.lang);
   try {
-    const me = await api("/api/auth/me");
-    if (me.auth_required && !state.token) { showLogin(); return; }
-    document.getElementById("logout-btn").hidden = !me.auth_required;
+    const status = await api("/api/auth/status");
+    state.role = status.user_role;
+    if (!status.authenticated && !state.token) { showLogin(); return; }
+    document.getElementById("logout-btn").hidden = status.user_id === "anonymous";
   } catch (err) { return; }
   hideLogin();
   await loadFilterOptions();

@@ -97,8 +97,13 @@ def test_js_uses_live_endpoints():
     registered = {regex.pattern for _, regex, _, _ in app.routes}
 
     def route_exists(path):
+        # string-prefix calls concatenate an id/path tail at runtime, so
+        # probe with plausible tails for int and path params too
+        candidates = (path, path.rstrip("/"), path + "/x",
+                      path.rstrip("/") + "/1", path + "1", path + "x",
+                      path + "cameras")
         for _, regex, _, _ in app.routes:
-            if regex.match(path) or regex.match(path + "/x"):
+            if any(regex.match(c) for c in candidates):
                 return True
         return False
 
@@ -117,3 +122,94 @@ def test_i18n_keys_exist():
     keys = {k for k in keys if not k.startswith("type.")}  # built dynamically
     missing = [k for k in keys if k not in catalog]
     assert not missing, f"missing i18n keys: {missing}"
+
+
+def test_store_js_structure():
+    store = read("store.js")
+    assert os.path.getsize(os.path.join(CLIENT, "store.js")) > 500
+    stripped = strip_js_literals(store)
+    for open_c, close_c in (("{", "}"), ("(", ")"), ("[", "]")):
+        assert stripped.count(open_c) == stripped.count(close_c)
+    html = read("index.html")
+    assert 'src="/store.js"' in html
+    # store.js loads before app.js (app.js reads window.FacetStore at parse)
+    assert html.index("store.js") < html.index("app.js")
+
+
+def test_store_filter_params_match_server_vocabulary():
+    """Every query param the store can emit must be consumed by the
+    gallery router (and the core server params must be emittable)."""
+    store = read("store.js")
+    block = re.search(r"const FILTER_PARAMS = \{(.*?)\n  \};", store,
+                      re.DOTALL).group(1)
+    emitted = set(re.findall(r'\["([a-z_]+)",', block))
+
+    gallery_src = open(os.path.join(
+        CLIENT, "..", "facet_tpu", "api", "routers", "gallery.py"),
+        encoding="utf-8").read()
+    consumed = set(re.findall(r'request\.param\("([a-z_]+)"', gallery_src))
+    consumed |= set(re.findall(r'\("([a-z_]+)", "[@p]', gallery_src))
+
+    unknown = emitted - consumed
+    assert not unknown, f"store emits params the server ignores: {unknown}"
+    # the headline families must all be expressible from the store
+    for must in ("type", "search", "camera", "lens", "category", "tag",
+                 "person_id", "min_score", "min_aesthetic", "min_sharpness",
+                 "min_iso", "min_rating", "hide_blinks", "favorites_only"):
+        assert must in emitted, f"store cannot emit {must}"
+
+
+def test_dom_ids_referenced_exist():
+    """Every getElementById target in app.js exists in index.html."""
+    js = read("app.js")
+    html = read("index.html")
+    ids = set(re.findall(r'getElementById\("([\w-]+)"\)', js))
+    dynamic = {"fav-btn", "reject-btn"}      # created inside the photo modal
+    missing = [i for i in ids - dynamic if f'id="{i}"' not in html]
+    assert not missing, f"app.js references unknown ids: {missing}"
+
+
+def test_i18n_catalogs_complete_across_languages():
+    """All five catalogs share one key set — no untranslated keys."""
+    base = None
+    for lang in ("en", "fr", "de", "it", "es"):
+        with open(os.path.join(CLIENT, "..", "facet_tpu", "i18n",
+                               f"{lang}.json"), encoding="utf-8") as fh:
+            keys = set(json.load(fh))
+        if base is None:
+            base = keys
+        else:
+            assert keys == base, (
+                f"{lang} differs: missing {sorted(base - keys)[:5]},"
+                f" extra {sorted(keys - base)[:5]}")
+    assert len(base) >= 250    # round-3 catalog depth
+
+
+def test_i18n_vars_usage():
+    """Keys used with variables have the placeholders in every language."""
+    js = read("app.js")
+    var_keys = re.findall(r't\("([\w.]+)",\s*\{\s*(\w+)', js)
+    for lang in ("en", "fr", "de", "it", "es"):
+        with open(os.path.join(CLIENT, "..", "facet_tpu", "i18n",
+                               f"{lang}.json"), encoding="utf-8") as fh:
+            catalog = json.load(fh)
+        for key, first_var in var_keys:
+            assert "{" + first_var + "}" in catalog.get(key, ""), (
+                lang, key, first_var)
+
+
+def test_category_and_pattern_names_translated():
+    """The 30 scoring categories and 8 composition patterns all have
+    display names in the catalog (used by the gallery and stats views)."""
+    import sys
+    sys.path.insert(0, os.path.join(CLIENT, ".."))
+    from facet_tpu.config.default_config import build_default_config
+    from facet_tpu.models.samp_net import COMPOSITION_PATTERNS
+
+    with open(os.path.join(CLIENT, "..", "facet_tpu", "i18n", "en.json"),
+              encoding="utf-8") as fh:
+        catalog = json.load(fh)
+    for cat in build_default_config()["categories"]:
+        assert "category_names." + cat["name"] in catalog, cat["name"]
+    for pattern in COMPOSITION_PATTERNS:
+        assert "composition_patterns." + pattern in catalog, pattern
