@@ -23,8 +23,15 @@ def normalize_embeddings(embeddings):
     return embeddings / norms
 
 
-def pairwise_cosine(embeddings, chunk=4096):
-    """(N, D) normalized -> (N, N) float32 cosine similarity."""
+def pairwise_cosine(embeddings, chunk=4096, mesh=None):
+    """(N, D) normalized -> (N, N) float32 cosine similarity.
+
+    With a mesh, rows shard over 'dp' (each chip holds the full embedding
+    matrix once — 512-d faces replicate cheaply — and computes its row
+    block locally; SURVEY §2.11 maps this to the all-gather family: the
+    gather happens once on the replicated operand instead of per step)."""
+    if mesh is not None:
+        return _pairwise_cosine_sharded(embeddings, mesh)
     emb = jnp.asarray(embeddings)
     n = embeddings.shape[0]
     out = np.empty((n, n), np.float32)
@@ -33,6 +40,27 @@ def pairwise_cosine(embeddings, chunk=4096):
         out[start:start + chunk] = np.asarray(jax.device_get(
             _cosine_chunk(rows, emb)))
     return out
+
+
+def _pairwise_cosine_sharded(embeddings, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from facet_tpu.parallel.mesh import pad_to_multiple
+
+    emb = np.asarray(embeddings, np.float32)
+    n = emb.shape[0]
+    dp = mesh.shape["dp"]
+    padded = pad_to_multiple(n, dp)
+    if padded != n:
+        emb_rows = np.pad(emb, ((0, padded - n), (0, 0)))
+    else:
+        emb_rows = emb
+    rows = jax.device_put(emb_rows, NamedSharding(mesh, P("dp", None)))
+    full = jax.device_put(emb, NamedSharding(mesh, P()))
+    out = jax.jit(
+        lambda r, f: r @ f.T,
+        out_shardings=NamedSharding(mesh, P("dp", None)))(rows, full)
+    return np.asarray(jax.device_get(out))[:n]
 
 
 def pairwise_euclidean(embeddings, chunk=4096):

@@ -57,12 +57,21 @@ def _match_chunk(chunk_signs, all_signs, max_distance):
     return hamming <= max_distance
 
 
-def find_duplicate_pairs(hex_hashes, max_distance, chunk=2048):
-    """All (i, j<i) pairs within max_distance. Device matmul, host filter."""
+def find_duplicate_pairs(hex_hashes, max_distance, chunk=2048, mesh=None):
+    """All (i, j<i) pairs within max_distance. Device matmul, host filter.
+
+    With a mesh, the sign rows shard over 'dp' (the (N, 64) sign matrix
+    replicates — 512 B/kilophoto — and each chip XOR-matmuls its row
+    block), so the O(N^2) pHash comparison scales across chips."""
     n = len(hex_hashes)
     if n < 2:
         return []
-    signs = jnp.asarray(_hashes_to_signs(hex_hashes))
+    signs_np = _hashes_to_signs(hex_hashes)
+    if mesh is not None:
+        hits_all = _match_all_sharded(signs_np, max_distance, mesh)
+        jj_i, jj_j = np.nonzero(hits_all)
+        return [(int(j), int(i)) for i, j in zip(jj_i, jj_j) if int(j) < int(i)]
+    signs = jnp.asarray(signs_np)
     pairs = []
     for start in range(0, n, chunk):
         rows = signs[start:start + chunk]
@@ -73,6 +82,28 @@ def find_duplicate_pairs(hex_hashes, max_distance, chunk=2048):
             if int(j) < i:
                 pairs.append((int(j), i))
     return pairs
+
+
+def _match_all_sharded(signs_np, max_distance, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from facet_tpu.parallel.mesh import pad_to_multiple
+
+    n = signs_np.shape[0]
+    dp = mesh.shape["dp"]
+    padded = pad_to_multiple(n, dp)
+    rows_np = signs_np if padded == n else np.pad(
+        signs_np, ((0, padded - n), (0, 0)))
+    rows = jax.device_put(rows_np, NamedSharding(mesh, P("dp", None)))
+    full = jax.device_put(signs_np, NamedSharding(mesh, P()))
+
+    def match(r, f):
+        hamming = (64.0 - r @ f.T) * 0.5
+        return hamming <= max_distance
+
+    out = jax.jit(match, out_shardings=NamedSharding(mesh, P("dp", None)))(
+        rows, full)
+    return np.asarray(jax.device_get(out))[:n]
 
 
 def detect_duplicates(db_path, config, verbose=True):

@@ -156,3 +156,35 @@ class TestEngineUsesShardedPath:
         engine = Facet(str(tmp_path / "t.db"), ScoringConfig(tmp_config))
         fused = engine._fused_scorer()
         assert fused.mesh is not None and fused.mesh.shape["dp"] == 8
+
+
+class TestShardedSimilarity:
+    """Row-sharded face distance matrix + duplicate XOR/popcount
+    (SURVEY §2.11) vs their single-device paths."""
+
+    def test_pairwise_cosine_sharded(self):
+        from facet_tpu.faces.distance import (normalize_embeddings,
+                                              pairwise_cosine)
+        from facet_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(dp=8, tp=1, devices=tuple(jax.devices()[:8]))
+        rng = np.random.default_rng(0)
+        for n in (8, 29):          # divisible and padded row counts
+            emb = normalize_embeddings(rng.standard_normal((n, 512)))
+            want = pairwise_cosine(emb)
+            got = pairwise_cosine(emb, mesh=mesh)
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_duplicate_pairs_sharded(self):
+        from facet_tpu.parallel.mesh import get_mesh
+        from facet_tpu.utils.duplicate import find_duplicate_pairs
+
+        mesh = get_mesh(dp=8, tp=1, devices=tuple(jax.devices()[:8]))
+        rng = np.random.default_rng(1)
+        hashes = [f"{rng.integers(0, 1 << 63):016x}" for _ in range(21)]
+        hashes[5] = hashes[2]
+        hashes[9] = f"{int(hashes[2], 16) ^ 0b101:016x}"
+        want = find_duplicate_pairs(hashes, max_distance=4)
+        got = find_duplicate_pairs(hashes, max_distance=4, mesh=mesh)
+        assert sorted(got) == sorted(want)
+        assert (2, 5) in got and (2, 9) in got
