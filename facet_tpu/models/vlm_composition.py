@@ -1,9 +1,15 @@
-"""VLM composition analysis + rule-based fallback.
+"""VLM composition analysis: device flax stack, host VLM, rule fallback.
 
 (reference: models/vlm_composition.py:25-299) The 24gb profile asks a small
 VLM to critique composition ("SCORE: n / EXPLANATION: ..."), regex-parsed
 with composition-element keyword extraction; every other profile uses the
 rule-based analyzer (subject placement + leading lines).
+
+TPU-first execution order: when converted Qwen checkpoints exist, the
+critique runs the same all-TPU stack as the tagger (flax vision tower +
+jitted KV-cache decode via models/vlm_tagger.device_generate) — preferring
+the 2B Qwen3-VL; the host-transformers Qwen2-VL path remains as compat
+middle ground, and the geometric analyzer is the final fallback.
 """
 
 import re
@@ -98,6 +104,46 @@ class VLMCompositionAnalyzer:
                 "elements": elements}
 
 
+class DeviceVLMCompositionAnalyzer:
+    """Composition critic on the all-TPU Qwen stack.
+
+    TPU-first replacement for the reference's host Qwen2-VL-2B critique
+    (models/vlm_composition.py:25-173): when converted flax checkpoints
+    exist, the critique reuses the tagger's vision tower + jitted KV-cache
+    decoder (models/vlm_tagger.device_generate) — the 2B Qwen3-VL stack is
+    preferred for its size, falling back to Qwen2.5-VL. Only the prompt
+    differs from tagging; no torch model is loaded."""
+
+    PROMPT = VLMCompositionAnalyzer.PROMPT
+
+    def __init__(self, config):
+        from facet_tpu.models.vlm_tagger import VLMTagger
+
+        self._tagger = None
+        for name in ("qwen3-vl-2b", "qwen2.5-vl-7b"):
+            tagger = VLMTagger(config, model_name=name)
+            try:
+                if tagger._load_device_path():
+                    self._tagger = tagger
+                    break
+            except Exception:
+                continue
+        if self._tagger is None:
+            raise RuntimeError(
+                "VLM composition (device) unavailable: no converted Qwen"
+                " checkpoints under pretrained_models/")
+
+    def analyze_composition(self, pil_image):
+        from facet_tpu.models.vlm_tagger import device_generate
+
+        encoder, decoder = self._tagger._device
+        reply = device_generate(self._tagger._processor, encoder, decoder,
+                                [pil_image], self.PROMPT)[0]
+        score, explanation, elements = parse_vlm_reply(reply)
+        return {"composition_score": score, "explanation": explanation,
+                "elements": elements}
+
+
 class RuleBasedCompositionAnalyzer:
     """Fallback: the geometric analyzer wrapped in the VLM interface."""
 
@@ -117,9 +163,14 @@ class RuleBasedCompositionAnalyzer:
 
 
 def create_composition_analyzer(config):
-    """Profile-driven factory (reference: vlm_composition.py:277-299)."""
+    """Profile-driven factory (reference: vlm_composition.py:277-299):
+    device flax stack first, host transformers second, rules last."""
     model = config.get_model_for_task("composition")
     if model in ("qwen2-vl-2b",):
+        try:
+            return DeviceVLMCompositionAnalyzer(config)
+        except RuntimeError:
+            pass
         try:
             analyzer = VLMCompositionAnalyzer(config)
             analyzer.ensure_loaded()

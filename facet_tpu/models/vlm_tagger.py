@@ -68,6 +68,72 @@ def parse_tag_output(text, vocabulary, max_tags=5):
     return out
 
 
+def device_generate(processor, encoder, decoder, pil_images, prompt):
+    """All-TPU generation shared by the tagger and the composition critic:
+    host tokenization -> flax vision encode -> token/vision embedding merge
+    -> jitted KV-cache greedy decode -> decoded reply strings."""
+    import numpy as np
+
+    from facet_tpu.models.qwen_text import embed_tokens, rope_index_batch
+
+    messages = [[{"role": "user",
+                  "content": [{"type": "image"},
+                              {"type": "text", "text": prompt}]}]
+                for _ in pil_images]
+    texts = [processor.apply_chat_template(
+        m, tokenize=False, add_generation_prompt=True) for m in messages]
+    inputs = processor(text=texts, images=list(pil_images),
+                       return_tensors="np", padding=True)
+    ids = np.asarray(inputs["input_ids"])
+    valid = np.asarray(inputs["attention_mask"]).astype(bool)
+    grid_thw = np.asarray(inputs["image_grid_thw"])
+
+    # pad the prompt length to a bucket so decode programs are reused
+    bucket = -(-ids.shape[1] // 64) * 64
+    if bucket != ids.shape[1]:
+        extra = bucket - ids.shape[1]
+        ids = np.pad(ids, ((0, 0), (0, extra)))
+        valid = np.pad(valid, ((0, 0), (0, extra)))
+
+    encoded = encoder.encode(
+        np.asarray(inputs["pixel_values"], np.float32), grid_thw.tolist())
+    deepstack = None
+    if isinstance(encoded, tuple):        # Qwen3: (main, deepstack list)
+        vis, deepstack = encoded
+    else:
+        vis = encoded
+    embeds = np.array(embed_tokens(decoder.params, ids), np.float32)
+    image_token_id = getattr(processor, "image_token_id", None) \
+        or processor.tokenizer.convert_tokens_to_ids("<|image_pad|>")
+    slots = np.nonzero(ids == image_token_id)
+    embeds[slots[0], slots[1]] = vis[:len(slots[0])]
+
+    pos, next_pos = rope_index_batch(ids, valid, grid_thw, image_token_id)
+    tok = processor.tokenizer
+    eos = {tok.eos_token_id}
+    im_end = tok.convert_tokens_to_ids("<|im_end|>")
+    if im_end is not None and im_end >= 0:
+        eos.add(im_end)
+    extra = {}
+    if deepstack is not None:
+        b, t, e = embeds.shape
+        feats = []
+        for d in deepstack:
+            feat = np.zeros((b, t, e), np.float32)
+            feat[slots[0], slots[1]] = d[:len(slots[0])]
+            feats.append(feat)
+        extra = {"vis_mask": ids == image_token_id, "deep_feats": feats}
+    out = decoder.generate(embeds, valid, pos, next_pos,
+                           np.asarray(sorted(eos), np.int32), **extra)
+    replies = []
+    eos_arr = np.asarray(sorted(eos))
+    for row in out:
+        stop = np.nonzero(np.isin(row, eos_arr))[0]
+        end = int(stop[0]) if len(stop) else len(row)
+        replies.append(tok.decode(row[:end], skip_special_tokens=True))
+    return replies
+
+
 class VLMTagger:
     """Qwen-VL tagger with family autodetection from the model path."""
 
@@ -298,71 +364,10 @@ class VLMTagger:
                 for reply in replies]
 
     def _generate_device(self, chunk):
-        """All-TPU generation: host tokenization -> flax vision encode ->
-        token/vision embedding merge -> jitted KV-cache greedy decode."""
-        import numpy as np
-
-        from facet_tpu.models.qwen_text import embed_tokens, rope_index_batch
-
+        """All-TPU generation, then vocabulary snapping."""
         encoder, decoder = self._device
-        prompt = self.build_prompt()
-        messages = [[{"role": "user",
-                      "content": [{"type": "image"},
-                                  {"type": "text", "text": prompt}]}]
-                    for _ in chunk]
-        texts = [self._processor.apply_chat_template(
-            m, tokenize=False, add_generation_prompt=True) for m in messages]
-        inputs = self._processor(text=texts, images=list(chunk),
-                                 return_tensors="np", padding=True)
-        ids = np.asarray(inputs["input_ids"])
-        valid = np.asarray(inputs["attention_mask"]).astype(bool)
-        grid_thw = np.asarray(inputs["image_grid_thw"])
-
-        # pad the prompt length to a bucket so decode programs are reused
-        bucket = -(-ids.shape[1] // 64) * 64
-        if bucket != ids.shape[1]:
-            extra = bucket - ids.shape[1]
-            ids = np.pad(ids, ((0, 0), (0, extra)))
-            valid = np.pad(valid, ((0, 0), (0, extra)))
-
-        encoded = encoder.encode(
-            np.asarray(inputs["pixel_values"], np.float32), grid_thw.tolist())
-        deepstack = None
-        if isinstance(encoded, tuple):        # Qwen3: (main, deepstack list)
-            vis, deepstack = encoded
-        else:
-            vis = encoded
-        embeds = np.array(embed_tokens(decoder.params, ids), np.float32)
-        image_token_id = getattr(self._processor, "image_token_id", None) \
-            or self._processor.tokenizer.convert_tokens_to_ids("<|image_pad|>")
-        slots = np.nonzero(ids == image_token_id)
-        embeds[slots[0], slots[1]] = vis[:len(slots[0])]
-
-        pos, next_pos = rope_index_batch(ids, valid, grid_thw,
-                                         image_token_id)
-        tok = self._processor.tokenizer
-        eos = {tok.eos_token_id}
-        im_end = tok.convert_tokens_to_ids("<|im_end|>")
-        if im_end is not None and im_end >= 0:
-            eos.add(im_end)
-        extra = {}
-        if deepstack is not None:
-            b, t, e = embeds.shape
-            feats = []
-            for d in deepstack:
-                feat = np.zeros((b, t, e), np.float32)
-                feat[slots[0], slots[1]] = d[:len(slots[0])]
-                feats.append(feat)
-            extra = {"vis_mask": ids == image_token_id,
-                     "deep_feats": feats}
-        out = decoder.generate(embeds, valid, pos, next_pos,
-                               np.asarray(sorted(eos), np.int32), **extra)
-        replies = []
-        eos_arr = np.asarray(sorted(eos))
-        for row in out:
-            stop = np.nonzero(np.isin(row, eos_arr))[0]
-            end = int(stop[0]) if len(stop) else len(row)
-            replies.append(tok.decode(row[:end], skip_special_tokens=True))
+        replies = device_generate(self._processor, encoder, decoder,
+                                  list(chunk), self.build_prompt())
         return [parse_tag_output(reply, self.vocabulary, self.max_tags)
                 for reply in replies]
 
