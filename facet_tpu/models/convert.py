@@ -601,3 +601,121 @@ def save_params(params, path):
 def load_params(path):
     data = np.load(path)
     return unflatten_tree({k: data[k] for k in data.files})
+
+
+def synthetic_samp_state_dict(rng=None):
+    """State dict with the CADB SAMP-Net checkpoint's names and shapes
+    (for converter/drill tests without network egress)."""
+    rng = rng or np.random.default_rng(0)
+    sd = {}
+
+    def t(shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    def add_bn(prefix, c):
+        sd[f"{prefix}.weight"] = np.ones(c, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    # backbone: Sequential(resnet18 children[:-2]) -> 0=conv1, 1=bn1, 4..7
+    sd["backbone.0.weight"] = t((64, 3, 7, 7))
+    add_bn("backbone.1", 64)
+    feats = [64, 128, 256, 512]
+    for stage in range(4):
+        c_out = feats[stage]
+        c_in = feats[stage - 1] if stage else 64
+        for block in range(2):
+            tp = f"backbone.{stage + 4}.{block}"
+            cin = c_in if block == 0 else c_out
+            sd[f"{tp}.conv1.weight"] = t((c_out, cin, 3, 3))
+            add_bn(f"{tp}.bn1", c_out)
+            sd[f"{tp}.conv2.weight"] = t((c_out, c_out, 3, 3))
+            add_bn(f"{tp}.bn2", c_out)
+            if block == 0 and stage > 0:
+                sd[f"{tp}.downsample.0.weight"] = t((c_out, c_in, 1, 1))
+                add_bn(f"{tp}.downsample.1", c_out)
+
+    # pattern convs: checkpoint-exact input channels + kernels
+    shapes = [(1296, (2, 1)), (1296, (1, 2)), (1373, (2, 1)), (1373, (2, 1)),
+              (1296, (2, 1)), (1296, (2, 2)), (1324, (2, 2)), (836, (3, 3))]
+    for i, (cin, k) in enumerate(shapes):
+        sd[f"pattern_module.conv_list.{i}.0.weight"] = t((1024, cin, *k))
+
+    sd["pattern_weight_layer.3.weight"] = t((8, 512))
+    sd["att_feature_layer.0.weight"] = t((512, 1024))
+    sd["att_pred_layer.0.weight"] = t((6, 512))
+    sd["com_pred_layer.0.weight"] = t((1024, 1024))
+    sd["com_pred_layer.3.weight"] = t((512, 1024))
+    sd["com_pred_layer.5.weight"] = t((5, 512))
+    return sd
+
+
+def synthetic_u2netp_state_dict(rng=None):
+    """State dict with the published u2netp.pth key names/shapes, derived
+    by INVERTING tools/convert_checkpoints.convert_u2netp's name map over
+    our U2NETP module's init tree — so every key the converter reads
+    exists with the exact shape it expects."""
+    import jax
+    import jax.numpy as jnp
+
+    from facet_tpu.models.u2netp import U2NETP
+
+    rng = rng or np.random.default_rng(0)
+    tree = U2NETP().init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = tree["params"]
+    stats = tree.get("batch_stats", {})
+    sd = {}
+
+    def emit_rebn(node, bn_node, tprefix):
+        kernel = np.asarray(node["Conv_0"]["kernel"])
+        sd[tprefix + ".conv_s1.weight"] = rng.standard_normal(
+            (kernel.shape[3], kernel.shape[2], kernel.shape[0],
+             kernel.shape[1])).astype(np.float32) * 0.05
+        sd[tprefix + ".conv_s1.bias"] = np.zeros(kernel.shape[3], np.float32)
+        c = kernel.shape[3]
+        sd[tprefix + ".bn_s1.weight"] = np.ones(c, np.float32)
+        sd[tprefix + ".bn_s1.bias"] = np.zeros(c, np.float32)
+        sd[tprefix + ".bn_s1.running_mean"] = np.zeros(c, np.float32)
+        sd[tprefix + ".bn_s1.running_var"] = np.ones(c, np.float32)
+
+    def emit_rsu(stage, tprefix, depth):
+        node, bn = params[stage], stats.get(stage, {})
+        emit_rebn(node["convin"], bn.get("convin"), tprefix + ".rebnconvin")
+        for d in range(depth - 1):
+            emit_rebn(node[f"enc{d}"], bn.get(f"enc{d}"),
+                      f"{tprefix}.rebnconv{d + 1}")
+        emit_rebn(node["bottom"], bn.get("bottom"),
+                  f"{tprefix}.rebnconv{depth}")
+        for d in range(depth - 1):
+            emit_rebn(node[f"dec{d}"], bn.get(f"dec{d}"),
+                      f"{tprefix}.rebnconv{d + 1}d")
+
+    def emit_rsu4f(stage, tprefix):
+        node, bn = params[stage], stats.get(stage, {})
+        emit_rebn(node["convin"], bn.get("convin"), tprefix + ".rebnconvin")
+        for i, name in enumerate(("enc0", "enc1", "enc2")):
+            emit_rebn(node[name], bn.get(name), f"{tprefix}.rebnconv{i + 1}")
+        emit_rebn(node["bottom"], bn.get("bottom"), f"{tprefix}.rebnconv4")
+        for i, name in enumerate(("dec2", "dec1", "dec0")):
+            emit_rebn(node[name], bn.get(name), f"{tprefix}.rebnconv{3 - i}d")
+
+    for stage, depth in (("stage1", 7), ("stage2", 6), ("stage3", 5),
+                         ("stage4", 4), ("stage4d", 4), ("stage3d", 5),
+                         ("stage2d", 6), ("stage1d", 7)):
+        emit_rsu(stage, stage, depth)
+    for stage in ("stage5", "stage6", "stage5d"):
+        emit_rsu4f(stage, stage)
+    for i in range(1, 7):
+        kernel = np.asarray(params[f"side{i}"]["kernel"])
+        sd[f"side{i}.weight"] = rng.standard_normal(
+            (kernel.shape[3], kernel.shape[2], kernel.shape[0],
+             kernel.shape[1])).astype(np.float32) * 0.05
+        sd[f"side{i}.bias"] = np.zeros(kernel.shape[3], np.float32)
+    kernel = np.asarray(params["outconv"]["kernel"])
+    sd["outconv.weight"] = rng.standard_normal(
+        (kernel.shape[3], kernel.shape[2], kernel.shape[0],
+         kernel.shape[1])).astype(np.float32) * 0.05
+    sd["outconv.bias"] = np.zeros(kernel.shape[3], np.float32)
+    return sd
