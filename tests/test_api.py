@@ -661,3 +661,67 @@ class TestAuthStatusEdition:
         res = client.post("/api/auth/edition/login",
                           json={"password": "anything"})
         assert res.status_code == 400
+
+
+class TestComparisonErrorPaths:
+    """Error handling on the comparison router's write/learn endpoints."""
+
+    def test_submit_validation(self, client):
+        assert client.post("/api/comparison/submit",
+                           json={"photo_a": "/pics/img00.jpg"}).status_code == 400
+        res = client.post("/api/comparison/submit",
+                          json={"photo_a": "/pics/img00.jpg",
+                                "photo_b": "/pics/img01.jpg",
+                                "winner": "nonsense"})
+        assert res.status_code == 400
+
+    def test_optimize_without_votes(self, client):
+        res = client.post("/api/comparison/optimize", json={})
+        assert res.status_code == 400
+        assert "not enough comparisons" in res.json()["detail"]
+
+    def test_learned_weights_without_votes(self, client):
+        body = client.get("/api/comparison/learned_weights").json()
+        assert body["available"] is False
+        assert body["comparisons"] == 0 and body["min_required"] > 0
+
+    def test_snapshot_restore_unknown_id(self, client):
+        res = client.post("/api/comparison/snapshots/99999/restore")
+        assert res.status_code == 404
+
+    def test_preview_score_missing_photo(self, client):
+        assert client.post("/api/comparison/preview_score",
+                           json={"weights": {}}).status_code == 400
+        assert client.post("/api/comparison/preview_score",
+                           json={"path": "/nope.jpg",
+                                 "weights": {}}).status_code == 404
+
+    def test_update_weights_validation(self, client):
+        assert client.post("/api/stats/update_weights",
+                           json={"weights": {}}).status_code == 400
+        res = client.post("/api/stats/update_weights",
+                          json={"category": "no_such_category",
+                                "weights": {"aesthetic_percent": 50}})
+        assert res.status_code == 404
+
+
+class TestGalleryErrorPaths:
+    def test_bad_sort_rejected(self, client):
+        res = client.get("/api/photos", params={"sort": "evil; DROP TABLE"})
+        assert res.status_code == 400
+
+    def test_similar_unknown_photo(self, client):
+        res = client.get("/api/similar_photos/unknown/path.jpg")
+        assert res.status_code in (200, 404)   # contract: no 500
+        if res.status_code == 200:
+            assert res.json().get("similar") in ([], None)
+
+    def test_thumbnail_unknown_photo(self, client):
+        assert client.get("/api/thumbnail/nope.jpg").status_code == 404
+
+    def test_person_endpoints_unknown_id(self, client):
+        assert client.get("/api/persons/424242").status_code == 404
+        assert client.post("/api/persons/424242/rename",
+                           json={"name": "x"}).status_code in (200, 404)
+        assert client.post("/api/persons/424242/avatar",
+                           json={"face_id": 1}).status_code == 404
