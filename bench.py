@@ -37,6 +37,11 @@ import signal
 import sys
 import time
 
+
+def _phase(msg):
+    print(f"[{time.monotonic() - _START:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 6.5
@@ -188,7 +193,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _phase("jax imported")
     members = build_members(args)
+    _phase("members built")
 
     # resident synthetic inputs (2 rotating buffers, generated on device)
     @jax.jit
@@ -201,6 +208,7 @@ def main():
     buffers = [synth(i) for i in range(2)]
     for buf in buffers:
         _ = jax.device_get(jnp.sum(buf.astype(jnp.int32)))  # force materialize
+    _phase("buffers resident")
 
     # compile + warmup each member — the ONLY compiles on the default path
     compile_s = {}
@@ -208,6 +216,7 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(fn(buffers[0]))
         compile_s[name] = round(time.perf_counter() - t0, 1)
+        _phase(f"compiled {name}")
 
     # --- per-member steady-state throughput
     member_rates = {}
@@ -220,6 +229,7 @@ def main():
             best = max(best, args.steps * args.batch
                        / (time.perf_counter() - t0))
         member_rates[name] = round(best, 2)
+        _phase(f"measured {name}")
 
     # --- headline: ALL members over each batch in one timed loop.
     # Programs are issued back-to-back (async dispatch) and results fetched
@@ -248,6 +258,7 @@ def main():
         "compile_seconds": compile_s,
         "device": str(jax.devices()[0]),
     })
+    _phase("headline measured")
     _emit()          # the headline is on record from this moment on
     enriched = False
 

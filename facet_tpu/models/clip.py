@@ -68,9 +68,13 @@ class Attention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         scale = head_dim ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
+        # attention entirely in the compute dtype: in bf16 this halves the
+        # (B, heads, S, S) logit traffic — measured +5% on the b64 ViT-L
+        # (fused qkv measured WORSE; probe table in docs/PERF.md). f32
+        # compute keeps the f32 softmax, so parity tests are bit-unchanged.
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         if mask is not None:
-            logits = logits + mask
+            logits = logits + mask.astype(logits.dtype)
         weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(*out.shape[:-2], self.width)
