@@ -44,13 +44,15 @@ class AestheticScorer:
         self.config = config
         self.vision = CLIPVisionTower(config, dtype)
         self.head = AestheticHead()
+        from facet_tpu.models.checkpoints import fallback_init, sds
+
         if vision_params is None:
-            dummy = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)
-            vision_params = self.vision.init(jax.random.PRNGKey(rng_seed), dummy)
+            vision_params = fallback_init(
+                self.vision, sds((1, config.image_size, config.image_size, 3)),
+                seed=rng_seed)
         if head_params is None:
-            head_params = self.head.init(
-                jax.random.PRNGKey(rng_seed + 1),
-                jnp.zeros((1, config.projection_dim), jnp.float32))
+            head_params = fallback_init(
+                self.head, sds((1, config.projection_dim)), seed=rng_seed + 1)
         self.vision_params = vision_params
         self.head_params = head_params
         self._forward = jax.jit(self._forward_impl)

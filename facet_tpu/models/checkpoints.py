@@ -7,11 +7,13 @@ fall back to seeded random params so every pipeline stays runnable (scores
 are then placeholders — a loud warning says so).
 """
 
+import math
 import os
 import warnings
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PRETRAINED_DIR = os.environ.get("FACET_PRETRAINED_DIR", "pretrained_models")
 
@@ -25,6 +27,63 @@ def _warn_once(name):
             f"no converted checkpoint for '{name}' under {PRETRAINED_DIR}/ — "
             f"using deterministic random init (scores will not be meaningful; "
             f"run tools/convert_checkpoints.py to install real weights)")
+
+
+def sds(shape, dtype=jnp.float32):
+    """Shorthand for a ShapeDtypeStruct example arg to fallback_init."""
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def fallback_init(module, *example_args, seed=0):
+    """Deterministic fallback params WITHOUT running flax init on device.
+
+    Eager ``module.init`` dispatches one device call per parameter (~1500
+    sequential RPC round-trips for a ViT-L on a relayed chip — minutes of
+    wall-clock), and jitting the whole threefry init program compiles
+    pathologically on this TPU (docs/PERF.md probe notes). Instead the
+    parameter SHAPES come from jax.eval_shape (pure tracing, no device
+    work) and the VALUES from one compiled fill program: >=2-D kernels get
+    centered fan-in-scaled pseudo-randoms from an integer hash, 1-D
+    'scale'/variance leaves get ones, everything else zeros — same
+    magnitude profile as lecun-normal init, one device call total.
+    Example args may be arrays or ShapeDtypeStructs (see ``sds``).
+    """
+    key = jax.random.PRNGKey(seed)
+    args = jax.tree_util.tree_map(
+        lambda a: a if isinstance(a, jax.ShapeDtypeStruct)
+        else jax.ShapeDtypeStruct(jnp.shape(a), a.dtype),
+        list(example_args),
+        is_leaf=lambda a: isinstance(a, jax.ShapeDtypeStruct))
+    shapes = jax.eval_shape(lambda *xs: module.init(key, *xs), *args)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def leaf_name(path):
+        last = path[-1]
+        return str(getattr(last, "key", getattr(last, "name", last)))
+
+    @jax.jit
+    def _fill():
+        out = []
+        for i, (path, s) in enumerate(flat):
+            if not jnp.issubdtype(s.dtype, jnp.floating):
+                out.append(jnp.zeros(s.shape, s.dtype))
+            elif len(s.shape) >= 2:
+                n = int(np.prod(s.shape))
+                fan_in = int(np.prod(s.shape[:-1]))
+                scale = 1.0 / math.sqrt(max(1, fan_in))
+                x = (jnp.arange(n, dtype=jnp.uint32)
+                     * np.uint32(2654435761)
+                     + np.uint32((0x9E3779B9 * (i + 1) + seed) & 0xFFFFFFFF))
+                u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                out.append(((u - 0.5) * (2.0 * scale))
+                           .reshape(s.shape).astype(s.dtype))
+            elif leaf_name(path) in ("scale", "var", "running_var"):
+                out.append(jnp.ones(s.shape, s.dtype))
+            else:
+                out.append(jnp.zeros(s.shape, s.dtype))
+        return out
+
+    return jax.tree_util.tree_unflatten(treedef, _fill())
 
 
 def checkpoint_path(name):
@@ -82,11 +141,10 @@ def load_clip_vision_params(host_cached=None, config=None):
     if vision is None:
         _warn_once("clip_vit_l14_vision")
         model = CLIPVisionTower(config)
-        vision = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, config.image_size, config.image_size, 3),
-                                      jnp.float32))
+        vision = fallback_init(
+            model, sds((1, config.image_size, config.image_size, 3)), seed=0)
     if head is None:
         _warn_once("aesthetic_head")
-        head = AestheticHead().init(
-            jax.random.PRNGKey(1), jnp.zeros((1, config.projection_dim), jnp.float32))
+        head = fallback_init(
+            AestheticHead(), sds((1, config.projection_dim)), seed=1)
     return vision, head

@@ -186,12 +186,17 @@ def preprocess_uint8(rgb_u8):
 
 def init_vision_params(rng_seed=0, config=CLIPVisionConfig(), dtype=jnp.bfloat16):
     """Deterministic random init (offline fallback when no checkpoint)."""
+    from facet_tpu.models.checkpoints import fallback_init, sds
+
     model = CLIPVisionTower(config, dtype)
-    dummy = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)
-    return model, model.init(jax.random.PRNGKey(rng_seed), dummy)
+    return model, fallback_init(
+        model, sds((1, config.image_size, config.image_size, 3)),
+        seed=rng_seed)
 
 
 def init_text_params(rng_seed=0, config=CLIPTextConfig(), dtype=jnp.bfloat16):
+    from facet_tpu.models.checkpoints import fallback_init, sds
+
     model = CLIPTextTower(config, dtype)
-    dummy = jnp.zeros((1, config.context_length), jnp.int32)
-    return model, model.init(jax.random.PRNGKey(rng_seed), dummy)
+    return model, fallback_init(
+        model, sds((1, config.context_length), jnp.int32), seed=rng_seed)

@@ -661,9 +661,10 @@ def synthetic_u2netp_state_dict(rng=None):
 
     from facet_tpu.models.u2netp import U2NETP
 
+    from facet_tpu.models.checkpoints import fallback_init, sds
+
     rng = rng or np.random.default_rng(0)
-    tree = U2NETP().init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, 64, 64, 3), jnp.float32))
+    tree = fallback_init(U2NETP(), sds((1, 64, 64, 3)))
     params = tree["params"]
     stats = tree.get("batch_stats", {})
     sd = {}

@@ -115,18 +115,16 @@ class FacePipeline:
         lmk = load_or_none("landmark_106")
         emb = load_or_none("arcface_iresnet50")
         detector = SCRFD(det_config)
-        if det is None:
-            from facet_tpu.models.checkpoints import _warn_once
+        from facet_tpu.models.checkpoints import _warn_once, fallback_init, sds
 
+        if det is None:
             _warn_once("scrfd_detector")
-            det = detector.init(jax.random.PRNGKey(10), jnp.zeros(
-                (1, det_config.input_size, det_config.input_size, 3), jnp.float32))
+            det = fallback_init(detector, sds(
+                (1, det_config.input_size, det_config.input_size, 3)), seed=10)
         if lmk is None:
-            lmk = LandmarkNet().init(jax.random.PRNGKey(11),
-                                     jnp.zeros((1, 192, 192, 3), jnp.float32))
+            lmk = fallback_init(LandmarkNet(), sds((1, 192, 192, 3)), seed=11)
         if emb is None:
-            emb = IResNet().init(jax.random.PRNGKey(12),
-                                 jnp.zeros((1, 112, 112, 3), jnp.float32))
+            emb = fallback_init(IResNet(), sds((1, 112, 112, 3)), seed=12)
         return cls(det, lmk, emb, config)
 
     def host_params(self):

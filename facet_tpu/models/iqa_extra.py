@@ -158,7 +158,8 @@ class _IQAWrapper:
 
 def _make(net_cls, checkpoint_name, seed, config=None, cached=None,
           input_size=384):
-    from facet_tpu.models.checkpoints import load_or_none, _warn_once
+    from facet_tpu.models.checkpoints import (
+        load_or_none, _warn_once, fallback_init, sds)
 
     net = net_cls()
     if cached is not None:
@@ -166,8 +167,8 @@ def _make(net_cls, checkpoint_name, seed, config=None, cached=None,
     params = load_or_none(checkpoint_name)
     if params is None:
         _warn_once(checkpoint_name)
-        params = net.init(jax.random.PRNGKey(seed),
-                          jnp.zeros((1, input_size, input_size, 3), jnp.float32))
+        params = fallback_init(net, sds((1, input_size, input_size, 3)),
+                               seed=seed)
     return _IQAWrapper(net, params, input_size)
 
 

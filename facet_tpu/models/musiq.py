@@ -115,9 +115,10 @@ class MUSIQScorer:
         params = load_or_none("musiq")
         if params is None:
             _warn_once("musiq")
-            dummy = [jnp.zeros((1, s, s, 3), jnp.float32)
-                     for s in musiq_config.scales]
-            params = MUSIQNet(musiq_config).init(jax.random.PRNGKey(50), dummy)
+            from facet_tpu.models.checkpoints import fallback_init, sds
+
+            dummy = [sds((1, s, s, 3)) for s in musiq_config.scales]
+            params = fallback_init(MUSIQNet(musiq_config), dummy, seed=50)
         return cls(params, musiq_config)
 
     def host_params(self):

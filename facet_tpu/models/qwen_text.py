@@ -208,11 +208,12 @@ def embed_tokens(params, token_ids):
 
 def init_text_params(config, seed=0):
     """Deterministic random init including the embedding table."""
+    from facet_tpu.models.checkpoints import fallback_init, sds
+
     model = QwenTextModel(config)
-    dummy = jnp.zeros((1, 4, config.hidden_size), jnp.float32)
-    pos = jnp.zeros((3, 1, 4), jnp.int32)
-    mask = jnp.ones((1, 4, 4), bool)
-    params = model.init(jax.random.PRNGKey(seed), dummy, pos, mask)
+    params = fallback_init(
+        model, sds((1, 4, config.hidden_size)), sds((3, 1, 4), jnp.int32),
+        sds((1, 4, 4), bool), seed=seed)
     rng = jax.random.PRNGKey(seed + 1)
     table = jax.random.normal(
         rng, (config.vocab_size, config.hidden_size), jnp.float32) * 0.02

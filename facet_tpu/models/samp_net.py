@@ -269,16 +269,15 @@ class SAMPComposition:
 
         samp = load_or_none("samp_net")
         u2 = load_or_none("u2netp")
+        from facet_tpu.models.checkpoints import fallback_init, sds
+
         if samp is None:
             _warn_once("samp_net")
-            samp = SAMPNet().init(
-                jax.random.PRNGKey(20),
-                jnp.zeros((1, 224, 224, 3), jnp.float32),
-                jnp.zeros((1, 224, 224, 1), jnp.float32))
+            samp = fallback_init(SAMPNet(), sds((1, 224, 224, 3)),
+                                 sds((1, 224, 224, 1)), seed=20)
         if u2 is None:
             _warn_once("u2netp")
-            u2 = U2NETP().init(jax.random.PRNGKey(21),
-                               jnp.zeros((1, 224, 224, 3), jnp.float32))
+            u2 = fallback_init(U2NETP(), sds((1, 224, 224, 3)), seed=21)
         return cls(samp, u2)
 
     def host_params(self):
