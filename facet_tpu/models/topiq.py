@@ -76,19 +76,71 @@ class ResNet50Stages(nn.Module):
         return stages
 
 
+class ChunkedAttention(nn.Module):
+    """Drop-in for ``nn.MultiHeadDotProductAttention`` that never
+    materializes the full (Q, K) score matrix.
+
+    The C2 cross-attention level attends 9216 queries over 2304 keys: flax's
+    stock module writes B x heads x 9216 x 2304 f32 scores (~340 MB/image)
+    to HBM, reads them back for the softmax, and reads them again for the
+    A@V contraction — the member is HBM-bound, not FLOP-bound. Chunking the
+    *query* axis is exact (each score row's softmax is independent), keeps
+    every chunk's scores inside one XLA fusion, and bounds live memory to
+    B x heads x q_chunk x K. Parameter structure (DenseGeneral query/key/
+    value/out) is identical to the stock module, so checkpoints convert
+    unchanged (tools/convert_checkpoints.py -> convert.py:attn_block).
+    """
+
+    num_heads: int
+    qkv_features: int
+    dtype: jnp.dtype = jnp.float32
+    q_chunk: int = 1024
+
+    @nn.compact
+    def __call__(self, q_in, kv_in):
+        head_dim = self.qkv_features // self.num_heads
+        dense = lambda name: nn.DenseGeneral(
+            features=(self.num_heads, head_dim), dtype=self.dtype, name=name)
+        # (B, Q, H, D) / (B, K, H, D)
+        q = dense("query")(q_in) / jnp.sqrt(head_dim).astype(self.dtype)
+        k = dense("key")(kv_in)
+        v = dense("value")(kv_in)
+
+        nq = q.shape[1]
+        chunk = min(self.q_chunk, nq)
+
+        def attend(q_blk):
+            s = jnp.einsum("bqhd,bkhd->bhqk", q_blk, k,
+                           preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                              preferred_element_type=jnp.float32
+                              ).astype(self.dtype)
+
+        if nq % chunk == 0 and nq // chunk > 1:
+            blocks = q.reshape(q.shape[0], nq // chunk, chunk,
+                               self.num_heads, head_dim)
+            out = jax.lax.map(attend, blocks.swapaxes(0, 1)).swapaxes(0, 1)
+            out = out.reshape(q.shape[0], nq, self.num_heads, head_dim)
+        else:
+            out = attend(q)
+        return nn.DenseGeneral(features=self.qkv_features, axis=(-2, -1),
+                               dtype=self.dtype, name="out")(out)
+
+
 class CrossAttentionBlock(nn.Module):
     width: int
     heads: int = 4
     dtype: jnp.dtype = jnp.float32
-    q_chunk: int = 4096     # bound the (Q, K) score buffer per step
+    q_chunk: int = 1024     # bound the (Q, K) score buffer per step
 
     @nn.compact
     def __call__(self, queries, context):
         q_in = nn.LayerNorm(dtype=jnp.float32)(queries)
         kv_in = nn.LayerNorm(dtype=jnp.float32)(context)
-        attn = nn.MultiHeadDotProductAttention(
+        attn = ChunkedAttention(
             num_heads=self.heads, qkv_features=self.width,
-            dtype=self.dtype, name="cross")(q_in, kv_in)
+            dtype=self.dtype, q_chunk=self.q_chunk, name="cross")(q_in, kv_in)
         x = queries + attn
         y = nn.LayerNorm(dtype=jnp.float32)(x)
         y = nn.Dense(self.width * 2, dtype=self.dtype)(y)
@@ -102,6 +154,7 @@ class TOPIQConfig:
     width: int = 256
     heads: int = 4
     input_size: int = 384    # bucketed eval size; long edge capped at 1024
+    q_chunk: int = 1024      # query-chunk for the cross-scale attention
     # cross-attention over 9216 C2 tokens needs B x heads x 9216 x 2304 f32
     # score buffers (~340 MB per image) — cap the per-call device batch so
     # activations fit 16 GB HBM (the reference's pyiqa wrapper scores
@@ -129,10 +182,11 @@ class TOPIQNet(nn.Module):
         # coarse-to-fine: each finer scale queries the fused coarser tokens
         fused = tokens[-1]
         fused = CrossAttentionBlock(w, self.config.heads, self.attn_dtype,
+                                    self.config.q_chunk,
                                     name="self_top")(fused, fused)
         for level in range(len(tokens) - 2, -1, -1):
             fused = CrossAttentionBlock(
-                w, self.config.heads, self.attn_dtype,
+                w, self.config.heads, self.attn_dtype, self.config.q_chunk,
                 name=f"cross{level}")(tokens[level], fused)
 
         # attention pooling
