@@ -720,3 +720,210 @@ def synthetic_u2netp_state_dict(rng=None):
          kernel.shape[1])).astype(np.float32) * 0.05
     sd["outconv.bias"] = np.zeros(kernel.shape[3], np.float32)
     return sd
+
+
+def convert_swin(sd, prefix="visual_encoder.", depths=None):
+    """torch Swin (official naming, as in the ram_plus checkpoint's
+    visual_encoder.*) -> flax SwinTransformer tree (models/swin.py).
+
+    depths are inferred from the key set when not given."""
+    if depths is None:
+        import re
+
+        counts = {}
+        for k in sd:
+            m = re.match(rf"{re.escape(prefix)}layers\.(\d+)\.blocks\.(\d+)\.",
+                         k)
+            if m:
+                i, j = int(m.group(1)), int(m.group(2))
+                counts[i] = max(counts.get(i, 0), j + 1)
+        depths = tuple(counts[i] for i in sorted(counts))
+    tree = {
+        "patch_proj": {"kernel": _conv_t(sd[prefix + "patch_embed.proj.weight"]),
+                       "bias": np.asarray(sd[prefix + "patch_embed.proj.bias"],
+                                          np.float32)},
+        "patch_norm": _ln(sd[prefix + "patch_embed.norm.weight"],
+                          sd[prefix + "patch_embed.norm.bias"]),
+        "norm": _ln(sd[prefix + "norm.weight"], sd[prefix + "norm.bias"]),
+    }
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            p = f"{prefix}layers.{i}.blocks.{j}."
+            tree[f"layers{i}_block{j}"] = {
+                "norm1": _ln(sd[p + "norm1.weight"], sd[p + "norm1.bias"]),
+                "attn": {
+                    "qkv": _dense(sd[p + "attn.qkv.weight"],
+                                  sd[p + "attn.qkv.bias"]),
+                    "proj": _dense(sd[p + "attn.proj.weight"],
+                                   sd[p + "attn.proj.bias"]),
+                    "relative_position_bias_table": np.asarray(
+                        sd[p + "attn.relative_position_bias_table"],
+                        np.float32),
+                },
+                "norm2": _ln(sd[p + "norm2.weight"], sd[p + "norm2.bias"]),
+                "fc1": _dense(sd[p + "mlp.fc1.weight"], sd[p + "mlp.fc1.bias"]),
+                "fc2": _dense(sd[p + "mlp.fc2.weight"], sd[p + "mlp.fc2.bias"]),
+            }
+        if i < len(depths) - 1:
+            p = f"{prefix}layers.{i}.downsample."
+            tree[f"layers{i}_downsample"] = {
+                "norm": _ln(sd[p + "norm.weight"], sd[p + "norm.bias"]),
+                "reduction": _dense(sd[p + "reduction.weight"]),
+            }
+    return tree
+
+
+def convert_ram_plus(sd, layers=None):
+    """recognize-anything ram_plus state dict -> flax RAMPlusNet tree.
+
+    Returns (params_tree, unmapped_keys). The label_embed / reweight_scale /
+    per-class fc probe ride in the tree; the tag list and thresholds are
+    separate text files next to the checkpoint (handled by the tool).
+    """
+    if layers is None:
+        layers = 1 + max(
+            (int(k.split(".")[3]) for k in sd
+             if k.startswith("tagging_head.encoder.layer.")), default=-1)
+    used = set()
+    tracking = _TrackingDict(sd, used)
+    params = {"visual_encoder": convert_swin(tracking)}
+    params["image_proj"] = _dense(sd["image_proj.weight"],
+                                  sd["image_proj.bias"])
+    used.update({"image_proj.weight", "image_proj.bias"})
+    params["label_embed"] = np.asarray(sd["label_embed"], np.float32)
+    used.add("label_embed")
+    if "reweight_scale" in sd:
+        params["reweight_scale"] = np.float32(
+            np.asarray(sd["reweight_scale"]).reshape(()))
+        used.add("reweight_scale")
+    params["wordvec_proj"] = _dense(sd["wordvec_proj.weight"],
+                                    sd["wordvec_proj.bias"])
+    used.update({"wordvec_proj.weight", "wordvec_proj.bias"})
+
+    for i in range(layers):
+        p = f"tagging_head.encoder.layer.{i}."
+        params[f"tag_layer{i}"] = {
+            "att_query": _dense(sd[p + "crossattention.self.query.weight"],
+                                sd[p + "crossattention.self.query.bias"]),
+            "att_key": _dense(sd[p + "crossattention.self.key.weight"],
+                              sd[p + "crossattention.self.key.bias"]),
+            "att_value": _dense(sd[p + "crossattention.self.value.weight"],
+                                sd[p + "crossattention.self.value.bias"]),
+            "att_out": _dense(sd[p + "crossattention.output.dense.weight"],
+                              sd[p + "crossattention.output.dense.bias"]),
+            "att_norm": _ln(sd[p + "crossattention.output.LayerNorm.weight"],
+                            sd[p + "crossattention.output.LayerNorm.bias"]),
+            "ffn_in": _dense(sd[p + "intermediate.dense.weight"],
+                             sd[p + "intermediate.dense.bias"]),
+            "ffn_out": _dense(sd[p + "output.dense.weight"],
+                              sd[p + "output.dense.bias"]),
+            "ffn_norm": _ln(sd[p + "output.LayerNorm.weight"],
+                            sd[p + "output.LayerNorm.bias"]),
+        }
+        used.update(p + k for k in (
+            "crossattention.self.query.weight", "crossattention.self.query.bias",
+            "crossattention.self.key.weight", "crossattention.self.key.bias",
+            "crossattention.self.value.weight", "crossattention.self.value.bias",
+            "crossattention.output.dense.weight",
+            "crossattention.output.dense.bias",
+            "crossattention.output.LayerNorm.weight",
+            "crossattention.output.LayerNorm.bias",
+            "intermediate.dense.weight", "intermediate.dense.bias",
+            "output.dense.weight", "output.dense.bias",
+            "output.LayerNorm.weight", "output.LayerNorm.bias"))
+
+    # GroupWiseLinear: fc.W (1, num_class, hidden), fc.b (1, num_class)
+    params["fc_w"] = np.asarray(sd["fc.W"], np.float32).reshape(
+        -1, np.asarray(sd["fc.W"]).shape[-1])
+    params["fc_b"] = np.asarray(sd["fc.b"], np.float32).reshape(-1)
+    used.update({"fc.W", "fc.b"})
+
+    unmapped = [k for k in sd
+                if k not in used and "relative_position_index" not in k
+                and "attn_mask" not in k]
+    return {"params": params}, unmapped
+
+
+class _TrackingDict(dict):
+    """Wraps a state dict, recording which keys a converter consumed."""
+
+    def __init__(self, base, used):
+        super().__init__(base)
+        self._used = used
+
+    def __getitem__(self, key):
+        self._used.add(key)
+        return super().__getitem__(key)
+
+
+def synthetic_ram_plus_state_dict(rng=None, config=None):
+    """A ram_plus-layout state dict at a reduced config, for converter and
+    drill tests (full Swin-L would be ~900 MB of synthetic weights)."""
+    from facet_tpu.models.ram_plus import RAMPlusConfig
+    from facet_tpu.models.swin import SwinConfig
+
+    rng = rng or np.random.default_rng(0)
+    cfg = config or RAMPlusConfig(
+        num_class=17, des_per_class=3, embed_width=16, hidden=24, heads=4,
+        intermediate=48,
+        swin=SwinConfig(image_size=48, embed_dim=8, depths=(1, 1),
+                        heads=(2, 4), window=6))
+    swin = cfg.swin
+    sd = {}
+
+    def dense(name, dout, din, bias=True):
+        sd[name + ".weight"] = rng.standard_normal(
+            (dout, din)).astype(np.float32) * 0.05
+        if bias:
+            sd[name + ".bias"] = np.zeros(dout, np.float32)
+
+    def ln(name, dim):
+        sd[name + ".weight"] = np.ones(dim, np.float32)
+        sd[name + ".bias"] = np.zeros(dim, np.float32)
+
+    p = swin.patch_size
+    sd["visual_encoder.patch_embed.proj.weight"] = rng.standard_normal(
+        (swin.embed_dim, 3, p, p)).astype(np.float32) * 0.05
+    sd["visual_encoder.patch_embed.proj.bias"] = np.zeros(
+        swin.embed_dim, np.float32)
+    ln("visual_encoder.patch_embed.norm", swin.embed_dim)
+    dim = swin.embed_dim
+    for i, (depth, heads) in enumerate(zip(swin.depths, swin.heads)):
+        for j in range(depth):
+            b = f"visual_encoder.layers.{i}.blocks.{j}."
+            ln(b + "norm1", dim)
+            dense(b + "attn.qkv", 3 * dim, dim)
+            dense(b + "attn.proj", dim, dim)
+            sd[b + "attn.relative_position_bias_table"] = (
+                rng.standard_normal(((2 * swin.window - 1) ** 2, heads))
+                .astype(np.float32) * 0.05)
+            ln(b + "norm2", dim)
+            dense(b + "mlp.fc1", 4 * dim, dim)
+            dense(b + "mlp.fc2", dim, 4 * dim)
+        if i < len(swin.depths) - 1:
+            d = f"visual_encoder.layers.{i}.downsample."
+            ln(d + "norm", 4 * dim)
+            dense(d + "reduction", 2 * dim, 4 * dim, bias=False)
+            dim *= 2
+    ln("visual_encoder.norm", dim)
+
+    dense("image_proj", cfg.embed_width, dim)
+    sd["label_embed"] = rng.standard_normal(
+        (cfg.num_class * cfg.des_per_class,
+         cfg.embed_width)).astype(np.float32) * 0.05
+    sd["reweight_scale"] = np.asarray([np.log(1 / 0.07)], np.float32)
+    dense("wordvec_proj", cfg.hidden, cfg.embed_width)
+    for i in range(cfg.layers):
+        t = f"tagging_head.encoder.layer.{i}."
+        dense(t + "crossattention.self.query", cfg.hidden, cfg.hidden)
+        dense(t + "crossattention.self.key", cfg.hidden, cfg.embed_width)
+        dense(t + "crossattention.self.value", cfg.hidden, cfg.embed_width)
+        dense(t + "crossattention.output.dense", cfg.hidden, cfg.hidden)
+        ln(t + "crossattention.output.LayerNorm", cfg.hidden)
+        dense(t + "intermediate.dense", cfg.intermediate, cfg.hidden)
+        dense(t + "output.dense", cfg.hidden, cfg.intermediate)
+        ln(t + "output.LayerNorm", cfg.hidden)
+    sd["fc.W"] = rng.standard_normal(
+        (1, cfg.num_class, cfg.hidden)).astype(np.float32) * 0.05
+    sd["fc.b"] = np.zeros((1, cfg.num_class), np.float32)
+    return sd, cfg

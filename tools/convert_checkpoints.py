@@ -451,6 +451,38 @@ def convert_qwen3_ckpt(source_dir, out_dir):
     return False
 
 
+def convert_ram_plus_ckpt(source_dir, out_dir):
+    """recognize-anything ram_plus_swin_large_14m.pth -> ram_plus.npz.
+
+    The tag list / per-class thresholds ship as text files alongside the
+    published checkpoint (ram_tag_list.txt, ram_tag_list_threshold.txt);
+    they are copied next to the npz so models/ram_tagger.py finds them.
+    """
+    for name in ("ram_plus_swin_large_14m.pth", "ram_plus.pth"):
+        path = os.path.join(source_dir, name)
+        if not os.path.exists(path):
+            continue
+        from facet_tpu.models.convert import convert_ram_plus, save_params
+
+        sd = _load_torch(path)
+        tree, unmapped = convert_ram_plus(sd)
+        save_params(tree, os.path.join(out_dir, "ram_plus.npz"))
+        print(f"converted ram_plus from {name}")
+        if unmapped:
+            print(f"  WARNING {len(unmapped)} source keys unmapped: "
+                  f"{unmapped[:8]}...")
+        for aux in ("ram_tag_list.txt", "ram_tag_list_threshold.txt"):
+            p = os.path.join(source_dir, aux)
+            if os.path.exists(p):
+                import shutil
+
+                shutil.copy(p, os.path.join(out_dir, aux))
+                print(f"  copied {aux}")
+        return True
+    print("skip: no ram_plus checkpoint (ram_plus_swin_large_14m.pth)")
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -465,6 +497,7 @@ def main():
     convert_samp(args.source, args.out)
     convert_arcface(args.source, args.out)
     convert_topiq_ckpt(args.source, args.out)
+    convert_ram_plus_ckpt(args.source, args.out)
     convert_qwen_vision_ckpt(args.source, args.out)
     convert_qwen_text_ckpt(args.source, args.out)
     convert_qwen3_ckpt(os.path.join(args.source, 'qwen3-vl') if os.path.isdir(os.path.join(args.source, 'qwen3-vl')) else args.source, args.out)
