@@ -179,7 +179,7 @@ add("persons.photo_count", "{n} photos", "{n} photos", "{n} Fotos", "{n} foto", 
 
 # -------------------------------------------------------------- comparison
 add("comparison.which_better", "Which photo is better?", "Quelle photo est la meilleure ?", "Welches Foto ist besser?", "Quale foto è migliore?", "¿Qué foto es mejor?")
-add("comparison.keys_hint", "keys: ← left wins · → right wins · t tie · s skip", "touches : ← gauche gagne · → droite gagne · t égalité · s passer", "Tasten: ← links gewinnt · → rechts gewinnt · t unentschieden · s überspringen", "tasti: ← vince sinistra · → vince destra · t pareggio · s salta", "teclas: ← gana izquierda · → gana derecha · t empate · s saltar")
+add("comparison.keys_hint", "Keys: ← left wins · → right wins · t tie · s skip", "Touches : ← gauche gagne · → droite gagne · t égalité · s passer", "Tasten: ← links gewinnt · → rechts gewinnt · t unentschieden · s überspringen", "Tasti: ← vince sinistra · → vince destra · t pareggio · s salta", "Teclas: ← gana izquierda · → gana derecha · t empate · s saltar")
 add("comparison.pick_left", "This one (←)", "Celle-ci (←)", "Dieses (←)", "Questa (←)", "Esta (←)")
 add("comparison.pick_right", "This one (→)", "Celle-ci (→)", "Dieses (→)", "Questa (→)", "Esta (→)")
 add("comparison.tie", "Tie", "Égalité", "Unentschieden", "Pareggio", "Empate")
