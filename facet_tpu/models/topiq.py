@@ -89,12 +89,18 @@ class ChunkedAttention(nn.Module):
     B x heads x q_chunk x K. Parameter structure (DenseGeneral query/key/
     value/out) is identical to the stock module, so checkpoints convert
     unchanged (tools/convert_checkpoints.py -> convert.py:attn_block).
+
+    Chunk size is a measured trade (tools/probe_topiq.py, docs/PERF.md):
+    ``lax.map`` serializes the chunks, so MANY small steps starve the MXUs
+    (9 steps of 1024 ran the f32 member 1.9x slower), while TWO steps of
+    4608 match the unchunked program's throughput within 1% AND compile in
+    9 s where the full-score f32 einsum takes 124 s.
     """
 
     num_heads: int
     qkv_features: int
     dtype: jnp.dtype = jnp.float32
-    q_chunk: int = 1024
+    q_chunk: int = 4608
 
     @nn.compact
     def __call__(self, q_in, kv_in):
@@ -132,7 +138,7 @@ class CrossAttentionBlock(nn.Module):
     width: int
     heads: int = 4
     dtype: jnp.dtype = jnp.float32
-    q_chunk: int = 1024     # bound the (Q, K) score buffer per step
+    q_chunk: int = 4608     # bound the (Q, K) score buffer per step
 
     @nn.compact
     def __call__(self, queries, context):
@@ -154,7 +160,7 @@ class TOPIQConfig:
     width: int = 256
     heads: int = 4
     input_size: int = 384    # bucketed eval size; long edge capped at 1024
-    q_chunk: int = 1024      # query-chunk for the cross-scale attention
+    q_chunk: int = 4608      # query-chunk for the cross-scale attention
     # cross-attention over 9216 C2 tokens needs B x heads x 9216 x 2304 f32
     # score buffers (~340 MB per image) — cap the per-call device batch so
     # activations fit 16 GB HBM (the reference's pyiqa wrapper scores

@@ -70,15 +70,30 @@ def main():
 
         return fwd
 
+    import os
+
+    grids = {
+        # round 1: chunk-size x dtype x sub-batch (lax.map serializes chunks)
+        "1": [
+            ("f32_c1024_b16", jnp.float32, 1024, 16),
+            ("f32_c1024_b64", jnp.float32, 1024, 64),
+            ("bf16_c1024_b16", jnp.bfloat16, 1024, 16),
+            ("bf16_c1024_b64", jnp.bfloat16, 1024, 64),
+            ("f32_c256_b16", jnp.float32, 256, 16),
+            ("bf16_c256_b64", jnp.bfloat16, 256, 64),
+        ],
+        # round 2: the unchunked full-score matrix (what shipped through
+        # round 2 at f32) vs bf16 full and coarse 2-4 step maps
+        "2": [
+            ("f32_full_b16", jnp.float32, 16384, 16),
+            ("bf16_full_b16", jnp.bfloat16, 16384, 16),
+            ("bf16_c4608_b16", jnp.bfloat16, 4608, 16),
+            ("f32_c4608_b16", jnp.float32, 4608, 16),
+            ("bf16_full_b32", jnp.bfloat16, 16384, 32),
+        ],
+    }
     results = []
-    for name, attn_dtype, q_chunk, cap in [
-        ("f32_c1024_b16", jnp.float32, 1024, 16),
-        ("f32_c1024_b64", jnp.float32, 1024, 64),
-        ("bf16_c1024_b16", jnp.bfloat16, 1024, 16),
-        ("bf16_c1024_b64", jnp.bfloat16, 1024, 64),
-        ("f32_c256_b16", jnp.float32, 256, 16),
-        ("bf16_c256_b64", jnp.bfloat16, 256, 64),
-    ]:
+    for name, attn_dtype, q_chunk, cap in grids[os.environ.get("GRID", "1")]:
         try:
             fwd = build(attn_dtype, q_chunk)
             t0 = time.time()
