@@ -4,6 +4,8 @@
 delete, coverage, statistics, optimize/learned weights, preview, snapshots)
 """
 
+import json
+
 from facet_tpu.api.auth import require_role
 from facet_tpu.comparison.manager import ComparisonManager
 from facet_tpu.comparison.pair_selector import PairSelector
@@ -294,13 +296,42 @@ def register(app, ctx):
 
     @app.get("/api/comparison/snapshots")
     def snapshots(request):
+        category = request.param("category")
+        limit = max(1, min(request.param("limit", 50, int), 200))
+        where, params = ("", [])
+        if category:
+            where, params = (" WHERE category = ?", [category])
         with ctx.connection() as conn:
             rows = conn.execute(
                 "SELECT id, timestamp, category, description, accuracy_before,"
                 " accuracy_after, comparisons_used, created_by"
-                " FROM weight_config_snapshots ORDER BY timestamp DESC LIMIT 50"
-            ).fetchall()
+                f" FROM weight_config_snapshots{where}"
+                " ORDER BY timestamp DESC LIMIT ?",
+                params + [limit]).fetchall()
         return {"snapshots": [dict(r) for r in rows]}
+
+    @app.post("/api/comparison/snapshots")
+    def save_snapshot(request):
+        """Save the current weights of a category as a named snapshot
+        (reference: api/routers/comparison.py:1141 save_snapshot)."""
+        require_role(request, "admin")
+        body = request.json()
+        category = body.get("category")
+        if not category or category not in ctx.config.scoring.get_all_category_names():
+            raise HTTPError(400, "unknown or missing category")
+        weights = ctx.config.scoring.get_weights(category)
+        with ctx.connection() as conn:
+            cur = conn.execute(
+                "INSERT INTO weight_config_snapshots (category, weights,"
+                " description, accuracy_before, accuracy_after,"
+                " comparisons_used, created_by) VALUES (?, ?, ?, ?, ?, ?, ?)",
+                (category, json.dumps(weights), body.get("description"),
+                 body.get("accuracy_before"), body.get("accuracy_after"),
+                 body.get("comparisons_used"),
+                 body.get("created_by") or request.state.get("user")))
+            conn.commit()
+            snapshot_id = cur.lastrowid
+        return {"status": "saved", "snapshot_id": snapshot_id}
 
     @app.post("/api/comparison/snapshots/{snapshot_id:int}/restore")
     def restore(request, snapshot_id):

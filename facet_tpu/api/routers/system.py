@@ -150,6 +150,18 @@ def register(app, ctx):
                 "returncode": proc.poll(),
                 "log": list(_scan_state["log"])[-100:]}
 
+    @app.get("/api/scan/directories")
+    def scan_directories(request):
+        """List the directories configured as scannable
+        (reference: api/routers/scan.py:139 scan_directories)."""
+        require_role(request, "superadmin" if ctx.config.multi_user else "admin")
+        if not ctx.config.features().get("scan", False):
+            raise HTTPError(403, "scanning via API is disabled in the config")
+        dirs = ctx.config.viewer.get("scan_directories", [])
+        user = request.state.get("user")
+        return {"directories": [
+            {"path": d, "owner": user or "shared"} for d in dirs]}
+
     # ------------------------------------------------------------- download
 
     @app.get("/api/download")

@@ -472,6 +472,27 @@ class TestSystem:
         names = {c["name"] for c in checks}
         assert "score_ranges" in names and "referential_integrity" in names
 
+    def test_scan_directories_disabled(self, client):
+        # scan feature is off in the default config
+        assert client.get("/api/scan/directories").status_code == 403
+
+    def test_scan_directories(self, seeded_db, tmp_config):
+        import json as _json
+
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        with open(tmp_config) as fh:
+            cfg = _json.load(fh)
+        cfg["viewer"]["features"] = {"scan": True}
+        cfg["viewer"]["scan_directories"] = ["/pics", "/more"]
+        with open(tmp_config, "w") as fh:
+            _json.dump(cfg, fh)
+        client = TestClient(create_app(db_path=seeded_db,
+                                       config_path=tmp_config))
+        dirs = client.get("/api/scan/directories").json()["directories"]
+        assert [d["path"] for d in dirs] == ["/pics", "/more"]
+
 
 class TestAuthModes:
     def test_password_mode(self, seeded_db, tmp_config):
@@ -688,6 +709,29 @@ class TestComparisonErrorPaths:
     def test_snapshot_restore_unknown_id(self, client):
         res = client.post("/api/comparison/snapshots/99999/restore")
         assert res.status_code == 404
+
+    def test_save_snapshot_roundtrip(self, client):
+        res = client.post("/api/comparison/snapshots",
+                          json={"category": "portrait",
+                                "description": "manual checkpoint"})
+        assert res.status_code == 200
+        sid = res.json()["snapshot_id"]
+        listed = client.get("/api/comparison/snapshots",
+                            params={"category": "portrait"}).json()["snapshots"]
+        assert any(s["id"] == sid and s["description"] == "manual checkpoint"
+                   for s in listed)
+        # an unfiltered listing contains it too; a bogus category does not
+        assert any(s["id"] == sid for s in
+                   client.get("/api/comparison/snapshots").json()["snapshots"])
+        assert client.get("/api/comparison/snapshots",
+                          params={"category": "landscape"}).json()["snapshots"] == []
+        # the saved weights restore cleanly
+        restored = client.post(f"/api/comparison/snapshots/{sid}/restore")
+        assert restored.status_code == 200
+
+    def test_save_snapshot_unknown_category(self, client):
+        assert client.post("/api/comparison/snapshots",
+                           json={"category": "not-a-category"}).status_code == 400
 
     def test_preview_score_missing_photo(self, client):
         assert client.post("/api/comparison/preview_score",
