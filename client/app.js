@@ -206,19 +206,74 @@ function hoverSummary(photo) {
   return parts.join("\n");
 }
 
+const selection = S.createSelectionStore();
+
+function updateSelectionBar() {
+  const bar = document.getElementById("selection-bar");
+  bar.hidden = selection.size === 0;
+  document.getElementById("selection-count").textContent =
+    t("gallery.selection.count", { n: selection.size });
+}
+
 function photoCard(photo) {
   const card = document.createElement("div");
-  card.className = "card";
+  card.className = "card" + (selection.has(photo.path) ? " selected" : "");
   const score = photo.aggregate == null ? "—" : photo.aggregate.toFixed(1);
   card.title = hoverSummary(photo);
   card.innerHTML =
     `<img loading="lazy" src="${thumbUrl(photo.path, 320)}">` +
     `<span class="score ${photo.aggregate >= 7 ? "good" : ""}">${score}</span>` +
     (photo.is_favorite ? '<span class="fav-flag">♥</span>' : "") +
+    `<span class="sel" title="${t("gallery.select")}">✓</span>` +
     `<div class="caption">${esc(photo.filename || photo.path)}</div>`;
-  card.addEventListener("click", () => openModal(photo));
+  const toggleSel = () => {
+    selection.toggle(photo.path);
+    card.classList.toggle("selected", selection.has(photo.path));
+    updateSelectionBar();
+  };
+  card.querySelector(".sel").addEventListener("click", (e) => {
+    e.stopPropagation();
+    toggleSel();
+  });
+  card.addEventListener("click", (e) => {
+    if (e.ctrlKey || e.metaKey || e.shiftKey) toggleSel();
+    else openModal(photo);
+  });
   return card;
 }
+
+document.getElementById("clear-selection-btn").addEventListener("click", () => {
+  selection.clear();
+  document.querySelectorAll("#grid .card.selected").forEach((el) =>
+    el.classList.remove("selected"));
+  updateSelectionBar();
+});
+
+document.getElementById("copy-paths-btn").addEventListener("click", async () => {
+  const text = selection.asText();
+  try {
+    await navigator.clipboard.writeText(text);
+  } catch (err) {
+    const ta = document.createElement("textarea");
+    ta.value = text;
+    document.body.appendChild(ta);
+    ta.select();
+    document.execCommand("copy");
+    ta.remove();
+  }
+  toast(t("notifications.copied_count_plural", { n: selection.size }));
+});
+
+document.getElementById("favorite-selected-btn").addEventListener("click",
+  async () => {
+    for (const path of selection.paths) {
+      await api("/api/photos/favorite", {
+        method: "POST", json: { path, favorite: true } });
+      gallery.patchPhoto(path, { is_favorite: 1 });
+    }
+    toast(t("gallery.selection.favorited", { n: selection.size }));
+    reloadGallery();
+  });
 
 async function loadNextPage() {
   if (gallery.loading || !gallery.hasMore) return;
@@ -371,6 +426,96 @@ function contributionHtml(photo) {
   return html;
 }
 
+// faces panel: person chips + face-level assignment, mirroring the
+// reference's face/person selector dialogs (client/src/app/features/
+// gallery/{face,person}-selector-dialog.component.ts)
+async function loadModalFaces(photo) {
+  const box = document.getElementById("modal-faces");
+  box.innerHTML = "";
+  let faces;
+  try {
+    faces = (await api("/api/faces" + photo.path)).faces;
+  } catch (err) { return; }
+  if (!faces || !faces.length) return;
+
+  box.innerHTML = `<h4>${t("gallery.faces_in_photo", { n: faces.length })}</h4>`;
+  const persons = (await api("/api/persons").catch(() => ({ persons: [] })))
+    .persons;
+  const personOptions = `<option value="">${t("manage_persons.select_person")}</option>` +
+    persons.map((p) =>
+      `<option value="${p.id}">${esc(p.name) || t("persons.unnamed") + " #" + p.id}</option>`)
+      .join("");
+
+  // one chip per already-identified person: click filters the gallery,
+  // x detaches the person from this photo
+  const seen = new Set();
+  const chips = document.createElement("div");
+  chips.className = "person-chips";
+  for (const face of faces) {
+    if (!face.person_id || seen.has(face.person_id)) continue;
+    seen.add(face.person_id);
+    const chip = document.createElement("span");
+    chip.className = "person-chip";
+    chip.innerHTML =
+      `<span class="chip-name">${esc(face.person_name) || t("persons.unnamed") + " #" + face.person_id}</span>` +
+      `<span class="chip-x" title="${t("manage_persons.remove_person_title")}">×</span>`;
+    chip.querySelector(".chip-name").addEventListener("click", () => {
+      document.getElementById("photo-modal").hidden = true;
+      document.getElementById("person-filter").value = face.person_id;
+      reloadGallery();
+    });
+    chip.querySelector(".chip-x").addEventListener("click", async () => {
+      await api("/api/photos/unassign_person", {
+        method: "POST",
+        json: { path: photo.path, person_id: face.person_id } });
+      toast(t("notifications.person_removed"));
+      loadModalFaces(photo);
+    });
+    chips.appendChild(chip);
+  }
+  if (seen.size) box.appendChild(chips);
+
+  // unidentified faces get an assignment dropdown each
+  const unassigned = faces.filter((f) => !f.person_id);
+  for (const face of unassigned) {
+    const row = document.createElement("div");
+    row.className = "face-row";
+    row.innerHTML =
+      `<img src="/api/face_thumbnail/${face.id}` +
+      (state.token ? "?token=" + encodeURIComponent(state.token) : "") +
+      `" onerror="this.style.visibility='hidden'">` +
+      `<span class="hint">${t("gallery.face_n", { n: face.face_index + 1 })}` +
+      ` (${Math.round((face.confidence || 0) * 100)}%)</span>` +
+      `<select>${personOptions}</select>`;
+    row.querySelector("select").addEventListener("change", async (e) => {
+      if (!e.target.value) return;
+      await api(`/api/faces/${face.id}/assign`, {
+        method: "POST", json: { person_id: Number(e.target.value) } });
+      toast(t("notifications.faces_assigned"));
+      loadModalFaces(photo);
+    });
+    box.appendChild(row);
+  }
+
+  // assign every unidentified face at once
+  if (unassigned.length > 1) {
+    const all = document.createElement("div");
+    all.className = "face-row";
+    all.innerHTML =
+      `<span>${t("gallery.assign_all_faces", { n: unassigned.length })}</span>` +
+      `<select>${personOptions}</select>`;
+    all.querySelector("select").addEventListener("change", async (e) => {
+      if (!e.target.value) return;
+      await api("/api/photos/assign_all_faces", {
+        method: "POST",
+        json: { path: photo.path, person_id: Number(e.target.value) } });
+      toast(t("notifications.faces_assigned"));
+      loadModalFaces(photo);
+    });
+    box.appendChild(all);
+  }
+}
+
 async function loadSimilar(photo) {
   const box = document.getElementById("modal-similar");
   box.innerHTML = "";
@@ -443,6 +588,7 @@ function openModal(photo) {
     gallery.patchPhoto(photo.path, { is_rejected: photo.is_rejected });
     openModal(photo);
   });
+  loadModalFaces(photo);
   loadSimilar(photo);
 }
 

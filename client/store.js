@@ -139,6 +139,40 @@
     };
   }
 
+  // ---- selection store (multi-select batch actions) -----------------------
+
+  /** Mirrors the reference gallery's selection set (gallery.component.ts
+   *  toggleSelection/clearSelection/copyPaths): a pure Set of photo paths
+   *  with the accounting the selection bar binds to. */
+  function createSelectionStore() {
+    return {
+      paths: new Set(),
+
+      get size() {
+        return this.paths.size;
+      },
+
+      has(path) {
+        return this.paths.has(path);
+      },
+
+      toggle(path) {
+        if (this.paths.has(path)) this.paths.delete(path);
+        else this.paths.add(path);
+        return this.paths.has(path);
+      },
+
+      clear() {
+        this.paths.clear();
+      },
+
+      /** newline-joined paths in insertion order (clipboard payload) */
+      asText() {
+        return Array.from(this.paths).join("\n");
+      },
+    };
+  }
+
   // ---- score breakdown ---------------------------------------------------
 
   // photo column -> [i18n label key, category-weight key]
@@ -226,6 +260,7 @@
     buildQuery: buildQuery,
     activeFilterCount: activeFilterCount,
     createGalleryStore: createGalleryStore,
+    createSelectionStore: createSelectionStore,
     scoreBreakdown: scoreBreakdown,
     bucketize: bucketize,
     summarizeMetrics: summarizeMetrics,

@@ -6,6 +6,19 @@
 """
 
 import argparse
+import os
+
+
+def resolve_static(arg):
+    """--static wins; otherwise the bundled client/ serves when present
+    (the reference auto-mounts client/dist the same way, api/__init__.py:87)."""
+    if arg is not None:
+        return arg
+    bundled = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "client")
+    if os.path.isfile(os.path.join(bundled, "index.html")):
+        return bundled
+    return None
 
 
 def main():
@@ -15,7 +28,10 @@ def main():
     parser.add_argument("--db", default=None)
     parser.add_argument("--config", default=None)
     parser.add_argument("--static", default=None,
-                        help="directory with the built SPA to serve")
+                        help="directory with the SPA to serve (defaults to"
+                             " the bundled client/ when it exists, mirroring"
+                             " the reference's client/dist auto-mount,"
+                             " api/__init__.py:87)")
     parser.add_argument("--production", action="store_true",
                         help="kept for CLI compatibility (threaded server"
                              " is always used)")
@@ -27,7 +43,7 @@ def main():
     from facet_tpu.web import serve
 
     app = create_app(db_path=args.db, config_path=args.config,
-                     static_dir=args.static)
+                     static_dir=resolve_static(args.static))
     serve(app, host=args.host, port=args.port)
 
 

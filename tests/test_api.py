@@ -494,6 +494,77 @@ class TestSystem:
         assert [d["path"] for d in dirs] == ["/pics", "/more"]
 
 
+class TestClientFlows:
+    """HTTP-level replays of the viewer's feature flows (client/app.js):
+    each test issues exactly the request sequence the SPA drives, so the
+    contract the store depends on is exercised end-to-end."""
+
+    def test_selection_favorite_flow(self, client):
+        # select two cards -> "Favorite selected" -> favorites-only filter
+        picked = ["/pics/img06.jpg", "/pics/img07.jpg"]
+        for path in picked:
+            assert client.post("/api/photos/favorite",
+                               json={"path": path,
+                                     "favorite": True}).status_code == 200
+        favs = client.get("/api/photos",
+                          params={"favorites_only": "true"}).json()
+        assert sorted(p["path"] for p in favs["photos"]) == picked
+        # un-favoriting drops it from the filter again
+        client.post("/api/photos/favorite",
+                    json={"path": picked[0], "favorite": False})
+        favs = client.get("/api/photos",
+                          params={"favorites_only": "true"}).json()
+        assert [p["path"] for p in favs["photos"]] == [picked[1]]
+
+    def test_face_assignment_flow(self, client):
+        # the modal faces panel: chip-x unassigns the person, the dropdown
+        # re-assigns the now-unidentified face
+        path = "/pics/img00.jpg"
+        faces = client.get("/api/faces" + path).json()["faces"]
+        assert faces and faces[0]["person_id"] == 1
+        assert faces[0]["person_name"] == "Alice"
+
+        res = client.post("/api/photos/unassign_person",
+                          json={"path": path, "person_id": 1})
+        assert res.status_code == 200
+        faces = client.get("/api/faces" + path).json()["faces"]
+        assert faces[0]["person_id"] is None
+
+        # the dropdown lists persons, then posts the assignment
+        persons = client.get("/api/persons").json()["persons"]
+        assert any(p["id"] == 1 for p in persons)
+        res = client.post(f"/api/faces/{faces[0]['id']}/assign",
+                          json={"person_id": 1})
+        assert res.status_code == 200
+        faces = client.get("/api/faces" + path).json()["faces"]
+        assert faces[0]["person_id"] == 1 and faces[0]["person_name"] == "Alice"
+
+    def test_assign_all_faces_flow(self, client):
+        # unassign one photo (Alice keeps her other face), then the
+        # "assign all unidentified faces" dropdown restores it in bulk
+        path = "/pics/img00.jpg"
+        client.post("/api/photos/unassign_person",
+                    json={"path": path, "person_id": 1})
+        assert client.get("/api/faces" + path).json()["faces"][0]["person_id"] is None
+        res = client.post("/api/photos/assign_all_faces",
+                          json={"path": path, "person_id": 1})
+        assert res.status_code == 200
+        faces = client.get("/api/faces" + path).json()["faces"]
+        assert all(f["person_id"] == 1 for f in faces)
+        # person stats were refreshed along the way
+        alice = [p for p in client.get("/api/persons").json()["persons"]
+                 if p["id"] == 1][0]
+        assert alice["photo_count"] == 2
+
+    def test_filter_by_person_chip(self, client):
+        # clicking a person chip filters the gallery by person_id
+        data = client.get("/api/photos",
+                          params={"person_id": 1,
+                                  "hide_blinks": "false"}).json()
+        assert data["total"] == 2
+        assert all(p["path"].startswith("/pics/img0") for p in data["photos"])
+
+
 class TestAuthModes:
     def test_password_mode(self, seeded_db, tmp_config):
         import json as jsonlib

@@ -198,6 +198,31 @@ def test_i18n_vars_usage():
                 lang, key, first_var)
 
 
+def test_spa_served_by_default(tmp_path):
+    """run_api defaults to the bundled client; the SPA mount serves the
+    new index.html with token-protected assets and the API unaffected."""
+    import sys
+    sys.path.insert(0, os.path.join(CLIENT, ".."))
+    import run_api
+    from facet_tpu.api import create_app
+    from facet_tpu.web import TestClient
+
+    assert run_api.resolve_static(None) == CLIENT
+    assert run_api.resolve_static("/elsewhere") == "/elsewhere"
+
+    app = create_app(db_path=":memory:", static_dir=CLIENT)
+    tc = TestClient(app)
+    home = tc.get("/")
+    assert home.status_code == 200
+    assert b'id="selection-bar"' in home.content
+    assert b'id="modal-faces"' in home.content
+    assert b"createSelectionStore" in tc.get("/store.js").content
+    # traversal is refused, unknown SPA routes fall back to index.html
+    assert tc.get("/../run_api.py").status_code in (403, 200) \
+        and b"argparse" not in tc.get("/../run_api.py").content
+    assert b"<title>Facet</title>" in tc.get("/persons-route").content
+
+
 def test_category_and_pattern_names_translated():
     """The 30 scoring categories and 8 composition patterns all have
     display names in the catalog (used by the gallery and stats views)."""
