@@ -141,7 +141,7 @@ function switchView(name) {
   if (name === "gallery" && !gallery.photos.length) reloadGallery();
   if (name === "stats") loadStats();
   if (name === "persons") loadPersons();
-  if (name === "comparison") { loadPair(); loadComparisonStats(); }
+  if (name === "comparison") { loadPair(); loadComparisonStats(); loadVoteHistory(); }
 }
 
 document.querySelectorAll("nav button[data-view]").forEach((b) =>
@@ -329,6 +329,7 @@ async function loadFilterOptions() {
     api("/api/stats/category_weights").catch(() => ({ weights: {} }))]);
   state.config = config;
   state.weights = weights.weights || {};
+  state.categories = Object.keys(state.weights).sort();
 
   // each dropdown family loads from its own lazy endpoint, with counts
   const lazy = [
@@ -539,8 +540,16 @@ function openModal(photo) {
   const meta = document.getElementById("modal-meta");
   let html = `<h3>${esc(photo.filename)}</h3>`;
   html += contributionHtml(photo);
+  // admins can pin the category (reference: comparison override dialog,
+  // POST /api/comparison/override_category)
+  const canOverride = state.role === "admin" || state.role === "superadmin";
   html += `<div class="metric"><span>${t("gallery.category")}</span>` +
-    `<b>${photo.category ? catName(photo.category) : "—"}</b></div>`;
+    (canOverride && state.categories
+      ? `<select id="override-category">` + state.categories.map((c) =>
+          `<option value="${esc(c)}"${c === photo.category ? " selected" : ""}>` +
+          `${catName(c)}</option>`).join("") + `</select>`
+      : `<b>${photo.category ? catName(photo.category) : "—"}</b>`) +
+    `</div>`;
   if (photo.composition_pattern)
     html += `<div class="metric"><span>${t("gallery.pattern")}</span>` +
       `<b>${patName(photo.composition_pattern)}</b></div>`;
@@ -565,6 +574,22 @@ function openModal(photo) {
     `<button id="reject-btn">${photo.is_rejected ? "✓ " + t("gallery.rejected") : "✗ " + t("gallery.reject")}</button>` +
     `</div>`;
   meta.innerHTML = html;
+  const overrideSel = document.getElementById("override-category");
+  if (overrideSel) {
+    overrideSel.addEventListener("change", async () => {
+      try {
+        const res = await api("/api/comparison/override_category", {
+          method: "POST",
+          json: { path: photo.path, category: overrideSel.value } });
+        photo.category = res.new_category;
+        gallery.patchPhoto(photo.path, { category: res.new_category });
+        toast(t("gallery.category_changed", {
+          old: catName(res.old_category), new: catName(res.new_category) }));
+      } catch (err) {
+        toast(t("compare.error.override_failed"));
+      }
+    });
+  }
   meta.querySelectorAll("[data-star]").forEach((el) =>
     el.addEventListener("click", async () => {
       const rating = Number(el.dataset.star);
@@ -818,7 +843,73 @@ async function loadWeightsEditor() {
     `<div class="range-row"><span>${sortName(key)}</span>` +
     `<input type="number" min="0" max="100" step="1" data-wkey="${key}"` +
     ` value="${Math.round(frac * 100)}"> %</div>`).join("");
+  editor.querySelectorAll("[data-wkey]").forEach((el) =>
+    el.addEventListener("input", scheduleWeightsPreview));
+  refreshWeightsPreview();
 }
+
+// live preview: re-score the category's current top photos under the
+// DRAFT weights, debounced like the reference's comparison weight panel
+// (comparison.component.ts "auto-refresh preview on weight change")
+function draftWeights() {
+  const weights = {};
+  document.querySelectorAll("#weights-editor [data-wkey]").forEach((el) => {
+    weights[el.dataset.wkey] = Number(el.value);
+  });
+  return weights;
+}
+
+function scheduleWeightsPreview() {
+  clearTimeout(scheduleWeightsPreview._timer);
+  scheduleWeightsPreview._timer = setTimeout(refreshWeightsPreview, 400);
+}
+
+async function refreshWeightsPreview() {
+  const cat = document.getElementById("weights-category").value;
+  const box = document.getElementById("weights-preview");
+  if (!cat) { box.innerHTML = ""; return; }
+  try {
+    const top = await api("/api/photos?category=" +
+      encodeURIComponent(cat) + "&page_size=8&sort=aggregate&order=desc");
+    if (!top.photos.length) { box.innerHTML = ""; return; }
+    const res = await api("/api/comparison/preview_score", {
+      method: "POST",
+      json: { paths: top.photos.map((p) => p.path), weights: draftWeights() },
+    });
+    const byPath = {};
+    for (const row of res.previews) byPath[row.path] = row;
+    // order by the previewed score so rank changes are visible
+    const ordered = top.photos.slice().sort((a, b) =>
+      byPath[b.path].preview_score - byPath[a.path].preview_score);
+    box.innerHTML = `<h4>${t("compare.weights.score_preview")}</h4>` +
+      `<div class="preview-strip">` + ordered.map((p) => {
+        const row = byPath[p.path];
+        const delta = row.preview_score - (row.current_score ?? 0);
+        const cls = delta > 0.05 ? "up" : delta < -0.05 ? "down" : "";
+        return `<figure><img src="${thumbUrl(p.path, 128)}">` +
+          `<figcaption class="${cls}">` +
+          `${(row.current_score ?? 0).toFixed(1)} → ` +
+          `${row.preview_score.toFixed(1)}</figcaption></figure>`;
+      }).join("") + `</div>`;
+  } catch (err) {
+    box.innerHTML = `<p class="hint">${t("comparison.no_preview")}</p>`;
+  }
+}
+
+document.getElementById("snapshot-weights").addEventListener("click",
+  async () => {
+    const cat = document.getElementById("weights-category").value;
+    if (!cat) return;
+    try {
+      const res = await api("/api/comparison/snapshots", {
+        method: "POST",
+        json: { category: cat,
+                description: "manual snapshot from the weights editor" } });
+      toast(t("comparison.snapshot_saved", { id: res.snapshot_id }));
+    } catch (err) {
+      toast(t("comparison.error_saving_snapshot"));
+    }
+  });
 
 document.getElementById("save-weights").addEventListener("click", async () => {
   const cat = document.getElementById("weights-category").value;
@@ -971,6 +1062,7 @@ async function vote(winner) {
     `${t("comparison.submitted")} (${res.count})`;
   loadPair();
   loadComparisonStats();
+  loadVoteHistory();
 }
 
 document.querySelectorAll("[data-vote]").forEach((b) =>
@@ -1048,6 +1140,55 @@ async function loadComparisonStats() {
         loadComparisonStats();
       }));
   } catch (err) { /* snapshots panel is optional */ }
+}
+
+// vote history: recent votes with re-judge + delete, mirroring the
+// reference's history tab (comparison.component.ts edit/delete votes)
+async function loadVoteHistory() {
+  const box = document.getElementById("vote-history");
+  let rows;
+  try {
+    rows = (await api("/api/comparison/history?limit=15")).history;
+  } catch (err) { box.textContent = ""; return; }
+  if (!rows.length) {
+    box.innerHTML = `<p class="hint">${t("comparison.no_votes")}</p>`;
+    return;
+  }
+  box.innerHTML = "";
+  for (const row of rows) {
+    const el = document.createElement("div");
+    el.className = "history-row";
+    const side = (path, won) =>
+      `<img src="${thumbUrl(path, 96)}" class="${won ? "won" : ""}"` +
+      ` title="${esc(path)}">`;
+    el.innerHTML =
+      side(row.photo_a_path, row.winner === "a") +
+      side(row.photo_b_path, row.winner === "b") +
+      `<span class="hint">${esc(row.timestamp || "")}` +
+      (row.winner === "tie" ? " · " + t("comparison.tie") : "") +
+      (row.winner === "skip" ? " · " + t("comparison.skip") : "") + `</span>` +
+      `<span class="history-actions">` +
+      `<button data-rewinner="a" title="${t("comparison.change_winner")}">←</button>` +
+      `<button data-rewinner="tie">=</button>` +
+      `<button data-rewinner="b">→</button>` +
+      `<button data-delvote title="${t("comparison.delete_vote")}">×</button>` +
+      `</span>`;
+    el.querySelectorAll("[data-rewinner]").forEach((b) =>
+      b.addEventListener("click", async () => {
+        await api(`/api/comparison/${row.id}`, {
+          method: "PUT", json: { winner: b.dataset.rewinner } });
+        toast(t("comparison.vote_updated"));
+        loadVoteHistory();
+        loadComparisonStats();
+      }));
+    el.querySelector("[data-delvote]").addEventListener("click", async () => {
+      await api(`/api/comparison/${row.id}`, { method: "DELETE" });
+      toast(t("comparison.vote_deleted"));
+      loadVoteHistory();
+      loadComparisonStats();
+    });
+    box.appendChild(el);
+  }
 }
 
 document.getElementById("optimize-btn").addEventListener("click", async () => {

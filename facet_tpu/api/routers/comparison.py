@@ -345,22 +345,32 @@ def register(app, ctx):
 
     @app.post("/api/comparison/preview_score")
     def preview(request):
-        """Score preview under hypothetical weights (no persistence)."""
+        """Score preview under hypothetical weights (no persistence).
+
+        Accepts one `path` or a `paths` list — the weight editor's live
+        preview re-scores its whole photo strip in a single vectorized
+        call (reference: comparison.component.ts refreshes preview photos
+        on every debounced weight change)."""
         body = request.json()
-        path = body.get("path")
+        paths = body.get("paths") or ([body["path"]] if body.get("path")
+                                      else [])
         weights = body.get("weights") or {}
-        if not path:
-            raise HTTPError(400, "path required")
+        if not paths:
+            raise HTTPError(400, "path or paths required")
+        if len(paths) > 100:
+            raise HTTPError(400, "at most 100 paths per preview")
         from facet_tpu.scoring.brain import METRIC_KEYS
         from facet_tpu.scoring.vectorized import AggregateScorer
 
         with ctx.connection() as conn:
-            row = conn.execute("SELECT * FROM photos WHERE path = ?",
-                               (path,)).fetchone()
-        if row is None:
-            raise HTTPError(404, "photo not found")
+            marks = ",".join("?" * len(paths))
+            rows = {r["path"]: dict(r) for r in conn.execute(
+                f"SELECT * FROM photos WHERE path IN ({marks})", paths)}
+        missing = [p for p in paths if p not in rows]
+        if missing:
+            raise HTTPError(404, f"photo not found: {missing[0]}")
         scorer = AggregateScorer(ctx.config.scoring)
-        values = scorer.metric_values([dict(row)])[0]
+        values = scorer.metric_values([rows[p] for p in paths])
         import numpy as np
 
         vec = np.array([weights.get(k, 0.0) for k in METRIC_KEYS], np.float32)
@@ -368,6 +378,13 @@ def register(app, ctx):
         if total <= 0:
             raise HTTPError(400, "weights must sum to a positive value")
         vec /= total
+        scores = values @ vec
+        if "paths" in body:
+            return {"previews": [
+                {"path": p, "preview_score": round(float(s), 3),
+                 "current_score": rows[p].get("aggregate")}
+                for p, s in zip(paths, scores)]}
+        path = paths[0]
         return {"path": path,
-                "preview_score": round(float(values @ vec), 3),
-                "current_aggregate": row["aggregate"]}
+                "preview_score": round(float(scores[0]), 3),
+                "current_aggregate": rows[path].get("aggregate")}

@@ -556,6 +556,63 @@ class TestClientFlows:
                  if p["id"] == 1][0]
         assert alice["photo_count"] == 2
 
+    def test_weights_preview_strip(self, client):
+        # the weight editor re-scores the top photos under draft weights
+        top = client.get("/api/photos", params={"page_size": 4}).json()
+        paths = [p["path"] for p in top["photos"]]
+        res = client.post("/api/comparison/preview_score",
+                          json={"paths": paths,
+                                "weights": {"aesthetic": 100}})
+        assert res.status_code == 200
+        previews = res.json()["previews"]
+        assert [p["path"] for p in previews] == paths
+        # weights {aesthetic: 100} -> preview equals the aesthetic value
+        for prev, photo in zip(previews, top["photos"]):
+            assert abs(prev["preview_score"] - photo["aesthetic"]) < 0.01
+            assert prev["current_score"] == photo["aggregate"]
+        # single-path shape is unchanged
+        one = client.post("/api/comparison/preview_score",
+                          json={"path": paths[0],
+                                "weights": {"aesthetic": 100}}).json()
+        assert one["preview_score"] == previews[0]["preview_score"]
+        assert "current_aggregate" in one
+        # unknown path in the strip 404s; oversized strips are refused
+        assert client.post("/api/comparison/preview_score",
+                           json={"paths": ["/nope.jpg"],
+                                 "weights": {"aesthetic": 1}}).status_code == 404
+        assert client.post("/api/comparison/preview_score",
+                           json={"paths": ["/x"] * 101,
+                                 "weights": {"aesthetic": 1}}).status_code == 400
+
+    def test_vote_history_edit_delete_flow(self, client):
+        # vote, then re-judge it from the history panel, then delete it
+        a, b = "/pics/img04.jpg", "/pics/img05.jpg"
+        res = client.post("/api/comparison/submit",
+                          json={"photo_a": a, "photo_b": b, "winner": "a"})
+        assert res.status_code == 200
+        hist = client.get("/api/comparison/history").json()["history"]
+        assert hist and hist[0]["winner"] == "a"
+        vote_id = hist[0]["id"]
+        assert client.put(f"/api/comparison/{vote_id}",
+                          json={"winner": "b"}).status_code == 200
+        hist = client.get("/api/comparison/history").json()["history"]
+        assert hist[0]["winner"] == "b"
+        assert client.delete(f"/api/comparison/{vote_id}").status_code == 200
+        assert client.get("/api/comparison/history").json()["history"] == []
+
+    def test_category_override_from_modal(self, client):
+        res = client.post("/api/comparison/override_category",
+                          json={"path": "/pics/img06.jpg",
+                                "category": "portrait"})
+        assert res.status_code == 200
+        body = res.json()
+        assert body["old_category"] == "landscape"
+        assert body["new_category"] == "portrait"
+        got = client.get("/api/photos",
+                         params={"category": "portrait",
+                                 "hide_blinks": "false"}).json()
+        assert any(p["path"] == "/pics/img06.jpg" for p in got["photos"])
+
     def test_filter_by_person_chip(self, client):
         # clicking a person chip filters the gallery by person_id
         data = client.get("/api/photos",

@@ -164,7 +164,8 @@ def test_dom_ids_referenced_exist():
     js = read("app.js")
     html = read("index.html")
     ids = set(re.findall(r'getElementById\("([\w-]+)"\)', js))
-    dynamic = {"fav-btn", "reject-btn"}      # created inside the photo modal
+    # created inside the photo modal at open time
+    dynamic = {"fav-btn", "reject-btn", "override-category"}
     missing = [i for i in ids - dynamic if f'id="{i}"' not in html]
     assert not missing, f"app.js references unknown ids: {missing}"
 
