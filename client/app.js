@@ -960,28 +960,73 @@ async function loadPersons() {
     list.appendChild(row);
   }
 
+  state.persons = data.persons;
+  renderPersonsGrid();
+}
+
+// search / sort / multi-select over the cached persons list, mirroring
+// the reference's manage-persons page (manage-persons.component.ts)
+const personSelection = S.createSelectionStore();
+
+function visiblePersons() {
+  const query = document.getElementById("persons-search").value
+    .trim().toLowerCase();
+  const sort = document.getElementById("persons-sort").value;
+  let rows = (state.persons || []).filter((p) =>
+    !query || (p.name || "").toLowerCase().includes(query) ||
+    String(p.id) === query);
+  const by = {
+    count_desc: (a, b) => b.photo_count - a.photo_count,
+    count_asc: (a, b) => a.photo_count - b.photo_count,
+    name_asc: (a, b) => (a.name || "~").localeCompare(b.name || "~"),
+  }[sort];
+  return rows.slice().sort(by);
+}
+
+function updatePersonsSelectionBar() {
+  const bar = document.getElementById("persons-selection-bar");
+  bar.hidden = personSelection.size === 0;
+  document.getElementById("persons-selection-count").textContent =
+    t("gallery.selection.count", { n: personSelection.size });
+  document.getElementById("merge-selected-btn").disabled =
+    personSelection.size < 2;
+}
+
+function renderPersonsGrid() {
   const grid = document.getElementById("persons-grid");
   grid.innerHTML = "";
-  for (const person of data.persons) {
+  for (const person of visiblePersons()) {
     const card = document.createElement("div");
-    card.className = "person-card";
+    card.className = "person-card" +
+      (personSelection.has(person.id) ? " selected" : "");
     card.innerHTML =
+      `<span class="sel" title="${t("gallery.select")}">✓</span>` +
       `<img src="/api/person_thumbnail/${person.id}` +
       (state.token ? "?token=" + encodeURIComponent(state.token) : "") + `"
          onerror="this.style.visibility='hidden'">` +
       `<input value="${esc(person.name || "")}" placeholder="${t("persons.unnamed")}">` +
       `<div class="caption">${t("persons.photo_count", { n: person.photo_count })}</div>` +
       `<div class="person-actions">` +
+      `<button class="open-btn">${t("persons.view")}</button>` +
       `<button class="view-btn">${t("nav.gallery")}</button>` +
       `<button class="avatar-btn">${t("persons.avatar")}</button>` +
       `<button class="del-btn">${t("persons.delete")}</button></div>` +
       `<div class="face-picker" hidden></div>`;
+    card.querySelector(".sel").addEventListener("click", () => {
+      personSelection.toggle(person.id);
+      card.classList.toggle("selected", personSelection.has(person.id));
+      updatePersonsSelectionBar();
+    });
+    card.querySelector("img").addEventListener("click", () =>
+      openPersonDetail(person.id));
     const input = card.querySelector("input");
     input.addEventListener("change", async () => {
       await api(`/api/persons/${person.id}/rename`, {
         method: "POST", json: { name: input.value } });
       toast(t("persons.renamed"));
     });
+    card.querySelector(".open-btn").addEventListener("click", () =>
+      openPersonDetail(person.id));
     card.querySelector(".view-btn").addEventListener("click", () => {
       switchView("gallery");
       document.getElementById("person-filter").value = person.id;
@@ -1013,6 +1058,93 @@ async function loadPersons() {
     });
     grid.appendChild(card);
   }
+}
+
+document.getElementById("persons-search").addEventListener("input",
+  renderPersonsGrid);
+document.getElementById("persons-sort").addEventListener("change",
+  renderPersonsGrid);
+
+document.getElementById("persons-clear-btn").addEventListener("click", () => {
+  personSelection.clear();
+  document.getElementById("merge-target-chooser").hidden = true;
+  renderPersonsGrid();
+  updatePersonsSelectionBar();
+});
+
+document.getElementById("delete-selected-btn").addEventListener("click",
+  async () => {
+    await api("/api/persons/delete_batch", {
+      method: "POST",
+      json: { person_ids: Array.from(personSelection.paths) } });
+    toast(t("notifications.deleted"));
+    personSelection.clear();
+    updatePersonsSelectionBar();
+    loadPersons();
+  });
+
+// merge: pick the surviving person among the selected ones
+document.getElementById("merge-selected-btn").addEventListener("click", () => {
+  const chooser = document.getElementById("merge-target-chooser");
+  const list = document.getElementById("merge-target-list");
+  list.innerHTML = "";
+  const byId = {};
+  for (const p of state.persons || []) byId[p.id] = p;
+  for (const id of personSelection.paths) {
+    const person = byId[id] || { id, name: "" };
+    const chip = document.createElement("span");
+    chip.className = "person-chip";
+    chip.textContent =
+      (person.name || t("persons.unnamed") + " #" + person.id);
+    chip.addEventListener("click", async () => {
+      const sources = Array.from(personSelection.paths)
+        .filter((x) => x !== id);
+      await api("/api/persons/merge_batch", {
+        method: "POST", json: { target_id: id, source_ids: sources } });
+      toast(t("persons.merged"));
+      chooser.hidden = true;
+      personSelection.clear();
+      updatePersonsSelectionBar();
+      loadPersons();
+    });
+    list.appendChild(chip);
+  }
+  chooser.hidden = false;
+});
+
+// person page: photos strip + share link (reference person-page.component.ts)
+async function openPersonDetail(personId) {
+  const box = document.getElementById("person-detail");
+  const data = await api(`/api/persons/${personId}`);
+  const person = data.person || data;
+  const photos = data.photos || [];
+  box.innerHTML =
+    `<h3>${esc(person.name) || t("persons.unnamed") + " #" + personId}</h3>` +
+    `<p class="hint">${t("persons.photo_count", { n: photos.length })}</p>` +
+    `<div class="modal-actions">` +
+    `<button id="share-link-btn">${t("persons.share_link")}</button>` +
+    `<button id="detail-close-btn">${t("compare.modal.cancel")}</button></div>` +
+    `<div class="preview-strip">` + photos.slice(0, 24).map((p) =>
+      `<figure><img src="${thumbUrl(p.photo_path, 128)}" title="${esc(p.photo_path)}">` +
+      `<figcaption>${p.aggregate == null ? "—" : p.aggregate.toFixed(1)}` +
+      `</figcaption></figure>`).join("") + `</div>`;
+  document.getElementById("share-link-btn").addEventListener("click",
+    async () => {
+      const url = location.origin +
+        `/api/shared/person/${personId}?token=` +
+        encodeURIComponent(data.share_token);
+      try {
+        await navigator.clipboard.writeText(url);
+        toast(t("notifications.link_copied"));
+      } catch (err) {
+        toast(t("persons.link_copy_error"));
+      }
+    });
+  document.getElementById("detail-close-btn").addEventListener("click", () => {
+    box.hidden = true;
+  });
+  box.hidden = false;
+  box.scrollIntoView({ behavior: "smooth", block: "nearest" });
 }
 
 // --------------------------------------------------------------- comparison

@@ -164,8 +164,9 @@ def test_dom_ids_referenced_exist():
     js = read("app.js")
     html = read("index.html")
     ids = set(re.findall(r'getElementById\("([\w-]+)"\)', js))
-    # created inside the photo modal at open time
-    dynamic = {"fav-btn", "reject-btn", "override-category"}
+    # created inside the photo modal / person detail panel at open time
+    dynamic = {"fav-btn", "reject-btn", "override-category",
+               "share-link-btn", "detail-close-btn"}
     missing = [i for i in ids - dynamic if f'id="{i}"' not in html]
     assert not missing, f"app.js references unknown ids: {missing}"
 
