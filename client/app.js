@@ -195,15 +195,72 @@ function readFiltersFromDom() {
   badge.textContent = String(n);
 }
 
-function hoverSummary(photo) {
-  const parts = [];
-  for (const [col, label] of S.METRICS) {
-    if (photo[col] != null)
-      parts.push(`${t(label)}: ${Number(photo[col]).toFixed(1)}`);
-  }
-  if (photo.category)
-    parts.push(`${t("gallery.category")}: ${catName(photo.category)}`);
-  return parts.join("\n");
+// rich hover tooltip, mirroring the reference's photo-tooltip component
+// (client/src/app/features/gallery/photo-tooltip.component.ts): sectioned
+// metric rows + capture metadata, fixed-positioned near the cursor
+function tooltipHtml(photo) {
+  const row = (label, value) => value == null ? "" :
+    `<div class="tip-row"><span>${label}</span><b>${value}</b></div>`;
+  const num = (v) => v == null ? null : Number(v).toFixed(1);
+  let html = `<div class="tip-title">${esc(photo.filename || photo.path)}</div>`;
+  if (photo.date_taken)
+    html += `<div class="tip-date">${esc(photo.date_taken)}</div>`;
+  html += `<div class="tip-score">[${photo.category ? catName(photo.category) : "—"}] ` +
+    `${t("gallery.score")}: ${num(photo.aggregate) ?? "—"}</div>`;
+  let rows = row(t("gallery.aesthetic"), num(photo.aesthetic)) +
+    row(t("gallery.quality"), num(photo.quality_score)) +
+    (photo.face_count > 0
+      ? row(t("gallery.faces"), num(photo.face_quality)) +
+        row(t("tooltip.face_sharp"), num(photo.face_sharpness)) +
+        row(t("tooltip.eye_sharpness"), num(photo.eye_sharpness))
+      : "") +
+    row(t("gallery.sharpness"), num(photo.tech_sharpness));
+  if (rows)
+    html += `<div class="tip-section">${t("tooltip.quality_section")}</div>` + rows;
+  rows = row(t("gallery.composition"), num(photo.comp_score)) +
+    row(t("gallery.pattern"),
+        photo.composition_pattern ? patName(photo.composition_pattern) : null) +
+    row(t("gallery.exposure"), num(photo.exposure_score)) +
+    row(t("gallery.color"), num(photo.color_score)) +
+    row(t("gallery.contrast"), num(photo.contrast_score));
+  if (rows)
+    html += `<div class="tip-section">${t("tooltip.technical_section")}</div>` + rows;
+  rows = row(t("gallery.camera"), photo.camera_model ? esc(photo.camera_model) +
+      (photo.lens_model ? " · " + esc(photo.lens_model) : "") : null) +
+    row("ISO / f / s", photo.iso
+      ? `${photo.iso} / f${photo.f_stop || "?"} / ${esc(photo.shutter_speed || "?")}`
+      : null) +
+    row(t("gallery.focal"),
+        photo.focal_length ? `${photo.focal_length} mm` : null);
+  if (rows)
+    html += `<div class="tip-section">${t("tooltip.exif_section")}</div>` + rows;
+  return html;
+}
+
+function showTooltip(event, photo) {
+  const tip = document.getElementById("photo-tooltip");
+  tip.innerHTML = tooltipHtml(photo);
+  tip.hidden = false;
+  moveTooltip(event);
+}
+
+function moveTooltip(event) {
+  const tip = document.getElementById("photo-tooltip");
+  if (tip.hidden) return;
+  const pad = 14;
+  let x = event.clientX + pad;
+  let y = event.clientY + pad;
+  const rect = tip.getBoundingClientRect();
+  if (x + rect.width > window.innerWidth - 8)
+    x = Math.max(8, event.clientX - rect.width - pad);
+  if (y + rect.height > window.innerHeight - 8)
+    y = Math.max(8, window.innerHeight - rect.height - 8);
+  tip.style.left = x + "px";
+  tip.style.top = y + "px";
+}
+
+function hideTooltip() {
+  document.getElementById("photo-tooltip").hidden = true;
 }
 
 const selection = S.createSelectionStore();
@@ -219,7 +276,9 @@ function photoCard(photo) {
   const card = document.createElement("div");
   card.className = "card" + (selection.has(photo.path) ? " selected" : "");
   const score = photo.aggregate == null ? "—" : photo.aggregate.toFixed(1);
-  card.title = hoverSummary(photo);
+  card.addEventListener("mouseenter", (e) => showTooltip(e, photo));
+  card.addEventListener("mousemove", moveTooltip);
+  card.addEventListener("mouseleave", hideTooltip);
   card.innerHTML =
     `<img loading="lazy" src="${thumbUrl(photo.path, 320)}">` +
     `<span class="score ${photo.aggregate >= 7 ? "good" : ""}">${score}</span>` +
@@ -263,6 +322,22 @@ document.getElementById("copy-paths-btn").addEventListener("click", async () => 
   }
   toast(t("notifications.copied_count_plural", { n: selection.size }));
 });
+
+document.getElementById("download-selected-btn").addEventListener("click",
+  () => {
+    // one original per selected photo via /api/image (the reference's
+    // downloadSelected drives per-path GETs the same way)
+    for (const path of selection.paths) {
+      const a = document.createElement("a");
+      a.href = "/api/image" + path +
+        (state.token ? "?token=" + encodeURIComponent(state.token) : "");
+      a.download = path.split("/").pop();
+      document.body.appendChild(a);
+      a.click();
+      a.remove();
+    }
+    toast(t("notifications.downloaded_count_plural", { n: selection.size }));
+  });
 
 document.getElementById("favorite-selected-btn").addEventListener("click",
   async () => {
@@ -534,6 +609,7 @@ async function loadSimilar(photo) {
 }
 
 function openModal(photo) {
+  hideTooltip();
   const modal = document.getElementById("photo-modal");
   modal.hidden = false;
   document.getElementById("modal-img").src = thumbUrl(photo.path, 1280);
