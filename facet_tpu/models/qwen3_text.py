@@ -190,14 +190,53 @@ def embed_tokens(params, token_ids):
     return jnp.take(table, token_ids, axis=0)
 
 
+def init_text_params(config, seed=0):
+    """Deterministic random init including the embedding table.
+
+    The model READS the tied embedding table (it never declares it), so a
+    plain flax init of a tied config would trace a missing-param error:
+    init with the head untied to materialize the full structure, then
+    swap lm_head for a generated embed_tokens table when the config ties."""
+    import dataclasses
+
+    from facet_tpu.models.checkpoints import fallback_init, sds
+
+    init_cfg = dataclasses.replace(config, tie_word_embeddings=False)
+    model = Qwen3TextModel(config)
+    params = fallback_init(
+        Qwen3TextModel(init_cfg), sds((1, 4, config.hidden_size)),
+        sds((3, 1, 4), jnp.int32), sds((1, 4, 4), bool), seed=seed)
+    tree = dict(params["params"])
+    if config.tie_word_embeddings:
+        tree.pop("lm_head", None)
+    rng = jax.random.PRNGKey(seed + 1)
+    table = jax.random.normal(
+        rng, (config.vocab_size, config.hidden_size), jnp.float32) * 0.02
+    tree["embed_tokens"] = {"embedding": table}
+    return model, {"params": tree}
+
+
 class Qwen3TextDecoder:
     """Greedy KV-cache generation, one jitted program per shape bucket
     (same scheme as qwen_text.QwenTextDecoder, plus DeepStack prefill)."""
 
     def __init__(self, params, config=Qwen3TextConfig(), dtype=jnp.float32,
-                 max_new_tokens=96):
+                 max_new_tokens=96, mesh=None):
+        """mesh: optional ('dp', 'tp') jax.sharding.Mesh — with tp > 1 the
+        decoder weights shard Megatron-style over 'tp' exactly like the
+        Qwen2.5 decoder (parallel/tp.py works unchanged: Qwen3 uses the
+        same q/k/v/o, gate/up/down, embed_tokens and lm_head leaf names;
+        its extra per-head q/k RMSNorm scales are (head_dim,) vectors that
+        correctly fall through to replication)."""
         self.config = config
         self.model = Qwen3TextModel(config, dtype)
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            from facet_tpu.parallel.tp import (
+                shard_qwen_text_params, validate_tp)
+
+            validate_tp(config, mesh.shape["tp"])
+            params = shard_qwen_text_params(params, mesh)
         self.params = params
         self.max_new_tokens = max_new_tokens
         self._programs = {}
@@ -209,6 +248,12 @@ class Qwen3TextDecoder:
         cfg = self.config
         total = prompt_len + self.max_new_tokens
         model = self.model
+        constrain_cache = None
+        if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
+            from facet_tpu.parallel.tp import kv_cache_constraint
+
+            constrain_cache = kv_cache_constraint(
+                self.mesh, dp=batch % self.mesh.shape["dp"] == 0)
 
         def run(params, embeds, valid, position_ids, next_pos, eos_ids,
                 vis_mask, deep_feats):
@@ -217,6 +262,8 @@ class Qwen3TextDecoder:
             cache = [{"k": jnp.zeros((b, total, kv, hd), embeds.dtype),
                       "v": jnp.zeros((b, total, kv, hd), embeds.dtype)}
                      for _ in range(cfg.num_layers)]
+            if constrain_cache is not None:
+                cache = [constrain_cache(c) for c in cache]
             slot_valid = jnp.concatenate(
                 [valid, jnp.zeros((b, self.max_new_tokens), bool)], axis=1)
 

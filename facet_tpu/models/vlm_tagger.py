@@ -235,10 +235,9 @@ class VLMTagger:
             params = {"params": jax.tree.map(
                 lambda a: jnp.asarray(a, jnp.bfloat16), params["params"])}
             extra_kw = {}
-            if is_25:
-                mesh = self._decoder_mesh(TCfg())
-                if mesh is not None:
-                    extra_kw["mesh"] = mesh
+            mesh = self._decoder_mesh(TCfg())
+            if mesh is not None:
+                extra_kw["mesh"] = mesh
             decoder = Decoder(params, TCfg(), dtype=jnp.bfloat16,
                               max_new_tokens=self.max_new_tokens, **extra_kw)
             self._device = (encoder, decoder)

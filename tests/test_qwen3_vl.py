@@ -236,3 +236,40 @@ class TestEndToEnd:
             np.array([[1, gh, gw]]), 120)
         np.testing.assert_array_equal(got_pos, want_pos.numpy())
         assert got_next[0] == int(want_delta[0]) + len(ids)
+
+
+class TestTensorParallel:
+    """The ('dp','tp') GSPMD specs written for the 2.5 decoder apply to
+    Qwen3 unchanged (same leaf names; the per-head q/k RMSNorm scales
+    replicate) — generation must be token-identical to single-device."""
+
+    def _generate(self, mesh, batch=4):
+        import jax.numpy as jnp
+
+        from facet_tpu.models.qwen3_text import (Qwen3TextDecoder,
+                                                 init_text_params)
+
+        _, cfg = tiny_text_cfgs()
+        _, params = init_text_params(cfg, seed=5)
+        rng = np.random.default_rng(11)
+        t = 8
+        embeds = rng.standard_normal((batch, t, cfg.hidden_size)) \
+            .astype(np.float32) * 0.1
+        pos = np.broadcast_to(np.arange(t), (3, batch, t)).copy()
+        valid = np.ones((batch, t), bool)
+        valid[0, :2] = False            # one left-padded row
+        next_pos = np.full((batch,), t, np.int64)
+        eos = np.asarray([cfg.vocab_size - 1], np.int32)
+        dec = Qwen3TextDecoder(params, cfg, dtype=jnp.float32,
+                               max_new_tokens=6, mesh=mesh)
+        return dec.generate(embeds, valid, pos, next_pos, eos)
+
+    def test_tp_matches_single_device(self):
+        import jax
+
+        from facet_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(dp=4, tp=2, devices=tuple(jax.devices()[:8]))
+        want = self._generate(None)
+        got = self._generate(mesh)
+        np.testing.assert_array_equal(got, want)
