@@ -369,12 +369,50 @@ async function loadNextPage() {
   }
 }
 
-function reloadGallery() {
+function reloadGallery(skipUrl) {
   readFiltersFromDom();
   gallery.reset();
   document.getElementById("grid").innerHTML = "";
+  // deep-linkable filter state, like the reference store's queryParams
+  // sync (gallery.store.ts:547): the URL always reflects the active view
+  if (!skipUrl) {
+    const params = S.filtersToUrl(gallery.filters, gallery.sort,
+                                  gallery.order).toString();
+    history.replaceState(null, "", params ? "?" + params : location.pathname);
+  }
   loadNextPage();
 }
+
+/** location.search -> DOM controls + store (boot and back/forward). */
+function applyFiltersFromUrl() {
+  if (!location.search) return false;
+  const { filters, sort, order } = S.filtersFromUrl(location.search);
+  for (const [id, field] of FILTER_INPUTS) {
+    document.getElementById(id).value = filters[field] || "";
+  }
+  for (const [id, field] of FILTER_SELECTS) {
+    document.getElementById(id).value = filters[field] || "";
+  }
+  for (const [id, field] of FILTER_CHECKS) {
+    document.getElementById(id).checked = !!filters[field];
+  }
+  document.getElementById("search").value = filters.search || "";
+  document.getElementById("date-from").value =
+    (filters.date_from || "").split(":").join("-");
+  document.getElementById("date-to").value =
+    (filters.date_to || "").split(":").join("-");
+  document.getElementById("order-asc").checked = order === "asc";
+  gallery.sort = sort;
+  const sortSel = document.getElementById("sort-select");
+  if (sortSel.options.length) sortSel.value = sort;
+  return true;
+}
+
+window.addEventListener("popstate", () => {
+  if (state.view !== "gallery") return;
+  applyFiltersFromUrl();
+  reloadGallery(true);
+});
 
 // infinite scroll: load the next page when the sentinel becomes visible
 new IntersectionObserver((entries) => {
@@ -1438,6 +1476,7 @@ async function boot() {
   } catch (err) { return; }
   hideLogin();
   await loadFilterOptions();
+  applyFiltersFromUrl();      // restore a shared/deep-linked filter state
   switchView("gallery");
 }
 

@@ -78,6 +78,40 @@
     return params;
   }
 
+  /** Filters -> URL-shareable params (no paging), for deep links.
+   *  Mirrors the reference store's queryParams sync
+   *  (gallery.store.ts:317-322, 547). */
+  function filtersToUrl(filters, sort, order) {
+    const params = new URLSearchParams();
+    for (const [field, [param, dflt]] of Object.entries(FILTER_PARAMS)) {
+      const val = filters[field];
+      if (typeof dflt === "boolean") {
+        if (val !== dflt) params.set(param, String(val));
+      } else if (val !== "" && val != null) {
+        params.set(param, String(val));
+      }
+    }
+    if (sort && sort !== "aggregate") params.set("sort", sort);
+    if (order && order !== "desc") params.set("order", order);
+    return params;
+  }
+
+  /** URL search string -> {filters, sort, order}; unknown params ignored. */
+  function filtersFromUrl(search) {
+    const params = new URLSearchParams(search);
+    const filters = defaultFilters();
+    for (const [field, [param, dflt]] of Object.entries(FILTER_PARAMS)) {
+      if (!params.has(param)) continue;
+      const raw = params.get(param);
+      filters[field] = typeof dflt === "boolean" ? raw === "true" : raw;
+    }
+    return {
+      filters: filters,
+      sort: params.get("sort") || "aggregate",
+      order: params.get("order") || "desc",
+    };
+  }
+
   /** Count of filters that differ from their defaults (drawer badge). */
   function activeFilterCount(filters) {
     let n = 0;
@@ -258,6 +292,8 @@
     METRICS: METRICS,
     defaultFilters: defaultFilters,
     buildQuery: buildQuery,
+    filtersToUrl: filtersToUrl,
+    filtersFromUrl: filtersFromUrl,
     activeFilterCount: activeFilterCount,
     createGalleryStore: createGalleryStore,
     createSelectionStore: createSelectionStore,

@@ -200,6 +200,25 @@ def test_i18n_vars_usage():
                 lang, key, first_var)
 
 
+def test_store_url_sync_symmetry():
+    """filtersToUrl and filtersFromUrl must both iterate FILTER_PARAMS
+    (the same vocabulary in both directions), be exported, and be driven
+    from app.js (replaceState on reload, popstate + boot restore)."""
+    store = read("store.js")
+    assert "function filtersToUrl" in store
+    assert "function filtersFromUrl" in store
+    to_block = store.split("function filtersToUrl")[1].split("function")[0]
+    from_block = store.split("function filtersFromUrl")[1].split("function")[0]
+    for block in (to_block, from_block):
+        assert "FILTER_PARAMS" in block
+    assert "filtersToUrl: filtersToUrl" in store
+    assert "filtersFromUrl: filtersFromUrl" in store
+    js = read("app.js")
+    assert "history.replaceState" in js
+    assert 'addEventListener("popstate"' in js
+    assert "applyFiltersFromUrl()" in js.split("async function boot")[1]
+
+
 def test_spa_served_by_default(tmp_path):
     """run_api defaults to the bundled client; the SPA mount serves the
     new index.html with token-protected assets and the API unaffected."""
