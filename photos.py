@@ -107,8 +107,36 @@ def build_parser():
     return p
 
 
+# the reference's exact flag spellings, accepted as aliases so migrating
+# scripts keep working (reference photos.py:149-170; our parser consolidates
+# e.g. --export-csv/--export-json into --export {csv,json}; the cpu/gpu
+# split is meaningless on TPU and maps to the single device path)
+LEGACY_FLAGS = {
+    "--export-csv": ["--export", "csv"],
+    "--export-json": ["--export", "json"],
+    "--apply-recommendations": ["--compute-recommendations", "--apply"],
+    "--recompute-burst": ["--recompute-bursts"],
+    "--cluster-faces-incremental": ["--cluster-faces"],
+    "--extract-faces-gpu-incremental": ["--extract-faces"],
+    "--extract-faces-gpu-force": ["--extract-faces", "--force"],
+    "--recompute-composition-cpu": ["--rescan-composition"],
+    "--recompute-composition-gpu": ["--rescan-composition"],
+    "--refill-face-thumbnails-incremental": ["--refill-face-thumbnails"],
+    "--refill-face-thumbnails-force": ["--refill-face-thumbnails", "--force"],
+}
+
+
+def expand_legacy_flags(argv):
+    out = []
+    for arg in argv:
+        out.extend(LEGACY_FLAGS.get(arg, [arg]))
+    return out
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    args = build_parser().parse_args(expand_legacy_flags(argv))
     from facet_tpu.config.scoring_config import ScoringConfig
     from facet_tpu.db.connection import resolve_db_path
 

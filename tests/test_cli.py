@@ -215,3 +215,36 @@ class TestRound3Flags:
         assert "scoring health" in out
         # the per-metric detail table only appears with --verbose
         assert "expected" in out and "tech_sharpness" in out
+
+
+class TestLegacyFlagAliases:
+    """The reference's exact flag spellings keep working
+    (photos.py LEGACY_FLAGS; reference photos.py:149-170)."""
+
+    def test_expansion_table(self):
+        assert photos.expand_legacy_flags(["--export-csv"]) == \
+            ["--export", "csv"]
+        assert photos.expand_legacy_flags(
+            ["--db", "x", "--apply-recommendations"]) == \
+            ["--db", "x", "--compute-recommendations", "--apply"]
+        assert photos.expand_legacy_flags(["--recompute-composition-gpu"]) \
+            == ["--rescan-composition"]
+        # non-legacy args pass through untouched
+        assert photos.expand_legacy_flags(["--export", "json"]) == \
+            ["--export", "json"]
+
+    def test_legacy_export_csv_runs(self, cli_env, capsys, tmp_path):
+        db, cfg = cli_env
+        out_path = str(tmp_path / "legacy.csv")
+        code, out = run_cli(["--db", db, "--config", cfg,
+                             "--export-csv", "--export-path", out_path],
+                            capsys)
+        assert code == 0
+        with open(out_path) as fh:
+            assert "aggregate" in fh.readline()
+
+    def test_legacy_recompute_burst_runs(self, cli_env, capsys):
+        db, cfg = cli_env
+        code, out = run_cli(["--db", db, "--config", cfg,
+                             "--recompute-burst"], capsys)
+        assert code == 0
