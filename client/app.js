@@ -1270,8 +1270,26 @@ const PAIR_METRICS = [
   ["exposure_score", "gallery.exposure"], ["comp_score", "gallery.composition"],
 ];
 
+// category context for voting (reference comparison.component.ts
+// selectCategory): next_pair draws from the category, votes record it
+function comparisonCategory() {
+  return document.getElementById("comparison-category").value || null;
+}
+
+function fillComparisonCategories() {
+  const sel = document.getElementById("comparison-category");
+  if (sel.options.length || !state.categories) return;
+  sel.innerHTML = `<option value="">${t("filter.all_categories")}</option>` +
+    state.categories.map((c) =>
+      `<option value="${esc(c)}">${catName(c)}</option>`).join("");
+  sel.addEventListener("change", () => { loadPair(); loadComparisonStats(); });
+}
+
 async function loadPair() {
-  const data = await api("/api/comparison/next_pair");
+  fillComparisonCategories();
+  const cat = comparisonCategory();
+  const data = await api("/api/comparison/next_pair" +
+                         (cat ? "?category=" + encodeURIComponent(cat) : ""));
   const status = document.getElementById("comparison-status");
   if (!data.pair) {
     currentPair = null;
@@ -1302,7 +1320,7 @@ async function vote(winner) {
   const res = await api("/api/comparison/submit", {
     method: "POST",
     json: { photo_a: currentPair[0].path, photo_b: currentPair[1].path,
-            winner },
+            winner, category: comparisonCategory() },
   });
   document.getElementById("comparison-status").textContent =
     `${t("comparison.submitted")} (${res.count})`;
@@ -1439,7 +1457,8 @@ async function loadVoteHistory() {
 
 document.getElementById("optimize-btn").addEventListener("click", async () => {
   try {
-    await api("/api/comparison/optimize", { method: "POST", json: {} });
+    await api("/api/comparison/optimize", {
+      method: "POST", json: { category: comparisonCategory() } });
     toast(t("comparison.optimized"));
     loadComparisonStats();
   } catch (err) {

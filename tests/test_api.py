@@ -613,6 +613,20 @@ class TestClientFlows:
                                  "hide_blinks": "false"}).json()
         assert any(p["path"] == "/pics/img06.jpg" for p in got["photos"])
 
+    def test_category_scoped_voting(self, client):
+        # the comparison category selector: pairs come from the category,
+        # votes record it, history shows it
+        pair = client.get("/api/comparison/next_pair",
+                          params={"category": "portrait"}).json()["pair"]
+        assert pair and len(pair) == 2
+        res = client.post("/api/comparison/submit",
+                          json={"photo_a": pair[0]["path"],
+                                "photo_b": pair[1]["path"],
+                                "winner": "a", "category": "portrait"})
+        assert res.status_code == 200
+        hist = client.get("/api/comparison/history").json()["history"]
+        assert hist[0]["category"] == "portrait"
+
     def test_filter_by_person_chip(self, client):
         # clicking a person chip filters the gallery by person_id
         data = client.get("/api/photos",
