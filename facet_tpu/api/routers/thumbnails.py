@@ -46,6 +46,16 @@ def _blob_response(request, blob, size=None):
 
 
 def register(app, ctx):
+    @app.get("/api/thumbnail")
+    def thumbnail_query(request):
+        """Query-param form (the reference's signature,
+        api/routers/thumbnails.py:67 `GET /api/thumbnail?path=`) so
+        migrating clients work unchanged."""
+        path = request.param("path")
+        if not path:
+            raise HTTPError(400, "path required")
+        return thumbnail(request, path)
+
     @app.get("/api/thumbnail/{path:path}")
     def thumbnail(request, path):
         full = path if path.startswith("/") else "/" + path
@@ -79,6 +89,15 @@ def register(app, ctx):
         if row is None or not row[0]:
             raise HTTPError(404, "no person thumbnail")
         return _blob_response(request, row[0])
+
+    @app.get("/api/image")
+    def full_image_query(request):
+        """Query-param form (reference api/routers/thumbnails.py:214
+        `GET /api/image?path=`) for migrating clients."""
+        path = request.param("path")
+        if not path:
+            raise HTTPError(400, "path required")
+        return full_image(request, path)
 
     @app.get("/api/image/{path:path}")
     def full_image(request, path):

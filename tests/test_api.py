@@ -472,6 +472,15 @@ class TestSystem:
         names = {c["name"] for c in checks}
         assert "score_ranges" in names and "referential_integrity" in names
 
+    def test_thumbnail_query_param_form(self, client):
+        # the reference's GET /api/thumbnail?path= signature works too
+        res = client.get("/api/thumbnail",
+                         params={"path": "/pics/img00.jpg", "size": 64})
+        assert res.status_code == 200
+        assert res.content[:2] == b"\xff\xd8"    # JPEG magic
+        assert client.get("/api/thumbnail").status_code == 400
+        assert client.get("/api/image").status_code == 400
+
     def test_scan_directories_disabled(self, client):
         # scan feature is off in the default config
         assert client.get("/api/scan/directories").status_code == 403
