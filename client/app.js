@@ -309,7 +309,7 @@ document.getElementById("clear-selection-btn").addEventListener("click", () => {
 });
 
 document.getElementById("copy-paths-btn").addEventListener("click", async () => {
-  const text = selection.asText();
+  const text = selection.asFilenames();
   try {
     await navigator.clipboard.writeText(text);
   } catch (err) {
@@ -324,10 +324,11 @@ document.getElementById("copy-paths-btn").addEventListener("click", async () => 
 });
 
 document.getElementById("download-selected-btn").addEventListener("click",
-  () => {
-    // one original per selected photo via /api/image (the reference's
-    // downloadSelected drives per-path GETs the same way)
-    for (const path of selection.paths) {
+  async () => {
+    // one original per selected photo via /api/image, spaced out like the
+    // reference's downloadSelected to dodge browser download throttling
+    const paths = Array.from(selection.paths);
+    for (const path of paths) {
       const a = document.createElement("a");
       a.href = "/api/image" + path +
         (state.token ? "?token=" + encodeURIComponent(state.token) : "");
@@ -335,19 +336,20 @@ document.getElementById("download-selected-btn").addEventListener("click",
       document.body.appendChild(a);
       a.click();
       a.remove();
+      if (paths.length > 1) {
+        await new Promise((resolve) => setTimeout(resolve, 300));
+      }
     }
-    toast(t("notifications.downloaded_count_plural", { n: selection.size }));
+    toast(t("notifications.downloaded_count_plural", { n: paths.length }));
   });
 
 document.getElementById("favorite-selected-btn").addEventListener("click",
   async () => {
-    for (const path of selection.paths) {
-      await api("/api/photos/favorite", {
-        method: "POST", json: { path, favorite: true } });
-      gallery.patchPhoto(path, { is_favorite: 1 });
-    }
+    await Promise.all(Array.from(selection.paths).map((path) =>
+      api("/api/photos/favorite", {
+        method: "POST", json: { path, favorite: true } })));
     toast(t("gallery.selection.favorited", { n: selection.size }));
-    reloadGallery();
+    reloadGallery();    // refetch shows the favorite flags
   });
 
 async function loadNextPage() {
@@ -374,18 +376,25 @@ function reloadGallery(skipUrl) {
   gallery.reset();
   document.getElementById("grid").innerHTML = "";
   // deep-linkable filter state, like the reference store's queryParams
-  // sync (gallery.store.ts:547): the URL always reflects the active view
+  // sync (gallery.store.ts:547): the URL always reflects the active view,
+  // and each distinct filter state is a history entry so back/forward
+  // walk through filter states
   if (!skipUrl) {
     const params = S.filtersToUrl(gallery.filters, gallery.sort,
                                   gallery.order).toString();
-    history.replaceState(null, "", params ? "?" + params : location.pathname);
+    const current = location.search.startsWith("?")
+      ? location.search.slice(1) : location.search;
+    if (params !== current) {
+      history.pushState(null, "", params ? "?" + params : location.pathname);
+    }
   }
   loadNextPage();
 }
 
-/** location.search -> DOM controls + store (boot and back/forward). */
+/** location.search -> DOM controls + store (boot and back/forward).
+ *  An empty search resets every control to its default, so navigating
+ *  back to the unfiltered state actually clears the drawer. */
 function applyFiltersFromUrl() {
-  if (!location.search) return false;
   const { filters, sort, order } = S.filtersFromUrl(location.search);
   for (const [id, field] of FILTER_INPUTS) {
     document.getElementById(id).value = filters[field] || "";
@@ -495,13 +504,13 @@ async function loadFilterOptions() {
 }
 
 for (const [id] of [...FILTER_SELECTS, ...FILTER_CHECKS]) {
-  document.getElementById(id).addEventListener("change", reloadGallery);
+  document.getElementById(id).addEventListener("change", () => reloadGallery());
 }
 for (const [id] of FILTER_INPUTS) {
-  document.getElementById(id).addEventListener("change", reloadGallery);
+  document.getElementById(id).addEventListener("change", () => reloadGallery());
 }
 for (const id of ["date-from", "date-to", "order-asc"]) {
-  document.getElementById(id).addEventListener("change", reloadGallery);
+  document.getElementById(id).addEventListener("change", () => reloadGallery());
 }
 document.getElementById("sort-select").addEventListener("change", (e) => {
   gallery.sort = e.target.value;
@@ -553,8 +562,12 @@ async function loadModalFaces(photo) {
   if (!faces || !faces.length) return;
 
   box.innerHTML = `<h4>${t("gallery.faces_in_photo", { n: faces.length })}</h4>`;
-  const persons = (await api("/api/persons").catch(() => ({ persons: [] })))
-    .persons;
+  // reuse the cached persons list; only fetch when nothing is cached yet
+  if (!state.persons) {
+    state.persons = (await api("/api/persons")
+      .catch(() => ({ persons: [] }))).persons;
+  }
+  const persons = state.persons;
   const personOptions = `<option value="">${t("manage_persons.select_person")}</option>` +
     persons.map((p) =>
       `<option value="${p.id}">${esc(p.name) || t("persons.unnamed") + " #" + p.id}</option>`)
@@ -659,7 +672,8 @@ function openModal(photo) {
   const canOverride = state.role === "admin" || state.role === "superadmin";
   html += `<div class="metric"><span>${t("gallery.category")}</span>` +
     (canOverride && state.categories
-      ? `<select id="override-category">` + state.categories.map((c) =>
+      ? `<select id="override-category"><option value="">—</option>` +
+        state.categories.map((c) =>
           `<option value="${esc(c)}"${c === photo.category ? " selected" : ""}>` +
           `${catName(c)}</option>`).join("") + `</select>`
       : `<b>${photo.category ? catName(photo.category) : "—"}</b>`) +
@@ -691,6 +705,7 @@ function openModal(photo) {
   const overrideSel = document.getElementById("override-category");
   if (overrideSel) {
     overrideSel.addEventListener("change", async () => {
+      if (!overrideSel.value) return;
       try {
         const res = await api("/api/comparison/override_category", {
           method: "POST",

@@ -204,6 +204,13 @@
       asText() {
         return Array.from(this.paths).join("\n");
       },
+
+      /** newline-joined basenames — what "Copy filenames" promises
+       *  (reference gallery.component.ts:827 copyPaths) */
+      asFilenames() {
+        return Array.from(this.paths)
+          .map((p) => p.split("/").pop() || p).join("\n");
+      },
     };
   }
 

@@ -317,9 +317,16 @@ def register(app, ctx):
         require_role(request, "admin")
         body = request.json()
         category = body.get("category")
-        if not category or category not in ctx.config.scoring.get_all_category_names():
+        cat = ctx.config.scoring.get_category_config(category) \
+            if category else None
+        if not cat:
             raise HTTPError(400, "unknown or missing category")
-        weights = ctx.config.scoring.get_weights(category)
+        # snapshot the RAW '*_percent' weight block — restore_snapshot
+        # writes it back verbatim into cat['weights'], so the normalized
+        # get_weights() vocabulary would corrupt the config on restore
+        # (same shape apply_optimized_weights snapshots,
+        # optimization/weight_optimizer.py:363)
+        weights = dict(cat.get("weights", {}))
         with ctx.connection() as conn:
             cur = conn.execute(
                 "INSERT INTO weight_config_snapshots (category, weights,"

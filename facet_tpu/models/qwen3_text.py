@@ -314,12 +314,27 @@ class Qwen3TextDecoder:
             deep_feats = [np.zeros((b, t, e), np.float32)
                           for _ in range(self.config.n_deepstack)]
         run = self._program(t, b)
-        out = run(self.params, jnp.asarray(embeds),
-                  jnp.asarray(valid, bool), jnp.asarray(position_ids),
-                  jnp.asarray(next_pos, jnp.int32),
-                  jnp.asarray(eos_ids, jnp.int32),
-                  jnp.asarray(vis_mask, bool),
-                  tuple(jnp.asarray(f) for f in deep_feats))
+        args = (jnp.asarray(embeds), jnp.asarray(valid, bool),
+                jnp.asarray(position_ids), jnp.asarray(next_pos, jnp.int32),
+                jnp.asarray(eos_ids, jnp.int32), jnp.asarray(vis_mask, bool))
+        feats = tuple(jnp.asarray(f) for f in deep_feats)
+        if self.mesh is not None:
+            # shard batched inputs over 'dp' at transfer time, like the
+            # Qwen2.5 decoder — the DeepStack features are n_deepstack
+            # extra (B, T, E) tensors, so replicating them to every chip
+            # would cost the most of all
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape.get("dp", 1)
+            bdim = ("dp",) if b % dp == 0 else (None,)
+            specs = (P(*bdim, None, None), P(*bdim, None),
+                     P(None, *bdim, None), P(*bdim), P(None),
+                     P(*bdim, None))
+            args = tuple(jax.device_put(a, NamedSharding(self.mesh, s))
+                         for a, s in zip(args, specs))
+            fspec = NamedSharding(self.mesh, P(*bdim, None, None))
+            feats = tuple(jax.device_put(f, fspec) for f in feats)
+        out = run(self.params, *args, feats)
         return np.asarray(jax.device_get(out))
 
 

@@ -862,6 +862,9 @@ class TestComparisonErrorPaths:
         assert res.status_code == 404
 
     def test_save_snapshot_roundtrip(self, client):
+        scoring = client.app.ctx.config.scoring
+        before = dict([c for c in scoring.config["categories"]
+                       if c["name"] == "portrait"][0]["weights"])
         res = client.post("/api/comparison/snapshots",
                           json={"category": "portrait",
                                 "description": "manual checkpoint"})
@@ -876,9 +879,16 @@ class TestComparisonErrorPaths:
                    client.get("/api/comparison/snapshots").json()["snapshots"])
         assert client.get("/api/comparison/snapshots",
                           params={"category": "landscape"}).json()["snapshots"] == []
-        # the saved weights restore cleanly
+        # the snapshot stores the RAW '*_percent' block and restores it
+        # back into the same vocabulary (a normalized-decimal snapshot
+        # would silently corrupt the config on restore)
         restored = client.post(f"/api/comparison/snapshots/{sid}/restore")
         assert restored.status_code == 200
+        cfg = client.get("/api/stats/category_weights").json()
+        assert cfg["weights"]["portrait"]        # still resolvable
+        raw = [c for c in scoring.config["categories"]
+               if c["name"] == "portrait"][0]["weights"]
+        assert raw == before     # same '*_percent' vocabulary, same values
 
     def test_save_snapshot_unknown_category(self, client):
         assert client.post("/api/comparison/snapshots",

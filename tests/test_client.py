@@ -214,9 +214,12 @@ def test_store_url_sync_symmetry():
     assert "filtersToUrl: filtersToUrl" in store
     assert "filtersFromUrl: filtersFromUrl" in store
     js = read("app.js")
-    assert "history.replaceState" in js
+    # distinct filter states push history entries so back/forward works
+    assert "history.pushState" in js
     assert 'addEventListener("popstate"' in js
     assert "applyFiltersFromUrl()" in js.split("async function boot")[1]
+    # event listeners must not leak the Event object into skipUrl
+    assert 'addEventListener("change", reloadGallery)' not in js
 
 
 def test_spa_served_by_default(tmp_path):
