@@ -114,6 +114,11 @@ def test_engine_scores_with_converted_weights(converted, tmp_path):
 
     env = dict(os.environ, FACET_PLATFORM="cpu",
                FACET_PRETRAINED_DIR=str(out),
+               # ONE virtual device: the scan itself needs no mesh, and the
+               # conftest-inherited 8-device flag makes XLA's 8-thread
+               # all-gather rendezvous (hard 40 s timeout) flake when the
+               # single-core host is busy
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "photos.py"), str(pics),
