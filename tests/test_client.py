@@ -187,6 +187,33 @@ def test_i18n_catalogs_complete_across_languages():
     assert len(base) >= 250    # round-3 catalog depth
 
 
+def test_i18n_superset_of_reference():
+    """Every key the reference's catalogs define exists here too, so a
+    client written against the reference finds all its keys."""
+    ref_path = "/root/reference/i18n/translations/en.json"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference checkout not present")
+
+    def flatten(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, key))
+            else:
+                out[key] = v
+        return out
+
+    with open(ref_path, encoding="utf-8") as fh:
+        ref_keys = set(flatten(json.load(fh)))
+    with open(os.path.join(CLIENT, "..", "facet_tpu", "i18n", "en.json"),
+              encoding="utf-8") as fh:
+        ours = set(json.load(fh))
+    missing = sorted(ref_keys - ours)
+    assert not missing, f"reference keys absent: {missing[:10]}"
+
+
 def test_i18n_vars_usage():
     """Keys used with variables have the placeholders in every language."""
     js = read("app.js")
