@@ -69,7 +69,7 @@ def build_where(request, conn, ctx):
     clauses, params = ["1=1"], []
 
     photo_type = request.param("type")
-    type_clause, _ = type_filter_sql(photo_type)
+    type_clause, _ = type_filter_sql(photo_type, ctx.config.viewer)
     for col in ("is_favorite", "is_rejected", "star_rating"):
         type_clause = type_clause.replace(col, _pref_expr(request, col))
     clauses.append(type_clause)
@@ -156,7 +156,8 @@ def register(app, ctx):
 
         with ctx.connection() as conn:
             where, params = build_where(request, conn, ctx)
-            _, special_order = type_filter_sql(request.param("type"))
+            _, special_order = type_filter_sql(request.param("type"),
+                                               ctx.config.viewer)
             order_sql = special_order or f"p.{sort} {direction}"
             if sort == "star_rating":
                 order_sql = f"{_pref_expr(request, 'star_rating')} {direction}"
@@ -190,7 +191,7 @@ def register(app, ctx):
     @app.get("/api/type_counts")
     def api_type_counts(request):
         with ctx.connection() as conn:
-            return type_counts(conn)
+            return type_counts(conn, viewer=ctx.config.viewer)
 
     @app.get("/api/similar_photos/{path:path}")
     def api_similar(request, path):
@@ -224,6 +225,10 @@ def register(app, ctx):
             "pagination": ctx.config.pagination(),
             "defaults": ctx.config.viewer_defaults(),
             "sort_options": viewer.get("sort_options", {}),
+            "display": viewer.get("display", {}),
+            "notification_duration_ms":
+                viewer.get("notification_duration_ms", 2000),
+            "photo_types": viewer.get("photo_types", {}),
             "features": ctx.config.features(),
             "comparison_mode": viewer.get("comparison_mode", {}),
             "multi_user": ctx.config.multi_user,

@@ -1,33 +1,53 @@
 """Top-picks ranking score.
 
 (reference: api/top_picks.py:9-41) Photos with a significant face get a
-face-aware weighted blend; otherwise the face weight folds into aesthetic
-and composition.
+face-aware weighted blend; otherwise half the face weight folds into each
+of aesthetic and composition. Weights, the face-ratio threshold and the
+inclusion cutoff all come from `viewer.photo_types` in the scoring config,
+exactly like the reference's VIEWER_CONFIG.
 """
 
-FACE_RATIO_THRESHOLD = 0.20
-
-_WITH_FACE = {"aggregate": 0.20, "aesthetic": 0.32, "composition": 0.24, "face": 0.24}
-_NO_FACE = {"aggregate": 0.20, "aesthetic": 0.44, "composition": 0.36}
+_DEFAULT_WEIGHTS = {"aggregate_percent": 20, "aesthetic_percent": 32,
+                    "composition_percent": 24, "face_quality_percent": 24}
 
 
-def top_picks_score_sql():
+def _photo_types(viewer):
+    return (viewer or {}).get("photo_types", {})
+
+
+def top_picks_score_sql(viewer=None):
     """SQL expression computing the top-picks ranking score per row."""
-    wf = _WITH_FACE
-    nf = _NO_FACE
+    pt = _photo_types(viewer)
+    weights = pt.get("top_picks_weights", _DEFAULT_WEIGHTS)
+    thr = pt.get("top_picks_min_face_ratio", 0.20)
+    agg = weights.get("aggregate_percent", 20) / 100.0
+    aes = weights.get("aesthetic_percent", 32) / 100.0
+    comp = weights.get("composition_percent", 24) / 100.0
+    face = weights.get("face_quality_percent", 24) / 100.0
+    # without a significant face, the face weight splits evenly onto
+    # aesthetic and composition (reference top_picks.py:26-27)
+    nae = aes + face / 2.0
+    nc = comp + face / 2.0
     return (
-        "CASE WHEN p.face_ratio >= {thr} AND p.face_quality IS NOT NULL THEN "
+        "CASE WHEN IFNULL(p.face_ratio, 0) >= {thr}"
+        " AND p.face_quality IS NOT NULL THEN "
         "  IFNULL(p.aggregate,0)*{wa} + IFNULL(p.aesthetic,0)*{wae} +"
         "  IFNULL(p.comp_score,0)*{wc} + IFNULL(p.face_quality,0)*{wfq} "
         "ELSE "
         "  IFNULL(p.aggregate,0)*{na} + IFNULL(p.aesthetic,0)*{nae} +"
         "  IFNULL(p.comp_score,0)*{nc} "
         "END"
-    ).format(thr=FACE_RATIO_THRESHOLD,
-             wa=wf["aggregate"], wae=wf["aesthetic"], wc=wf["composition"],
-             wfq=wf["face"],
-             na=nf["aggregate"], nae=nf["aesthetic"], nc=nf["composition"])
+    ).format(thr=thr, wa=agg, wae=aes, wc=comp, wfq=face,
+             na=agg, nae=nae, nc=nc)
 
 
-def top_picks_order_sql():
-    return f"{top_picks_score_sql()} DESC"
+def top_picks_where_sql(viewer=None):
+    """Membership filter: the blended score must clear the configured
+    cutoff (reference api/types.py:56-60 builds the top_picks type as
+    `score >= top_picks_min_score`)."""
+    threshold = _photo_types(viewer).get("top_picks_min_score", 7)
+    return f"({top_picks_score_sql(viewer)}) >= {float(threshold)}"
+
+
+def top_picks_order_sql(viewer=None):
+    return f"{top_picks_score_sql(viewer)} DESC"

@@ -4,11 +4,12 @@
 power the sidebar badges.
 """
 
-from facet_tpu.api.top_picks import top_picks_order_sql
+from facet_tpu.api.top_picks import top_picks_order_sql, top_picks_where_sql
 
 PHOTO_TYPES = {
     "all": "1=1",
-    "top_picks": "p.aggregate IS NOT NULL",
+    # top_picks is built per-request from viewer.photo_types (see below)
+    "top_picks": None,
     "portraits": "p.face_count > 0 AND p.face_ratio >= 0.05",
     "landscapes": "p.category IN ('landscape')",
     "low_light": "p.mean_luminance IS NOT NULL AND p.mean_luminance < 0.15",
@@ -25,20 +26,25 @@ PHOTO_TYPES = {
 }
 
 
-def type_filter_sql(photo_type):
-    """-> (where_fragment, special_order or None)."""
+def type_filter_sql(photo_type, viewer=None):
+    """-> (where_fragment, special_order or None). viewer threads the
+    config's photo_types block into the top-picks score/threshold
+    (reference api/types.py:53-60)."""
     if photo_type in (None, "", "all"):
         return "1=1", None
+    if photo_type == "top_picks":
+        return top_picks_where_sql(viewer), top_picks_order_sql(viewer)
     clause = PHOTO_TYPES.get(photo_type)
     if clause is None:
         return "1=1", None
-    order = top_picks_order_sql() if photo_type == "top_picks" else None
-    return clause, order
+    return clause, None
 
 
-def type_counts(conn, base_where="1=1", base_params=()):
+def type_counts(conn, base_where="1=1", base_params=(), viewer=None):
     out = {}
     for name, clause in PHOTO_TYPES.items():
+        if clause is None:                       # top_picks
+            clause = top_picks_where_sql(viewer)
         if "is_favorite" in clause or "star_rating" in clause or "is_rejected" in clause:
             clause = clause.replace("is_favorite", "p.is_favorite") \
                 .replace("is_rejected", "p.is_rejected") \

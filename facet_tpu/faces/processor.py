@@ -107,8 +107,16 @@ class FaceProcessor:
         from PIL import Image
 
         settings = self.config.get_face_processing_settings()
-        pad = settings.get("crop_padding", 0.3)
-        quality = settings.get("face_thumbnail_quality", 90)
+        # viewer.face_thumbnails (the reference's vocabulary,
+        # api/config.py:87) overrides the face_processing defaults
+        viewer_ft = self.config.config.get("viewer", {}) \
+            .get("face_thumbnails", {})
+        pad = viewer_ft.get("crop_padding_ratio",
+                            settings.get("crop_padding", 0.3))
+        quality = viewer_ft.get("jpeg_quality",
+                                settings.get("face_thumbnail_quality", 90))
+        out_px = viewer_ft.get("output_size_px", 128)
+        min_px = viewer_ft.get("min_crop_size_px", 0)
         refreshed = 0
         with get_connection(self.db_path) as conn:
             faces = conn.execute(
@@ -134,10 +142,10 @@ class FaceProcessor:
                 cx2 = int(min(w, bx2 + pw))
                 cy2 = int(min(h, by2 + ph))
                 crop = img[cy1:cy2, cx1:cx2]
-                if crop.size == 0:
+                if crop.size == 0 or min(crop.shape[:2]) < min_px:
                     continue
                 pil = Image.fromarray(crop)
-                pil.thumbnail((128, 128))
+                pil.thumbnail((out_px, out_px))
                 buf = io.BytesIO()
                 pil.save(buf, "JPEG", quality=quality)
                 conn.execute("UPDATE faces SET face_thumbnail = ? WHERE id = ?",

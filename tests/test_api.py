@@ -503,6 +503,56 @@ class TestSystem:
         assert [d["path"] for d in dirs] == ["/pics", "/more"]
 
 
+class TestPhotoTypesConfig:
+    """viewer.photo_types drives the top-picks score, threshold and
+    face-ratio cutoff (reference api/top_picks.py:9-41, types.py:53-60)."""
+
+    def test_top_picks_threshold_filters(self, client):
+        counts = client.get("/api/type_counts").json()
+        # seeded aggregates run 4.0..9.5; face rows only on low scorers,
+        # so the no-face blend (agg*.2 + aes*.44 + comp*.36) decides
+        data = client.get("/api/photos",
+                          params={"type": "top_picks",
+                                  "hide_blinks": "false"}).json()
+        assert counts["top_picks"] == data["total"]
+        # only photos clearing the blended-score cutoff are members
+        assert 0 < data["total"] < 12
+        # ordered by the blended score, not raw aggregate
+        assert data["photos"][0]["aggregate"] >= data["photos"][-1]["aggregate"]
+
+    def test_top_picks_config_override(self, seeded_db, tmp_config):
+        import json as _json
+
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        with open(tmp_config) as fh:
+            cfg = _json.load(fh)
+        cfg["viewer"]["photo_types"] = {
+            "top_picks_min_score": 0,      # everything scored qualifies
+            "top_picks_weights": {"aggregate_percent": 100,
+                                  "aesthetic_percent": 0,
+                                  "composition_percent": 0,
+                                  "face_quality_percent": 0},
+        }
+        with open(tmp_config, "w") as fh:
+            _json.dump(cfg, fh)
+        client = TestClient(create_app(db_path=seeded_db,
+                                       config_path=tmp_config))
+        data = client.get("/api/photos",
+                          params={"type": "top_picks",
+                                  "hide_blinks": "false"}).json()
+        assert data["total"] == 12     # threshold 0 admits all
+        scores = [p["aggregate"] for p in data["photos"]]
+        assert scores == sorted(scores, reverse=True)  # pure-aggregate order
+
+    def test_config_exposes_viewer_blocks(self, client):
+        cfg = client.get("/api/config").json()
+        assert cfg["display"]["tags_per_photo"] == 4
+        assert cfg["notification_duration_ms"] == 2000
+        assert cfg["photo_types"]["top_picks_min_score"] == 7
+
+
 class TestClientFlows:
     """HTTP-level replays of the viewer's feature flows (client/app.js):
     each test issues exactly the request sequence the SPA drives, so the
@@ -750,6 +800,14 @@ class TestFilterOptionsLazy:
         assert ("sunset", 8) in set(map(tuple, tags))
 
     def test_persons_with_photo_counts(self, client):
+        # the shipped default gates the dropdown at 10 photos per person
+        # (reference scoring_config.json dropdowns.min_photos_for_person),
+        # so two-photo Alice is hidden by default...
+        persons = client.get("/api/filter_options/persons").json()["persons"]
+        assert persons == []
+        # ...and appears when the gate is lowered in the config
+        ctx = client.app.ctx
+        ctx.config.viewer.setdefault("dropdowns", {})["min_photos_for_person"] = 1
         persons = client.get("/api/filter_options/persons").json()["persons"]
         assert list(map(tuple, persons)) == [(1, "Alice", 2)]
 
