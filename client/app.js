@@ -794,8 +794,36 @@ document.querySelectorAll("#stats-tabs button").forEach((b) =>
     loadStatsTab(state.statsTab);
   }));
 
+// stats-wide drill-down (date range + category) applied to every tab,
+// mirroring the reference stats page's shared filter params
+function statsQuery() {
+  const params = new URLSearchParams();
+  const cat = document.getElementById("stats-filter-category").value;
+  const from = document.getElementById("stats-date-from").value;
+  const to = document.getElementById("stats-date-to").value;
+  if (cat) params.set("category", cat);
+  if (from) params.set("date_from", from);
+  if (to) params.set("date_to", to);
+  const qs = params.toString();
+  return qs ? "?" + qs : "";
+}
+
+function reloadStats() {
+  for (const key of Object.keys(_statsLoaded)) delete _statsLoaded[key];
+  loadStats();
+}
+
+["stats-filter-category", "stats-date-from", "stats-date-to"].forEach((id) =>
+  document.getElementById(id).addEventListener("change", reloadStats));
+
 async function loadStats() {
-  const overview = await api("/api/stats/overview");
+  const fc = document.getElementById("stats-filter-category");
+  if (!fc.options.length && state.categories) {
+    fc.innerHTML = `<option value="">${t("filter.all_categories")}</option>` +
+      state.categories.map((c) =>
+        `<option value="${esc(c)}">${catName(c)}</option>`).join("");
+  }
+  const overview = await api("/api/stats/overview" + statsQuery());
   const cards = [
     [t("stats.total_photos"), overview.total_photos],
     [t("stats.avg_score"), overview.avg_score],
@@ -819,7 +847,7 @@ async function loadStatsTab(tab) {
   if (tab === "gear" && !_statsLoaded.gear) {
     _statsLoaded.gear = true;
     const [gear, settings] = await Promise.all([
-      api("/api/stats/gear"), api("/api/stats/settings").catch(() => null)]);
+      api("/api/stats/gear" + statsQuery()), api("/api/stats/settings" + statsQuery()).catch(() => null)]);
     document.getElementById("gear-tables").innerHTML =
       htmlTable(gear.cameras.slice(0, 12),
                 ["camera", "count", "avg_score"],
@@ -841,7 +869,7 @@ async function loadStatsTab(tab) {
   }
   if (tab === "categories" && !_statsLoaded.categories) {
     _statsLoaded.categories = true;
-    const cats = await api("/api/stats/categories");
+    const cats = await api("/api/stats/categories" + statsQuery());
     const rows = cats.categories.map((c) => Object.assign({}, c, {
       category: catName(c.category),
     }));
@@ -857,7 +885,7 @@ async function loadStatsTab(tab) {
   }
   if (tab === "distribution" && !_statsLoaded.distribution) {
     _statsLoaded.distribution = true;
-    const dist = await api("/api/stats/score_distribution");
+    const dist = await api("/api/stats/score_distribution" + statsQuery());
     barChart("dist-chart", dist.bins.map((b) => b.toFixed(1)), dist.counts);
     const q = (state._overview || {}).quality_counts || {};
     document.getElementById("quality-tiers").innerHTML = htmlTable(
@@ -867,7 +895,7 @@ async function loadStatsTab(tab) {
   }
   if (tab === "timeline" && !_statsLoaded.timeline) {
     _statsLoaded.timeline = true;
-    const timeline = await api("/api/stats/timeline");
+    const timeline = await api("/api/stats/timeline" + statsQuery());
     barChart("timeline-chart", timeline.months.map((m) => m.month),
              timeline.months.map((m) => m.count), "#43b581");
     document.getElementById("timeline-table").innerHTML = htmlTable(

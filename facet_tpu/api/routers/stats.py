@@ -15,12 +15,12 @@ SCORE_COLUMNS = ["aggregate", "aesthetic", "tech_sharpness", "exposure_score",
                  "eye_sharpness", "quality_score", "topiq_score"]
 
 
-def _histogram(conn, column, bins=20, lo=0.0, hi=10.0):
+def _histogram(conn, column, bins=20, lo=0.0, hi=10.0, flt="", params=()):
     width = (hi - lo) / bins
     rows = conn.execute(
         f"SELECT CAST((({column}) - ?) / ? AS INTEGER) AS bucket, COUNT(*)"
-        f" FROM photos WHERE {column} IS NOT NULL GROUP BY bucket",
-        (lo, width)).fetchall()
+        f" FROM photos WHERE {column} IS NOT NULL{flt} GROUP BY bucket",
+        [lo, width] + list(params)).fetchall()
     counts = [0] * bins
     for bucket, count in rows:
         counts[min(max(int(bucket), 0), bins - 1)] += count
@@ -42,27 +42,53 @@ def _pearson(xs, ys):
     return cov / math.sqrt(vx * vy)
 
 
+def _stats_filter(request):
+    """date_from/date_to/category drill-down filter shared by the stats
+    endpoints (reference: stats.py _stats_filter_where — 15 endpoints all
+    accept the same three params)."""
+    where, params = "", []
+    date_from = request.param("date_from")
+    date_to = request.param("date_to")
+    category = request.param("category")
+    if date_from:
+        where += " AND date_taken >= ?"
+        params.append(date_from.replace("-", ":"))
+    if date_to:
+        where += " AND date_taken <= ?"
+        params.append(date_to.replace("-", ":") + "~")   # inclusive day end
+    if category:
+        where += " AND category = ?"
+        params.append(category)
+    return where, params
+
+
 def register(app, ctx):
     @app.get("/api/stats/overview")
     def overview(request):
+        flt, fp = _stats_filter(request)
         with ctx.connection() as conn:
-            total = conn.execute("SELECT COUNT(*) FROM photos").fetchone()[0]
+            total = conn.execute(
+                f"SELECT COUNT(*) FROM photos WHERE 1=1{flt}",
+                fp).fetchone()[0]
             scored = conn.execute(
-                "SELECT COUNT(*) FROM photos WHERE aggregate IS NOT NULL").fetchone()[0]
+                "SELECT COUNT(*) FROM photos WHERE aggregate IS NOT NULL"
+                f"{flt}", fp).fetchone()[0]
             row = conn.execute(
                 "SELECT AVG(aggregate), MIN(aggregate), MAX(aggregate)"
-                " FROM photos WHERE aggregate IS NOT NULL").fetchone()
+                f" FROM photos WHERE aggregate IS NOT NULL{flt}",
+                fp).fetchone()
             faces = conn.execute("SELECT COUNT(*) FROM faces").fetchone()[0]
             persons = conn.execute(
                 "SELECT COUNT(*) FROM persons WHERE face_count > 0").fetchone()[0]
             blinks = conn.execute(
-                "SELECT COUNT(*) FROM photos WHERE is_blink = 1").fetchone()[0]
+                f"SELECT COUNT(*) FROM photos WHERE is_blink = 1{flt}",
+                fp).fetchone()[0]
             thresholds = ctx.config.quality_thresholds()
             quality_counts = {}
             for name, threshold in thresholds.items():
                 quality_counts[name] = conn.execute(
-                    "SELECT COUNT(*) FROM photos WHERE aggregate >= ?",
-                    (threshold,)).fetchone()[0]
+                    f"SELECT COUNT(*) FROM photos WHERE aggregate >= ?{flt}",
+                    [threshold] + fp).fetchone()[0]
         return {
             "total_photos": total, "scored_photos": scored,
             "avg_score": round(row[0], 3) if row[0] is not None else None,
@@ -76,20 +102,22 @@ def register(app, ctx):
         column = request.param("metric", "aggregate")
         if column not in SCORE_COLUMNS:
             raise HTTPError(400, f"unknown metric '{column}'")
+        flt, fp = _stats_filter(request)
         with ctx.connection() as conn:
-            return _histogram(conn, f"p.{column}".replace("p.", ""), bins=20)
+            return _histogram(conn, column, bins=20, flt=flt, params=fp)
 
     @app.get("/api/stats/gear")
     def gear(request):
+        flt, fp = _stats_filter(request)
         with ctx.connection() as conn:
             cameras = conn.execute(
                 "SELECT camera_model, COUNT(*) AS cnt, AVG(aggregate) AS avg_score"
-                " FROM photos WHERE camera_model IS NOT NULL"
-                " GROUP BY camera_model ORDER BY cnt DESC").fetchall()
+                f" FROM photos WHERE camera_model IS NOT NULL{flt}"
+                " GROUP BY camera_model ORDER BY cnt DESC", fp).fetchall()
             lenses = conn.execute(
                 "SELECT lens_model, COUNT(*) AS cnt, AVG(aggregate) AS avg_score"
-                " FROM photos WHERE lens_model IS NOT NULL"
-                " GROUP BY lens_model ORDER BY cnt DESC").fetchall()
+                f" FROM photos WHERE lens_model IS NOT NULL{flt}"
+                " GROUP BY lens_model ORDER BY cnt DESC", fp).fetchall()
         fmt = lambda rows, key: [
             {key: r[0], "count": r[1],
              "avg_score": round(r[2], 3) if r[2] is not None else None}
@@ -98,31 +126,31 @@ def register(app, ctx):
 
     @app.get("/api/stats/settings")
     def settings(request):
+        flt, fp = _stats_filter(request)
         out = {}
         with ctx.connection() as conn:
-            for name, sql in (
-                ("iso", "SELECT iso, COUNT(*) FROM photos WHERE iso IS NOT NULL"
-                        " GROUP BY iso ORDER BY iso"),
-                ("aperture", "SELECT f_stop, COUNT(*) FROM photos"
-                             " WHERE f_stop IS NOT NULL GROUP BY f_stop ORDER BY f_stop"),
-                ("focal_length", "SELECT CAST(focal_length AS INTEGER), COUNT(*)"
-                                 " FROM photos WHERE focal_length IS NOT NULL"
-                                 " GROUP BY 1 ORDER BY 1"),
-                ("shutter_speed", "SELECT shutter_speed, COUNT(*) FROM photos"
-                                  " WHERE shutter_speed IS NOT NULL"
-                                  " GROUP BY shutter_speed"),
+            for name, col, order in (
+                ("iso", "iso", " ORDER BY iso"),
+                ("aperture", "f_stop", " ORDER BY f_stop"),
+                ("focal_length", "CAST(focal_length AS INTEGER)", " ORDER BY 1"),
+                ("shutter_speed", "shutter_speed", ""),
             ):
+                guard = col if "(" not in col else "focal_length"
                 out[name] = [{"value": r[0], "count": r[1]}
-                             for r in conn.execute(sql)]
+                             for r in conn.execute(
+                                 f"SELECT {col}, COUNT(*) FROM photos"
+                                 f" WHERE {guard} IS NOT NULL{flt}"
+                                 f" GROUP BY 1{order}", fp)]
         return out
 
     @app.get("/api/stats/timeline")
     def timeline(request):
+        flt, fp = _stats_filter(request)
         with ctx.connection() as conn:
             rows = conn.execute(
                 "SELECT substr(date_taken, 1, 7) AS month, COUNT(*),"
-                " AVG(aggregate) FROM photos WHERE date_taken IS NOT NULL"
-                " GROUP BY month ORDER BY month").fetchall()
+                f" AVG(aggregate) FROM photos WHERE date_taken IS NOT NULL{flt}"
+                " GROUP BY month ORDER BY month", fp).fetchall()
         return {"months": [
             {"month": r[0].replace(":", "-"), "count": r[1],
              "avg_score": round(r[2], 3) if r[2] is not None else None}
@@ -130,11 +158,12 @@ def register(app, ctx):
 
     @app.get("/api/stats/categories")
     def categories(request):
+        flt, fp = _stats_filter(request)
         with ctx.connection() as conn:
             rows = conn.execute(
                 "SELECT category, COUNT(*), AVG(aggregate), MAX(aggregate)"
-                " FROM photos WHERE category IS NOT NULL"
-                " GROUP BY category ORDER BY 2 DESC").fetchall()
+                f" FROM photos WHERE category IS NOT NULL{flt}"
+                " GROUP BY category ORDER BY 2 DESC", fp).fetchall()
         return {"categories": [
             {"category": r[0], "count": r[1],
              "avg_score": round(r[2], 3) if r[2] is not None else None,
@@ -150,9 +179,11 @@ def register(app, ctx):
     def correlations(request):
         metrics = [m for m in SCORE_COLUMNS if m != "aggregate"]
         cols = ", ".join(["aggregate"] + metrics)
+        flt, fp = _stats_filter(request)
         with ctx.connection() as conn:
             rows = conn.execute(
-                f"SELECT {cols} FROM photos WHERE aggregate IS NOT NULL").fetchall()
+                f"SELECT {cols} FROM photos WHERE aggregate IS NOT NULL{flt}",
+                fp).fetchall()
         out = {}
         for i, metric in enumerate(metrics, start=1):
             pairs = [(r[0], r[i]) for r in rows if r[i] is not None]

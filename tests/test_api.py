@@ -503,6 +503,38 @@ class TestSystem:
         assert [d["path"] for d in dirs] == ["/pics", "/more"]
 
 
+class TestStatsDrilldown:
+    """date_from/date_to/category filters on the stats endpoints
+    (reference stats.py threads _stats_filter_where through all 15)."""
+
+    def test_overview_by_category(self, client):
+        full = client.get("/api/stats/overview").json()
+        portraits = client.get("/api/stats/overview",
+                               params={"category": "portrait"}).json()
+        assert portraits["total_photos"] == 4 < full["total_photos"]
+        assert portraits["scored_photos"] == 4
+
+    def test_overview_by_date(self, client):
+        early = client.get("/api/stats/overview",
+                           params={"date_from": "2026-01-01",
+                                   "date_to": "2026-03-31"}).json()
+        assert 0 < early["total_photos"] < 12
+
+    def test_gear_and_distribution_filtered(self, client):
+        gear = client.get("/api/stats/gear",
+                          params={"category": "portrait"}).json()
+        assert sum(c["count"] for c in gear["cameras"]) == 4
+        dist = client.get("/api/stats/score_distribution",
+                          params={"category": "portrait"}).json()
+        assert sum(dist["counts"]) == 4
+        timeline = client.get("/api/stats/timeline",
+                              params={"category": "portrait"}).json()
+        assert sum(m["count"] for m in timeline["months"]) == 4
+        settings = client.get("/api/stats/settings",
+                              params={"category": "portrait"}).json()
+        assert sum(v["count"] for v in settings["iso"]) == 4
+
+
 class TestPhotoTypesConfig:
     """viewer.photo_types drives the top-picks score, threshold and
     face-ratio cutoff (reference api/top_picks.py:9-41, types.py:53-60)."""
