@@ -63,6 +63,16 @@ def register(app, ctx):
         merge_persons(ctx.config.db_path, keep, merge_ids)
         return {"status": "ok", "kept": keep, "merged": merge_ids}
 
+    @app.post("/api/persons/merge/{source_id:int}/{target_id:int}")
+    def merge_pair(request, source_id, target_id):
+        """Path-pair form (reference api/routers/persons.py merge/{src}/{dst}):
+        source merges INTO target."""
+        require_role(request, "admin")
+        from facet_tpu.faces.merge_analyzer import merge_persons
+
+        merge_persons(ctx.config.db_path, target_id, [source_id])
+        return {"status": "ok", "kept": target_id, "merged": [source_id]}
+
     @app.post("/api/persons/merge_batch")
     def merge_batch(request):
         """Merge several persons into one target in a single transaction."""
@@ -227,6 +237,15 @@ def register(app, ctx):
             FaceClusterer.refresh_person_stats(conn)
             conn.commit()
         return {"status": "ok"}
+
+    @app.get("/api/photo/faces")
+    def faces_for_photo_query(request):
+        """Query-param form (reference api/routers/faces.py
+        GET /api/photo/faces?path=) for migrating clients."""
+        path = request.param("path")
+        if not path:
+            raise HTTPError(400, "path required")
+        return faces_for_photo(request, path)
 
     @app.get("/api/faces/{path:path}")
     def faces_for_photo(request, path):

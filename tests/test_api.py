@@ -472,6 +472,25 @@ class TestSystem:
         names = {c["name"] for c in checks}
         assert "score_ranges" in names and "referential_integrity" in names
 
+    def test_reference_signature_aliases(self, client):
+        # GET /api/photo/faces?path= and POST /api/persons/merge/{src}/{dst}
+        faces = client.get("/api/photo/faces",
+                           params={"path": "/pics/img00.jpg"}).json()["faces"]
+        assert faces and faces[0]["person_name"] == "Alice"
+        # create a second person, then merge it into Alice via the pair form
+        import numpy as np
+        from facet_tpu.db.connection import get_connection
+        with get_connection(client.app.ctx.config.db_path) as conn:
+            emb = np.zeros(512, np.float32); emb[0] = 1.0
+            conn.execute("INSERT INTO persons (id, name, face_count, centroid)"
+                         " VALUES (7, 'Bob', 1, ?)", (emb.tobytes(),))
+            conn.execute("UPDATE faces SET person_id = 7"
+                         " WHERE photo_path = '/pics/img01.jpg'")
+        res = client.post("/api/persons/merge/7/1")
+        assert res.status_code == 200 and res.json()["kept"] == 1
+        persons = client.get("/api/persons").json()["persons"]
+        assert [p["id"] for p in persons] == [1]
+
     def test_thumbnail_query_param_form(self, client):
         # the reference's GET /api/thumbnail?path= signature works too
         res = client.get("/api/thumbnail",
