@@ -336,7 +336,7 @@ document.getElementById("download-selected-btn").addEventListener("click",
       document.body.appendChild(a);
       a.click();
       a.remove();
-      if (paths.length > 1) {
+      if (path !== paths[paths.length - 1]) {
         await new Promise((resolve) => setTimeout(resolve, 300));
       }
     }
@@ -371,21 +371,24 @@ async function loadNextPage() {
   }
 }
 
-function reloadGallery(skipUrl) {
+function reloadGallery(urlMode) {
   readFiltersFromDom();
   gallery.reset();
   document.getElementById("grid").innerHTML = "";
   // deep-linkable filter state, like the reference store's queryParams
-  // sync (gallery.store.ts:547): the URL always reflects the active view,
-  // and each distinct filter state is a history entry so back/forward
-  // walk through filter states
-  if (!skipUrl) {
+  // sync (gallery.store.ts:547): the URL always reflects the active view;
+  // each distinct filter state is a history entry so back/forward walk
+  // through filter states, EXCEPT debounced search typing which replaces
+  // in place (one entry per keystroke pause would pollute history)
+  if (urlMode !== "skip") {
     const params = S.filtersToUrl(gallery.filters, gallery.sort,
                                   gallery.order).toString();
     const current = location.search.startsWith("?")
       ? location.search.slice(1) : location.search;
     if (params !== current) {
-      history.pushState(null, "", params ? "?" + params : location.pathname);
+      const url = params ? "?" + params : location.pathname;
+      if (urlMode === "replace") history.replaceState(null, "", url);
+      else history.pushState(null, "", url);
     }
   }
   loadNextPage();
@@ -420,7 +423,7 @@ function applyFiltersFromUrl() {
 window.addEventListener("popstate", () => {
   if (state.view !== "gallery") return;
   applyFiltersFromUrl();
-  reloadGallery(true);
+  reloadGallery("skip");
 });
 
 // infinite scroll: load the next page when the sentinel becomes visible
@@ -519,7 +522,7 @@ document.getElementById("sort-select").addEventListener("change", (e) => {
 let searchTimer;
 document.getElementById("search").addEventListener("input", () => {
   clearTimeout(searchTimer);
-  searchTimer = setTimeout(reloadGallery, 350);
+  searchTimer = setTimeout(() => reloadGallery("replace"), 350);
 });
 document.getElementById("reset-filters").addEventListener("click", () => {
   for (const [id] of FILTER_INPUTS) document.getElementById(id).value = "";

@@ -21,16 +21,19 @@ def register(app, ctx):
     def dropdown(key):
         return ctx.config.viewer.get("dropdowns", {}).get(key, _DEFAULTS[key])
 
-    def cached_or_query(request, cache_key, result_key, query):
+    def cached_or_query(request, cache_key, result_key, query, gate=None):
         """Serve the stats-cache value when fresh and no per-user
-        visibility applies; otherwise run the live query."""
+        visibility applies; otherwise run the live query. `gate` applies
+        the dropdown caps to cached rows so the cache path and the live
+        query agree (the cache stores ungated lists)."""
         vis, vp = visibility_clause(request)
         if not vis and not ctx.config.multi_user:
             from facet_tpu.db.stats_cache import get_cached_stat
 
             data, fresh = get_cached_stat(ctx.config.db_path, cache_key)
             if data and fresh:
-                return {result_key: data, "cached": True}
+                return {result_key: gate(data) if gate else data,
+                        "cached": True}
         with ctx.connection() as conn:
             return {result_key: query(conn, vis, vp), "cached": False}
 
@@ -42,7 +45,8 @@ def register(app, ctx):
                 f" WHERE camera_model IS NOT NULL{vis}"
                 " GROUP BY camera_model ORDER BY cnt DESC LIMIT ?",
                 vp + [dropdown("max_cameras")])]
-        return cached_or_query(request, "cameras", "cameras", query)
+        return cached_or_query(request, "cameras", "cameras", query,
+                               gate=lambda rows: rows[:dropdown("max_cameras")])
 
     @app.get("/api/filter_options/lenses")
     def lenses(request):
@@ -52,7 +56,8 @@ def register(app, ctx):
                 f" WHERE lens_model IS NOT NULL{vis}"
                 " GROUP BY lens_model ORDER BY cnt DESC LIMIT ?",
                 vp + [dropdown("max_lenses")])]
-        return cached_or_query(request, "lenses", "lenses", query)
+        return cached_or_query(request, "lenses", "lenses", query,
+                               gate=lambda rows: rows[:dropdown("max_lenses")])
 
     @app.get("/api/filter_options/categories")
     def categories(request):
@@ -118,7 +123,8 @@ def register(app, ctx):
                         counts[tag] = counts.get(tag, 0) + 1
             ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             return ordered[:limit]
-        return cached_or_query(request, "tags", "tags", query)
+        return cached_or_query(request, "tags", "tags", query,
+                               gate=lambda rows: rows[:dropdown("max_tags")])
 
     @app.get("/api/filter_options/persons")
     def persons(request):
@@ -133,4 +139,9 @@ def register(app, ctx):
                 " ORDER BY photo_count DESC LIMIT ?",
                 vp + [dropdown("min_photos_for_person"),
                       dropdown("max_persons")])]
-        return cached_or_query(request, "persons", "persons", query)
+        return cached_or_query(
+            request, "persons", "persons", query,
+            gate=lambda rows: [
+                r for r in rows
+                if r[2] >= dropdown("min_photos_for_person")
+            ][:dropdown("max_persons")])

@@ -68,6 +68,14 @@ def register(app, ctx):
         """Path-pair form (reference api/routers/persons.py merge/{src}/{dst}):
         source merges INTO target."""
         require_role(request, "admin")
+        with ctx.connection() as conn:
+            found = {r[0] for r in conn.execute(
+                "SELECT id FROM persons WHERE id IN (?, ?)",
+                (source_id, target_id))}
+        # an absent target would orphan the source's faces onto a
+        # nonexistent person id
+        if source_id not in found or target_id not in found:
+            raise HTTPError(404, "person not found")
         from facet_tpu.faces.merge_analyzer import merge_persons
 
         merge_persons(ctx.config.db_path, target_id, [source_id])

@@ -77,9 +77,24 @@ def register(app, ctx):
                 "SELECT AVG(aggregate), MIN(aggregate), MAX(aggregate)"
                 f" FROM photos WHERE aggregate IS NOT NULL{flt}",
                 fp).fetchone()
-            faces = conn.execute("SELECT COUNT(*) FROM faces").fetchone()[0]
-            persons = conn.execute(
-                "SELECT COUNT(*) FROM persons WHERE face_count > 0").fetchone()[0]
+            if flt:
+                # the faces/persons cards respect the drill-down too:
+                # count faces on matching photos, persons seen in them
+                faces = conn.execute(
+                    "SELECT COUNT(*) FROM faces f WHERE f.photo_path IN"
+                    f" (SELECT path FROM photos WHERE 1=1{flt})",
+                    fp).fetchone()[0]
+                persons = conn.execute(
+                    "SELECT COUNT(DISTINCT f.person_id) FROM faces f"
+                    " WHERE f.person_id IS NOT NULL AND f.photo_path IN"
+                    f" (SELECT path FROM photos WHERE 1=1{flt})",
+                    fp).fetchone()[0]
+            else:
+                faces = conn.execute(
+                    "SELECT COUNT(*) FROM faces").fetchone()[0]
+                persons = conn.execute(
+                    "SELECT COUNT(*) FROM persons"
+                    " WHERE face_count > 0").fetchone()[0]
             blinks = conn.execute(
                 f"SELECT COUNT(*) FROM photos WHERE is_blink = 1{flt}",
                 fp).fetchone()[0]

@@ -46,7 +46,10 @@ def top_picks_where_sql(viewer=None):
     cutoff (reference api/types.py:56-60 builds the top_picks type as
     `score >= top_picks_min_score`)."""
     threshold = _photo_types(viewer).get("top_picks_min_score", 7)
-    return f"({top_picks_score_sql(viewer)}) >= {float(threshold)}"
+    # the NULL guard keeps partially-scored photos (aggregate pending,
+    # strong per-metric values) out of the view mid-scan
+    return ("p.aggregate IS NOT NULL AND "
+            f"({top_picks_score_sql(viewer)}) >= {float(threshold)}")
 
 
 def top_picks_order_sql(viewer=None):

@@ -12,7 +12,8 @@ PHOTO_TYPES = {
     "top_picks": None,
     "portraits": "p.face_count > 0 AND p.face_ratio >= 0.05",
     "landscapes": "p.category IN ('landscape')",
-    "low_light": "p.mean_luminance IS NOT NULL AND p.mean_luminance < 0.15",
+    # low_light is built per-request from viewer.photo_types (see below)
+    "low_light": None,
     "monochrome": "p.is_monochrome = 1",
     "silhouettes": "p.is_silhouette = 1",
     "blinks": "p.is_blink = 1",
@@ -34,17 +35,29 @@ def type_filter_sql(photo_type, viewer=None):
         return "1=1", None
     if photo_type == "top_picks":
         return top_picks_where_sql(viewer), top_picks_order_sql(viewer)
+    if photo_type == "low_light":
+        return _low_light_where(viewer), None
     clause = PHOTO_TYPES.get(photo_type)
     if clause is None:
         return "1=1", None
     return clause, None
 
 
+def _low_light_where(viewer):
+    """viewer.photo_types.low_light_max_luminance drives the cutoff
+    (reference config vocabulary, api/config.py:89; default 0.2)."""
+    cutoff = (viewer or {}).get("photo_types", {}) \
+        .get("low_light_max_luminance", 0.2)
+    return ("p.mean_luminance IS NOT NULL"
+            f" AND p.mean_luminance < {float(cutoff)}")
+
+
 def type_counts(conn, base_where="1=1", base_params=(), viewer=None):
     out = {}
     for name, clause in PHOTO_TYPES.items():
-        if clause is None:                       # top_picks
-            clause = top_picks_where_sql(viewer)
+        if clause is None:
+            clause = top_picks_where_sql(viewer) if name == "top_picks" \
+                else _low_light_where(viewer)
         if "is_favorite" in clause or "star_rating" in clause or "is_rejected" in clause:
             clause = clause.replace("is_favorite", "p.is_favorite") \
                 .replace("is_rejected", "p.is_rejected") \

@@ -540,9 +540,13 @@ def build_default_config():
                                       "face_quality_percent": 24},
                 "low_light_max_luminance": 0.2,
             },
+            # min_photos_for_person defaults to 1 (the reference CODE
+            # default, api/db_helpers.py:219) — its shipped config raises
+            # it to 10, which stays a per-deployment choice so upgrades
+            # don't silently hide small persons from the dropdown
             "dropdowns": {"max_cameras": 50, "max_lenses": 50,
                           "max_persons": 50, "max_tags": 20,
-                          "min_photos_for_person": 10},
+                          "min_photos_for_person": 1},
             "display": {"tags_per_photo": 4, "card_width_px": 168,
                         "image_width_px": 160},
             "face_thumbnails": {"output_size_px": 64, "jpeg_quality": 80,

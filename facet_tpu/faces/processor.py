@@ -106,17 +106,14 @@ class FaceProcessor:
         import io
         from PIL import Image
 
+        # the offline refill reads face_processing (the reference's
+        # refill_face_thumbnails, faces/clusterer.py:576-590);
+        # viewer.face_thumbnails governs only the API's on-the-fly crops
         settings = self.config.get_face_processing_settings()
-        # viewer.face_thumbnails (the reference's vocabulary,
-        # api/config.py:87) overrides the face_processing defaults
-        viewer_ft = self.config.config.get("viewer", {}) \
-            .get("face_thumbnails", {})
-        pad = viewer_ft.get("crop_padding_ratio",
-                            settings.get("crop_padding", 0.3))
-        quality = viewer_ft.get("jpeg_quality",
-                                settings.get("face_thumbnail_quality", 90))
-        out_px = viewer_ft.get("output_size_px", 128)
-        min_px = viewer_ft.get("min_crop_size_px", 0)
+        pad = settings.get("crop_padding", 0.3)
+        quality = settings.get("face_thumbnail_quality", 90)
+        out_px = settings.get("face_thumbnail_size", 128)
+        min_px = 0
         refreshed = 0
         with get_connection(self.db_path) as conn:
             faces = conn.execute(

@@ -472,6 +472,45 @@ class TestSystem:
         names = {c["name"] for c in checks}
         assert "score_ranges" in names and "referential_integrity" in names
 
+    def test_face_thumbnail_on_the_fly_crop(self, client):
+        # a face row without a stored blob crops live from the photo
+        # thumbnail per viewer.face_thumbnails (reference
+        # thumbnails.py:145-165); tiny bboxes under min_crop_size_px 404
+        import numpy as np
+        from facet_tpu.db.connection import get_connection
+        emb = np.zeros(512, np.float32).tobytes()
+        with get_connection(client.app.ctx.config.db_path) as conn:
+            conn.execute(
+                "INSERT INTO faces (photo_path, face_index, embedding,"
+                " bbox_x1, bbox_y1, bbox_x2, bbox_y2, confidence)"
+                " VALUES ('/pics/img04.jpg', 0, ?, 4, 4, 40, 36, 0.8)",
+                (emb,))
+            big = conn.execute("SELECT last_insert_rowid()").fetchone()[0]
+            conn.execute(
+                "INSERT INTO faces (photo_path, face_index, embedding,"
+                " bbox_x1, bbox_y1, bbox_x2, bbox_y2, confidence)"
+                " VALUES ('/pics/img04.jpg', 1, ?, 4, 4, 6, 6, 0.8)",
+                (emb,))
+            tiny = conn.execute("SELECT last_insert_rowid()").fetchone()[0]
+        res = client.get(f"/api/face_thumbnail/{big}")
+        assert res.status_code == 200 and res.content[:2] == b"\xff\xd8"
+        assert client.get(f"/api/face_thumbnail/{tiny}").status_code == 404
+
+    def test_low_light_cutoff_from_config(self, client):
+        # seeded mean_luminance is 0.5 everywhere -> empty at cutoff 0.2,
+        # everything at 0.9
+        assert client.get("/api/type_counts").json()["low_light"] == 0
+        client.app.ctx.config.viewer.setdefault("photo_types", {})[
+            "low_light_max_luminance"] = 0.9
+        assert client.get("/api/type_counts").json()["low_light"] == 12
+        data = client.get("/api/photos",
+                          params={"type": "low_light",
+                                  "hide_blinks": "false"}).json()
+        assert data["total"] == 12
+
+    def test_merge_pair_unknown_target(self, client):
+        assert client.post("/api/persons/merge/1/999").status_code == 404
+
     def test_reference_signature_aliases(self, client):
         # GET /api/photo/faces?path= and POST /api/persons/merge/{src}/{dst}
         faces = client.get("/api/photo/faces",
@@ -851,16 +890,15 @@ class TestFilterOptionsLazy:
         assert ("sunset", 8) in set(map(tuple, tags))
 
     def test_persons_with_photo_counts(self, client):
-        # the shipped default gates the dropdown at 10 photos per person
-        # (reference scoring_config.json dropdowns.min_photos_for_person),
-        # so two-photo Alice is hidden by default...
-        persons = client.get("/api/filter_options/persons").json()["persons"]
-        assert persons == []
-        # ...and appears when the gate is lowered in the config
-        ctx = client.app.ctx
-        ctx.config.viewer.setdefault("dropdowns", {})["min_photos_for_person"] = 1
         persons = client.get("/api/filter_options/persons").json()["persons"]
         assert list(map(tuple, persons)) == [(1, "Alice", 2)]
+        # raising the config gate hides small persons — on the live query
+        # AND on the cached path (the gate applies to cached rows too)
+        ctx = client.app.ctx
+        ctx.config.viewer.setdefault("dropdowns", {})["min_photos_for_person"] = 10
+        for _ in range(2):       # second hit may serve from the stats cache
+            persons = client.get("/api/filter_options/persons").json()["persons"]
+            assert persons == []
 
     def test_apertures_rounded(self, client):
         aps = client.get("/api/filter_options/apertures").json()["apertures"]
