@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
-"""Multi-user administration CLI (reference: database.py).
+"""Multi-user administration + database maintenance CLI
+(reference: database.py).
 
     python database.py add-user NAME [--role user|admin|superadmin]
+                                     [--display-name "Full Name"]
     python database.py remove-user NAME
     python database.py list-users
     python database.py migrate-preferences --from-user NAME
+    python database.py --info | --optimize | --vacuum | --analyze
+    python database.py --refresh-stats | --stats-info
+    python database.py --export-viewer-db OUT.db
+    python database.py --cleanup-orphaned-persons | --migrate-tags
 """
 
 import argparse
@@ -12,9 +18,11 @@ import getpass
 import sys
 
 
-def main():
-    parser = argparse.ArgumentParser(description="user administration")
-    parser.add_argument("command",
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="user administration + database maintenance"
+                    " (reference: database.py)")
+    parser.add_argument("command", nargs="?",
                         choices=["add-user", "remove-user", "list-users",
                                  "migrate-preferences"])
     parser.add_argument("username", nargs="?")
@@ -22,11 +30,37 @@ def main():
                         choices=["user", "admin", "superadmin"])
     parser.add_argument("--password", default=None,
                         help="password (prompted when omitted)")
+    parser.add_argument("--display-name", default=None,
+                        help="display name for add-user")
     parser.add_argument("--config", default=None)
     parser.add_argument("--db", default=None)
     parser.add_argument("--from-user", default=None,
                         help="source user for preference migration")
-    args = parser.parse_args()
+    # maintenance flags (the reference's spellings)
+    maint = parser.add_argument_group("maintenance")
+    maint.add_argument("--info", action="store_true",
+                       help="table sizes + database overview")
+    maint.add_argument("--vacuum", action="store_true")
+    maint.add_argument("--analyze", action="store_true")
+    maint.add_argument("--optimize", action="store_true",
+                       help="vacuum + analyze")
+    maint.add_argument("--refresh-stats", action="store_true",
+                       help="rebuild the stats cache")
+    maint.add_argument("--stats-info", action="store_true",
+                       help="show the cached stats keys + freshness")
+    maint.add_argument("--export-viewer-db", metavar="OUT", default=None,
+                       help="write a thumbnails-only copy for remote viewing")
+    maint.add_argument("--cleanup-orphaned-persons", action="store_true")
+    maint.add_argument("--migrate-tags", action="store_true",
+                       help="populate photo_tags from the photos.tags column")
+    args = parser.parse_args(argv)
+
+    rc = _run_maintenance(args)
+    if rc is not None:
+        return rc
+    if args.command is None:
+        parser.print_usage()
+        return 1
 
     from facet_tpu.api.config import APIConfig
     from facet_tpu.config.scoring_config import ScoringConfig
@@ -51,6 +85,8 @@ def main():
             "password_hash": APIConfig.hash_password(password),
             "role": args.role,
         }
+        if args.display_name:
+            users[args.username]["display_name"] = args.display_name
         config.save_config()
         print(f"user '{args.username}' added with role {args.role}")
         return 0
@@ -88,5 +124,71 @@ def main():
         return 0
 
 
+def _run_maintenance(args):
+    """Run any maintenance flags; None when none were given."""
+    from facet_tpu.db.connection import get_connection, resolve_db_path
+
+    db_path = resolve_db_path(args.db)
+    ran = None
+    if args.info:
+        with get_connection(db_path) as conn:
+            print(f"database: {db_path}")
+            for (name,) in conn.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table'"
+                    " ORDER BY name"):
+                n = conn.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+                print(f"  {name}: {n} rows")
+        ran = 0
+    if args.vacuum or args.optimize:
+        from facet_tpu.db.maintenance import vacuum_database
+
+        vacuum_database(db_path)
+        ran = 0
+    if args.analyze or args.optimize:
+        with get_connection(db_path) as conn:
+            conn.execute("ANALYZE")
+        print("analyzed")
+        ran = 0
+    if args.refresh_stats:
+        from facet_tpu.db.stats_cache import refresh_stats_cache
+
+        refresh_stats_cache(db_path, verbose=True)
+        ran = 0
+    if args.stats_info:
+        with get_connection(db_path) as conn:
+            rows = conn.execute(
+                "SELECT key, updated_at FROM stats_cache ORDER BY key"
+            ).fetchall()
+        import datetime
+
+        for key, ts in rows:
+            when = datetime.datetime.fromtimestamp(ts).isoformat(" ", "seconds") \
+                if ts else "never"
+            print(f"  {key}: updated {when}")
+        if not rows:
+            print("stats cache empty (run --refresh-stats)")
+        ran = 0
+    if args.export_viewer_db:
+        from facet_tpu.db.maintenance import export_viewer_db
+
+        export_viewer_db(db_path, args.export_viewer_db)
+        ran = 0
+    if args.cleanup_orphaned_persons:
+        from facet_tpu.db.maintenance import cleanup_orphaned_persons
+
+        cleanup_orphaned_persons(db_path)
+        ran = 0
+    if args.migrate_tags:
+        from facet_tpu.db.tags import migrate_tags_to_lookup
+
+        migrate_tags_to_lookup(db_path)
+        ran = 0
+    return ran
+
+
 if __name__ == "__main__":
+    # piping into `head` etc. must not traceback
+    import signal
+
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     sys.exit(main())

@@ -418,4 +418,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    # piping into `head` etc. must not traceback
+    import signal
+
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     sys.exit(main())

@@ -248,3 +248,62 @@ class TestLegacyFlagAliases:
         code, out = run_cli(["--db", db, "--config", cfg,
                              "--recompute-burst"], capsys)
         assert code == 0
+
+
+class TestDatabaseCli:
+    """database.py: user admin + the reference's maintenance flags."""
+
+    def _db(self, cli_env):
+        return cli_env
+
+    def test_add_list_remove_user(self, cli_env, capsys):
+        import database
+        db, cfg = cli_env
+        assert database.main(["add-user", "zoe", "--password", "pw",
+                              "--role", "admin", "--display-name", "Zoe Q",
+                              "--config", cfg, "--db", db]) == 0
+        assert database.main(["list-users", "--config", cfg]) == 0
+        out = capsys.readouterr().out
+        assert "zoe: admin" in out
+        import json
+        with open(cfg) as fh:
+            users = json.load(fh)["users"]
+        assert users["zoe"]["display_name"] == "Zoe Q"
+        assert database.main(["remove-user", "zoe", "--config", cfg]) == 0
+
+    def test_maintenance_flags(self, cli_env, capsys, tmp_path):
+        import database
+        db, cfg = cli_env
+        assert database.main(["--info", "--db", db, "--config", cfg]) == 0
+        out = capsys.readouterr().out
+        assert "photos:" in out
+        assert database.main(["--optimize", "--db", db,
+                              "--config", cfg]) == 0
+        assert database.main(["--refresh-stats", "--db", db,
+                              "--config", cfg]) == 0
+        assert database.main(["--stats-info", "--db", db,
+                              "--config", cfg]) == 0
+        assert "updated" in capsys.readouterr().out
+        assert database.main(["--migrate-tags", "--cleanup-orphaned-persons",
+                              "--db", db, "--config", cfg]) == 0
+        viewer = str(tmp_path / "viewer.db")
+        assert database.main(["--export-viewer-db", viewer, "--db", db,
+                              "--config", cfg]) == 0
+        import sqlite3
+        assert sqlite3.connect(viewer).execute(
+            "SELECT COUNT(*) FROM photos").fetchone()[0] > 0
+
+    def test_no_args_prints_usage(self, cli_env, capsys):
+        import database
+        db, cfg = cli_env
+        assert database.main(["--config", cfg, "--db", db]) == 1
+
+
+class TestTagExistingCli:
+    def test_dry_run_counts(self, cli_env, capsys):
+        import tag_existing
+        db, cfg = cli_env
+        assert tag_existing.main(["--db", db, "--config", cfg,
+                                  "--dry-run", "--force"]) == 0
+        out = capsys.readouterr().out
+        assert "dry run:" in out

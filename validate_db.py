@@ -31,4 +31,8 @@ def main():
 
 
 if __name__ == "__main__":
+    # piping into `head` etc. must not traceback
+    import signal
+
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     sys.exit(main())
