@@ -664,6 +664,7 @@ async function loadSimilar(photo) {
 
 function openModal(photo) {
   hideTooltip();
+  modalPhoto = photo;
   const modal = document.getElementById("photo-modal");
   modal.hidden = false;
   document.getElementById("modal-img").src = thumbUrl(photo.path, 1280);
@@ -755,6 +756,26 @@ document.getElementById("modal-close").addEventListener("click", () => {
 document.getElementById("photo-modal").addEventListener("click", (e) => {
   if (e.target.id === "photo-modal")
     document.getElementById("photo-modal").hidden = true;
+});
+
+// keyboard navigation inside the photo modal: Escape closes, arrows step
+// through the loaded gallery in its current sort order
+let modalPhoto = null;
+
+function stepModal(delta) {
+  if (!modalPhoto) return;
+  const idx = gallery.photos.findIndex((p) => p.path === modalPhoto.path);
+  const next = gallery.photos[idx + delta];
+  if (next) openModal(next);
+}
+
+document.addEventListener("keydown", (e) => {
+  const modal = document.getElementById("photo-modal");
+  if (modal.hidden) return;
+  if (e.key === "Escape") { modal.hidden = true; return; }
+  if (e.target.tagName === "INPUT" || e.target.tagName === "SELECT") return;
+  if (e.key === "ArrowLeft") { e.preventDefault(); stepModal(-1); }
+  if (e.key === "ArrowRight") { e.preventDefault(); stepModal(1); }
 });
 
 // ----------------------------------------------------------------- stats
