@@ -40,9 +40,13 @@ class TestClient:
         elif data is not None:
             body = data if isinstance(data, bytes) else data.encode()
 
+        # mimic a PEP 3333 server: percent-decode the path, then present
+        # the bytes as latin-1 text (wsgiref does exactly this)
+        from urllib.parse import unquote
+
         environ = {
             "REQUEST_METHOD": method.upper(),
-            "PATH_INFO": path,
+            "PATH_INFO": unquote(path, encoding="latin-1"),
             "QUERY_STRING": query,
             "CONTENT_LENGTH": str(len(body)),
             "wsgi.input": io.BytesIO(body),

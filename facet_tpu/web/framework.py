@@ -33,7 +33,14 @@ class Request:
     def __init__(self, environ):
         self.environ = environ
         self.method = environ.get("REQUEST_METHOD", "GET").upper()
-        self.path = environ.get("PATH_INFO", "/")
+        # PEP 3333: servers percent-decode PATH_INFO and hand it over as
+        # latin-1 text; re-decode as UTF-8 so non-ASCII photo paths match
+        # their database rows
+        raw_path = environ.get("PATH_INFO", "/")
+        try:
+            self.path = raw_path.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            self.path = raw_path
         self.query = {k: v[-1] for k, v in
                       parse_qs(environ.get("QUERY_STRING", "")).items()}
         self.query_all = parse_qs(environ.get("QUERY_STRING", ""))

@@ -1057,6 +1057,70 @@ class TestComparisonErrorPaths:
         assert res.status_code == 404
 
 
+class TestRobustness:
+    """Unicode paths, malformed bodies, concurrent access."""
+
+    def test_unicode_photo_path(self, client):
+        import io
+        from PIL import Image
+        from facet_tpu.db.connection import get_connection
+
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 48), (9, 99, 199)).save(buf, "JPEG")
+        path = "/pics/café ñ 写真.jpg"
+        with get_connection(client.app.ctx.config.db_path) as conn:
+            conn.execute(
+                "INSERT INTO photos (path, filename, aggregate, thumbnail,"
+                " is_burst_lead) VALUES (?, ?, 6.0, ?, 1)",
+                (path, "café ñ 写真.jpg", buf.getvalue()))
+        from urllib.parse import quote
+        res = client.get("/api/thumbnail" + quote(path))
+        assert res.status_code == 200 and res.content[:2] == b"\xff\xd8"
+        res = client.get("/api/faces" + quote(path))
+        assert res.status_code == 200
+        # ratings roundtrip on the unicode path
+        assert client.post("/api/photos/rating",
+                           json={"path": path, "rating": 4}).status_code == 200
+        got = client.get("/api/photos", params={"search": "café"}).json()
+        assert got["total"] == 1 and got["photos"][0]["star_rating"] == 4
+
+    def test_malformed_json_body_is_400(self, client):
+        res = client.post("/api/photos/rating", data=b"{not json",
+                          headers={"Content-Type": "application/json"})
+        assert res.status_code == 400
+
+    def test_concurrent_reads_and_writes(self, client):
+        import threading
+
+        errors = []
+
+        def reader():
+            try:
+                for _ in range(8):
+                    assert client.get("/api/photos").status_code == 200
+                    assert client.get("/api/stats/overview").status_code == 200
+            except Exception as exc:     # pragma: no cover
+                errors.append(exc)
+
+        def writer():
+            try:
+                for i in range(8):
+                    res = client.post(
+                        "/api/photos/rating",
+                        json={"path": "/pics/img06.jpg", "rating": i % 5 + 1})
+                    assert res.status_code == 200
+            except Exception as exc:     # pragma: no cover
+                errors.append(exc)
+
+        threads = [threading.Thread(target=f)
+                   for f in (reader, reader, writer, writer)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+
+
 class TestGalleryErrorPaths:
     def test_bad_sort_rejected(self, client):
         res = client.get("/api/photos", params={"sort": "evil; DROP TABLE"})
