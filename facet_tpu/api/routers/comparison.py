@@ -380,7 +380,11 @@ def register(app, ctx):
         values = scorer.metric_values([rows[p] for p in paths])
         import numpy as np
 
-        vec = np.array([weights.get(k, 0.0) for k in METRIC_KEYS], np.float32)
+        try:
+            vec = np.array([float(weights.get(k, 0.0) or 0.0)
+                            for k in METRIC_KEYS], np.float32)
+        except (TypeError, ValueError):
+            raise HTTPError(400, "weights must be numeric")
         total = vec.sum()
         if total <= 0:
             raise HTTPError(400, "weights must sum to a positive value")

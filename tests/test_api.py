@@ -1084,6 +1084,12 @@ class TestRobustness:
         got = client.get("/api/photos", params={"search": "café"}).json()
         assert got["total"] == 1 and got["photos"][0]["star_rating"] == 4
 
+    def test_preview_rejects_non_numeric_weights(self, client):
+        res = client.post("/api/comparison/preview_score",
+                          json={"path": "/pics/img00.jpg",
+                                "weights": {"aesthetic": "lots"}})
+        assert res.status_code == 400
+
     def test_malformed_json_body_is_400(self, client):
         res = client.post("/api/photos/rating", data=b"{not json",
                           headers={"Content-Type": "application/json"})
