@@ -142,6 +142,11 @@ def main(argv=None):
 
     db_path = resolve_db_path(args.db)
     config = ScoringConfig(args.config)
+    # idempotent schema creation/migration up front, so DB-only modes
+    # (--export, --optimize-weights, ...) work on a fresh database too
+    from facet_tpu.db.schema import init_database
+
+    init_database(db_path)
 
     if args.list_models:
         from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
