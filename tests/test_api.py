@@ -786,6 +786,44 @@ class TestClientFlows:
 
 
 class TestAuthModes:
+    def test_token_tampering_rejected(self, seeded_db, tmp_config):
+        """Signature edits, payload role escalation, and bogus thumbnail
+        token params must all 401."""
+        import base64
+        import json as jsonlib
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw["viewer"]["password"] = "hunter2"
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        client = TestClient(create_app(db_path=seeded_db,
+                                       config_path=tmp_config))
+        token = client.post("/api/auth/login",
+                            json={"password": "hunter2"}).json()["token"]
+        head, payload, sig = token.split(".")
+
+        def get(tok):
+            return client.get("/api/photos",
+                              headers={"Authorization": f"Bearer {tok}"})
+
+        assert get(token).status_code == 200
+        assert get(f"{head}.{payload}.AAAA{sig[4:]}").status_code == 401
+        body = jsonlib.loads(base64.urlsafe_b64decode(payload + "=="))
+        body["role"] = "superadmin"
+        forged = base64.urlsafe_b64encode(
+            jsonlib.dumps(body).encode()).decode().rstrip("=")
+        assert get(f"{head}.{forged}.{sig}").status_code == 401
+        # the <img> token param path enforces the same check
+        assert client.get("/api/thumbnail/pics/img00.jpg",
+                          params={"token": "junk"}).status_code == 401
+        assert client.get("/api/thumbnail/pics/img00.jpg",
+                          params={"token": token}).status_code == 200
+
     def test_password_mode(self, seeded_db, tmp_config):
         import json as jsonlib
 
