@@ -522,7 +522,12 @@ document.getElementById("sort-select").addEventListener("change", (e) => {
 let searchTimer;
 document.getElementById("search").addEventListener("input", () => {
   clearTimeout(searchTimer);
-  searchTimer = setTimeout(() => reloadGallery("replace"), 350);
+  searchTimer = setTimeout(() => {
+    // first search keystroke pushes a new history entry (so Back undoes
+    // the search); subsequent refinements replace in place
+    const hadSearch = new URLSearchParams(location.search).has("search");
+    reloadGallery(hadSearch ? "replace" : undefined);
+  }, 350);
 });
 document.getElementById("reset-filters").addEventListener("click", () => {
   for (const [id] of FILTER_INPUTS) document.getElementById(id).value = "";
@@ -765,6 +770,7 @@ let modalPhoto = null;
 function stepModal(delta) {
   if (!modalPhoto) return;
   const idx = gallery.photos.findIndex((p) => p.path === modalPhoto.path);
+  if (idx < 0) return;     // photo no longer in the loaded gallery
   const next = gallery.photos[idx + delta];
   if (next) openModal(next);
 }

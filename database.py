@@ -56,9 +56,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     rc = _run_maintenance(args)
-    if rc is not None:
-        return rc
     if args.command is None:
+        if rc is not None:
+            return rc
         parser.print_usage()
         return 1
 
@@ -127,8 +127,16 @@ def main(argv=None):
 def _run_maintenance(args):
     """Run any maintenance flags; None when none were given."""
     from facet_tpu.db.connection import get_connection, resolve_db_path
+    from facet_tpu.db.schema import init_database
 
+    wanted = any((args.info, args.vacuum, args.analyze, args.optimize,
+                  args.refresh_stats, args.stats_info,
+                  args.export_viewer_db, args.cleanup_orphaned_persons,
+                  args.migrate_tags))
+    if not wanted:
+        return None
     db_path = resolve_db_path(args.db)
+    init_database(db_path)      # idempotent: fresh databases work too
     ran = None
     if args.info:
         with get_connection(db_path) as conn:

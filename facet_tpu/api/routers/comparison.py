@@ -362,6 +362,8 @@ def register(app, ctx):
         paths = body.get("paths") or ([body["path"]] if body.get("path")
                                       else [])
         weights = body.get("weights") or {}
+        if not isinstance(weights, dict) or not isinstance(paths, list):
+            raise HTTPError(400, "weights must be an object, paths a list")
         if not paths:
             raise HTTPError(400, "path or paths required")
         if len(paths) > 100:
@@ -386,7 +388,7 @@ def register(app, ctx):
         except (TypeError, ValueError):
             raise HTTPError(400, "weights must be numeric")
         total = vec.sum()
-        if total <= 0:
+        if not np.isfinite(total) or total <= 0:
             raise HTTPError(400, "weights must sum to a positive value")
         vec /= total
         scores = values @ vec

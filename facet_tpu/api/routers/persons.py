@@ -60,7 +60,10 @@ def register(app, ctx):
             raise HTTPError(400, "keep_id and merge_ids required")
         from facet_tpu.faces.merge_analyzer import merge_persons
 
-        merge_persons(ctx.config.db_path, keep, merge_ids)
+        try:
+            merge_persons(ctx.config.db_path, keep, merge_ids)
+        except ValueError as exc:
+            raise HTTPError(404, str(exc))
         return {"status": "ok", "kept": keep, "merged": merge_ids}
 
     @app.post("/api/persons/merge/{source_id:int}/{target_id:int}")
@@ -69,16 +72,15 @@ def register(app, ctx):
         source merges INTO target."""
         require_role(request, "admin")
         with ctx.connection() as conn:
-            found = {r[0] for r in conn.execute(
-                "SELECT id FROM persons WHERE id IN (?, ?)",
-                (source_id, target_id))}
-        # an absent target would orphan the source's faces onto a
-        # nonexistent person id
-        if source_id not in found or target_id not in found:
-            raise HTTPError(404, "person not found")
+            if conn.execute("SELECT 1 FROM persons WHERE id = ?",
+                            (source_id,)).fetchone() is None:
+                raise HTTPError(404, "person not found")
         from facet_tpu.faces.merge_analyzer import merge_persons
 
-        merge_persons(ctx.config.db_path, target_id, [source_id])
+        try:
+            merge_persons(ctx.config.db_path, target_id, [source_id])
+        except ValueError as exc:
+            raise HTTPError(404, str(exc))
         return {"status": "ok", "kept": target_id, "merged": [source_id]}
 
     @app.post("/api/persons/merge_batch")

@@ -84,6 +84,8 @@ def register(app, ctx):
                 " p.thumbnail, p.image_width FROM faces f"
                 " JOIN photos p ON p.path = f.photo_path"
                 " WHERE f.id = ?", (face_id,)).fetchone()
+        if face is None:       # orphaned face: photo row gone
+            raise HTTPError(404, "no face thumbnail")
         blob = _face_crop(face)
         if blob is None:
             raise HTTPError(404, "no face thumbnail")
@@ -96,27 +98,20 @@ def register(app, ctx):
 
         from PIL import Image
 
+        from facet_tpu.faces.crop import crop_face_jpeg
+
         x1, y1, x2, y2, thumb_blob, full_w = face
-        if not thumb_blob or None in (x1, y1, x2, y2):
+        if not thumb_blob:
             return None
         ft = ctx.config.viewer.get("face_thumbnails", {})
-        pad = ft.get("crop_padding_ratio", 0.2)
-        min_px = ft.get("min_crop_size_px", 20)
-        out_px = ft.get("output_size_px", 64)
-        quality = ft.get("jpeg_quality", 80)
         img = Image.open(io.BytesIO(thumb_blob)).convert("RGB")
-        scale = img.width / full_w if full_w else 1.0
-        bx1, by1, bx2, by2 = (v * scale for v in (x1, y1, x2, y2))
-        pw, ph = (bx2 - bx1) * pad, (by2 - by1) * pad
-        box = (int(max(0, bx1 - pw)), int(max(0, by1 - ph)),
-               int(min(img.width, bx2 + pw)), int(min(img.height, by2 + ph)))
-        if box[2] - box[0] < min_px or box[3] - box[1] < min_px:
-            return None
-        crop = img.crop(box)
-        crop.thumbnail((out_px, out_px))
-        buf = io.BytesIO()
-        crop.save(buf, "JPEG", quality=quality)
-        return buf.getvalue()
+        return crop_face_jpeg(
+            img, (x1, y1, x2, y2),
+            scale=img.width / full_w if full_w else 1.0,
+            pad=ft.get("crop_padding_ratio", 0.2),
+            out_px=ft.get("output_size_px", 64),
+            quality=ft.get("jpeg_quality", 80),
+            min_px=ft.get("min_crop_size_px", 20))
 
     @app.get("/api/person_thumbnail/{person_id:int}")
     def person_thumbnail(request, person_id):

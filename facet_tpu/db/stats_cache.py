@@ -69,6 +69,30 @@ def refresh_stats_cache(db_path=None, verbose=False):
                 pass
 
         try:
+            # tags come from the photo_tags lookup when synced, else the
+            # CSV column — same logic as the filter-options endpoint
+            from facet_tpu.db.tags import is_photo_tags_populated
+
+            if is_photo_tags_populated(conn):
+                rows = [(r[0], r[1]) for r in conn.execute(
+                    "SELECT tag, COUNT(*) AS cnt FROM photo_tags"
+                    " GROUP BY tag ORDER BY cnt DESC, tag ASC")]
+            else:
+                counts = {}
+                for (raw,) in conn.execute(
+                        "SELECT tags FROM photos WHERE tags IS NOT NULL"
+                        " AND tags != ''"):
+                    for tag in raw.split(","):
+                        tag = tag.strip()
+                        if tag:
+                            counts[tag] = counts.get(tag, 0) + 1
+                rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            stats["tags"] = rows
+            _put(conn, "tags", json.dumps(rows), now)
+        except sqlite3.OperationalError:
+            pass
+
+        try:
             persons = conn.execute(
                 "SELECT p.id, p.name, COUNT(DISTINCT f.photo_path) AS photo_count"
                 " FROM persons p JOIN faces f ON f.person_id = p.id"

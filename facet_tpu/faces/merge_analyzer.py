@@ -60,10 +60,16 @@ def find_merge_suggestions(db_path, threshold=0.55):
 
 
 def merge_persons(db_path, keep_id, merge_ids):
-    """Reassign faces from merge_ids to keep_id, delete merged persons."""
+    """Reassign faces from merge_ids to keep_id, delete merged persons.
+
+    Raises ValueError when keep_id does not exist — reassigning faces to
+    a nonexistent person would orphan them permanently."""
     from facet_tpu.faces.clusterer import FaceClusterer
 
     with get_connection(db_path) as conn:
+        if conn.execute("SELECT 1 FROM persons WHERE id = ?",
+                        (keep_id,)).fetchone() is None:
+            raise ValueError(f"person {keep_id} not found")
         for mid in merge_ids:
             if mid == keep_id:
                 continue

@@ -103,8 +103,9 @@ class FaceProcessor:
 
     def run_refill(self, verbose=True):
         """Regenerate face thumbnails from stored bboxes (RAW-safe scaling)."""
-        import io
         from PIL import Image
+
+        from facet_tpu.faces.crop import crop_face_jpeg
 
         # the offline refill reads face_processing (the reference's
         # refill_face_thumbnails, faces/clusterer.py:576-590);
@@ -130,23 +131,13 @@ class FaceProcessor:
                         scale = img.shape[1] / full_w
                 if img is None or None in (x1, y1, x2, y2):
                     continue
-                h, w = img.shape[:2]
-                bx1, by1 = x1 * scale, y1 * scale
-                bx2, by2 = x2 * scale, y2 * scale
-                pw, ph = (bx2 - bx1) * pad, (by2 - by1) * pad
-                cx1 = int(max(0, bx1 - pw))
-                cy1 = int(max(0, by1 - ph))
-                cx2 = int(min(w, bx2 + pw))
-                cy2 = int(min(h, by2 + ph))
-                crop = img[cy1:cy2, cx1:cx2]
-                if crop.size == 0 or min(crop.shape[:2]) < min_px:
+                blob = crop_face_jpeg(
+                    Image.fromarray(img), (x1, y1, x2, y2), scale=scale,
+                    pad=pad, out_px=out_px, quality=quality, min_px=min_px)
+                if blob is None:
                     continue
-                pil = Image.fromarray(crop)
-                pil.thumbnail((out_px, out_px))
-                buf = io.BytesIO()
-                pil.save(buf, "JPEG", quality=quality)
                 conn.execute("UPDATE faces SET face_thumbnail = ? WHERE id = ?",
-                             (buf.getvalue(), fid))
+                             (blob, fid))
                 refreshed += 1
         if verbose:
             print(f"refilled {refreshed} face thumbnails")
