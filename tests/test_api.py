@@ -1095,6 +1095,66 @@ class TestComparisonErrorPaths:
         assert res.status_code == 404
 
 
+class TestRemainingEndpoints:
+    """Direct coverage for the last endpoints without their own tests."""
+
+    def test_comparison_statistics_after_votes(self, client):
+        client.post("/api/comparison/submit",
+                    json={"photo_a": "/pics/img04.jpg",
+                          "photo_b": "/pics/img05.jpg", "winner": "a"})
+        client.post("/api/comparison/submit",
+                    json={"photo_a": "/pics/img06.jpg",
+                          "photo_b": "/pics/img07.jpg", "winner": "tie"})
+        stats = client.get("/api/comparison/statistics").json()
+        assert stats["comparisons"] == 2
+        assert stats["by_winner"].get("a") == 1
+        assert stats["by_winner"].get("tie") == 1
+
+    def test_apply_weights_without_learning(self, client):
+        res = client.post("/api/comparison/apply_weights", json={})
+        assert res.status_code == 400
+
+    def test_merge_suggestions_empty_and_hit(self, client, seeded_db):
+        # a single person yields no suggestions
+        assert client.get("/api/merge_suggestions").json()["suggestions"] == []
+        # a near-identical centroid pair is suggested
+        with get_connection(seeded_db) as conn:
+            row = conn.execute(
+                "SELECT centroid FROM persons WHERE id = 1").fetchone()
+            emb = np.frombuffer(row[0], np.float32).copy()
+            emb[0] += 1e-3
+            emb /= np.linalg.norm(emb)
+            conn.execute(
+                "INSERT INTO persons (id, name, face_count, centroid)"
+                " VALUES (5, 'Alicia', 1, ?)", (emb.tobytes(),))
+        sugg = client.get("/api/merge_suggestions").json()["suggestions"]
+        assert sugg and set(sugg[0]["person_ids"]) == {1, 5}
+
+    def test_rejected_toggle_hides_photo(self, client):
+        assert client.post("/api/photos/rejected",
+                           json={"path": "/pics/img08.jpg",
+                                 "rejected": True}).status_code == 200
+        # hide_rejected defaults true
+        data = client.get("/api/photos").json()
+        assert all(p["path"] != "/pics/img08.jpg" for p in data["photos"])
+        shown = client.get("/api/photos",
+                           params={"hide_rejected": "false",
+                                   "hide_blinks": "false"}).json()
+        assert shown["total"] == 12
+
+    def test_scan_start_gated_and_status(self, client):
+        # feature disabled in the default config -> 403; status reports idle
+        assert client.post("/api/scan/start",
+                           json={"directory": "/pics"}).status_code == 403
+        status = client.get("/api/scan/status").json()
+        assert status["running"] is False
+
+    def test_stats_recompute(self, client):
+        res = client.post("/api/stats/recompute")
+        assert res.status_code == 200
+        assert res.json()["recomputed"] >= 0
+
+
 class TestRobustness:
     """Unicode paths, malformed bodies, concurrent access."""
 
