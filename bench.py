@@ -192,6 +192,31 @@ def main():
     import jax.numpy as jnp
 
     _phase("jax imported")
+
+    # the axon TPU service occasionally reports UNAVAILABLE for a while
+    # (observed: a healthy run at 16:47, backend-init failure at 21:47
+    # after ~25 min of waiting); retry initialization instead of losing
+    # the round's number to a transient outage
+    retry_budget = float(os.environ.get("FACET_BENCH_BACKEND_RETRY_S", "600"))
+    retry_start = time.monotonic()
+    while True:
+        try:
+            jax.devices()
+            break
+        except RuntimeError as exc:
+            waited = time.monotonic() - retry_start
+            if waited > retry_budget:
+                _phase(f"backend unavailable after {waited:.0f}s: {exc}")
+                raise
+            _phase(f"backend unavailable ({exc}); retrying")
+            try:
+                from jax._src import xla_bridge
+
+                xla_bridge._clear_backends()
+            except Exception:
+                pass
+            time.sleep(20)
+    _phase("backend ready")
     members = build_members(args)
     _phase("members built")
 
