@@ -25,12 +25,18 @@ def top_picks_score_sql(viewer=None):
     comp = weights.get("composition_percent", 24) / 100.0
     face = weights.get("face_quality_percent", 24) / 100.0
     # without a significant face, the face weight splits evenly onto
-    # aesthetic and composition (reference top_picks.py:26-27)
-    nae = aes + face / 2.0
-    nc = comp + face / 2.0
+    # aesthetic and composition (reference top_picks.py:26-27); the
+    # reference renders every weight with {:.2f}, so derived weights on
+    # odd percents (e.g. 0.435 -> 0.43) round the same way here
+    two = lambda x: float(f"{x:.2f}")
+    agg, aes, comp, face = two(agg), two(aes), two(comp), two(face)
+    nae = two(aes + face / 2.0)
+    nc = two(comp + face / 2.0)
+    # branch ONLY on face_ratio, exactly like the reference
+    # (top_picks.py:30): a big face with missing face_quality scores a
+    # zero face term rather than redistributing the face weight
     return (
-        "CASE WHEN IFNULL(p.face_ratio, 0) >= {thr}"
-        " AND p.face_quality IS NOT NULL THEN "
+        "CASE WHEN IFNULL(p.face_ratio, 0) >= {thr} THEN "
         "  IFNULL(p.aggregate,0)*{wa} + IFNULL(p.aesthetic,0)*{wae} +"
         "  IFNULL(p.comp_score,0)*{wc} + IFNULL(p.face_quality,0)*{wfq} "
         "ELSE "

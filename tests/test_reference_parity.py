@@ -902,3 +902,76 @@ class TestLearnedScoresParity:
         assert set(want) == set(got)
         for p in want:
             assert got[p] == pytest.approx(want[p], abs=1e-3), p
+
+
+class TestTopPicksParity:
+    """Our top-picks SQL must score rows identically to the reference's
+    get_top_picks_score_sql (api/top_picks.py:9-41), loaded with its
+    api.config dependency stubbed (fastapi is not installed here)."""
+
+    def _reference_sql(self, photo_types):
+        import importlib.util
+        import types
+
+        fake_api = types.ModuleType("api")
+        fake_cfg = types.ModuleType("api.config")
+        fake_cfg.VIEWER_CONFIG = {"photo_types": photo_types}
+        saved = {k: sys.modules.get(k) for k in ("api", "api.config")}
+        sys.modules["api"] = fake_api
+        sys.modules["api.config"] = fake_cfg
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "ref_top_picks", os.path.join(REFERENCE, "api", "top_picks.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod.get_top_picks_score_sql()
+        finally:
+            for key, val in saved.items():
+                if val is None:
+                    sys.modules.pop(key, None)
+                else:
+                    sys.modules[key] = val
+
+    @pytest.mark.parametrize("photo_types", [
+        {},
+        {"top_picks_weights": {"aggregate_percent": 40,
+                               "aesthetic_percent": 30,
+                               "composition_percent": 20,
+                               "face_quality_percent": 10},
+         "top_picks_min_face_ratio": 0.1},
+        # odd face percent: the derived no-face weights are 3-decimal and
+        # the reference's {:.2f} rendering rounds them — we must match
+        {"top_picks_weights": {"aggregate_percent": 20,
+                               "aesthetic_percent": 31,
+                               "composition_percent": 24,
+                               "face_quality_percent": 25}},
+    ])
+    def test_scores_match_reference_sql(self, photo_types, tmp_path):
+        import sqlite3
+
+        from facet_tpu.api.top_picks import top_picks_score_sql
+
+        ref_sql = self._reference_sql(photo_types)
+        our_sql = top_picks_score_sql({"photo_types": photo_types})
+
+        conn = sqlite3.connect(":memory:")
+        conn.execute(
+            "CREATE TABLE photos (aggregate REAL, aesthetic REAL,"
+            " comp_score REAL, face_quality REAL, face_ratio REAL)")
+        rng = np.random.default_rng(4)
+        rows = []
+        for _ in range(200):
+            row = [round(float(v), 2) for v in rng.uniform(0, 10, 4)]
+            row.append(round(float(rng.uniform(0, 0.5)), 3))
+            # sprinkle NULLs like real mid-scan rows
+            for j in range(5):
+                if rng.random() < 0.15:
+                    row[j] = None
+            rows.append(tuple(row))
+        conn.executemany("INSERT INTO photos VALUES (?, ?, ?, ?, ?)", rows)
+
+        want = [r[0] for r in conn.execute(
+            f"SELECT {ref_sql} FROM photos")]
+        got = [r[0] for r in conn.execute(
+            f"SELECT {our_sql.replace('p.', '')} FROM photos")]
+        np.testing.assert_allclose(got, want, atol=1e-9)
