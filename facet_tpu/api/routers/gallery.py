@@ -126,7 +126,10 @@ def build_where(request, conn, ctx):
         clauses.append("(p.is_burst_lead = 1 OR p.is_burst_lead IS NULL)")
     if request.param("hide_duplicates",
                      default=defaults.get("hide_duplicates", True), type=bool):
-        clauses.append("(p.duplicate_group_id IS NULL OR p.is_duplicate_lead = 1)")
+        # exactly the reference's HIDE_DUPLICATES_SQL (db_helpers.py:21):
+        # a grouped row with a NULL lead flag stays visible
+        clauses.append("(p.is_duplicate_lead = 1 OR p.is_duplicate_lead"
+                       " IS NULL OR p.duplicate_group_id IS NULL)")
     if request.param("hide_rejected",
                      default=defaults.get("hide_rejected", True), type=bool):
         clauses.append(f"{_pref_expr(request, 'is_rejected')} = 0")
