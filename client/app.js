@@ -161,6 +161,7 @@ const FILTER_INPUTS = [
   ["min-focal", "min_focal"], ["max-focal", "max_focal"],
   ["min-faces", "min_faces"], ["max-faces", "max_faces"],
   ["min-rating", "min_rating"],
+  ["require-tags", "require_tags"], ["exclude-tags", "exclude_tags"],
 ];
 const FILTER_SELECTS = [
   ["type-filter", "type"], ["camera-filter", "camera"],

@@ -22,6 +22,8 @@
     category: ["category", ""],
     pattern: ["pattern", ""],
     tag: ["tag", ""],
+    require_tags: ["require_tags", ""],
+    exclude_tags: ["exclude_tags", ""],
     person_id: ["person_id", ""],
     date_from: ["date_from", ""],
     date_to: ["date_to", ""],

@@ -94,6 +94,28 @@ def build_where(request, conn, ctx):
         clauses.append(sql.replace("path IN", "p.path IN"))
         params += tag_params
 
+    # comma lists: require_tags = photo carries ANY of them,
+    # exclude_tags = photo carries NONE (reference db_helpers.py:98-117)
+    require_tags = request.param("require_tags")
+    if require_tags:
+        wanted = [t.strip() for t in require_tags.split(",") if t.strip()]
+        if wanted:
+            parts, any_params = [], []
+            for one in wanted:
+                sql, tag_params = tag_filter_sql(conn, one)
+                parts.append(sql.replace("path IN", "p.path IN"))
+                any_params += tag_params
+            clauses.append("(" + " OR ".join(parts) + ")")
+            params += any_params
+    exclude_tags = request.param("exclude_tags")
+    if exclude_tags:
+        for one in (t.strip() for t in exclude_tags.split(",")):
+            if not one:
+                continue
+            sql, tag_params = tag_filter_sql(conn, one)
+            clauses.append("NOT (" + sql.replace("path IN", "p.path IN") + ")")
+            params += tag_params
+
     person_id = request.param("person_id", type=int)
     if person_id is not None:
         clauses.append(

@@ -776,6 +776,22 @@ class TestClientFlows:
         hist = client.get("/api/comparison/history").json()["history"]
         assert hist[0]["category"] == "portrait"
 
+    def test_require_and_exclude_tag_lists(self, client, seeded_db):
+        # give one sunset photo an extra 'beach' tag
+        with get_connection(seeded_db) as conn:
+            conn.execute("INSERT INTO photo_tags (photo_path, tag)"
+                         " VALUES ('/pics/img04.jpg', 'beach')")
+        # any-of: sunset OR nonexistent matches all 8 sunset photos
+        got = client.get("/api/photos",
+                         params={"require_tags": "sunset, nosuchtag"}).json()
+        assert got["total"] == 8
+        # exclusion subtracts the beach photo
+        got = client.get("/api/photos",
+                         params={"require_tags": "sunset",
+                                 "exclude_tags": "beach"}).json()
+        assert got["total"] == 7
+        assert all(p["path"] != "/pics/img04.jpg" for p in got["photos"])
+
     def test_filter_by_person_chip(self, client):
         # clicking a person chip filters the gallery by person_id
         data = client.get("/api/photos",
