@@ -64,8 +64,22 @@ def _pref_expr(request, column):
     return f"IFNULL(up.{column}, 0)"
 
 
+# the reference's alternative spellings for the same filters
+# (api/routers/gallery.py:45-218 _build_gallery_where)
+_PARAM_ALIASES = {
+    "person": "person_id",
+    "composition_pattern": "pattern",
+    "min_aggregate": "min_score",
+    "is_monochrome": "monochrome_only",
+}
+
+
 def build_where(request, conn, ctx):
     """The gallery filter vocabulary -> (where_sql, params)."""
+    # accept reference spellings by folding them onto ours
+    for ref_name, ours in _PARAM_ALIASES.items():
+        if ref_name in request.query and ours not in request.query:
+            request.query[ours] = request.query[ref_name]
     clauses, params = ["1=1"], []
 
     photo_type = request.param("type")
@@ -87,6 +101,48 @@ def build_where(request, conn, ctx):
         if val:
             clauses.append(f"{column} = ?")
             params.append(val)
+
+    # exact-value selects driven by the filter-option dropdowns
+    # (reference params: aperture, focal_length)
+    for key, column in (("aperture", "p.f_stop"),
+                        ("focal_length", "p.focal_length")):
+        val = request.param(key, type=float)
+        if val is not None:
+            clauses.append(f"{column} = ?")
+            params.append(val)
+
+    # reference boolean/range filters with no spelling of ours;
+    # burst_only and no_blink apply the same HIDE_* fragments as the
+    # hide flags (reference gallery.py:137-140)
+    if request.param("is_silhouette", default=False, type=bool):
+        clauses.append("p.is_silhouette = 1")
+    if request.param("burst_only", default=False, type=bool):
+        clauses.append("(p.is_burst_lead = 1 OR p.is_burst_lead IS NULL)")
+    if request.param("no_blink", default=False, type=bool):
+        clauses.append("(p.is_blink = 0 OR p.is_blink IS NULL)")
+    min_lum = request.param("min_luminance", type=float)
+    if min_lum is not None:
+        clauses.append("p.mean_luminance >= ?")
+        params.append(min_lum)
+    max_lum = request.param("max_luminance", type=float)
+    if max_lum is not None:
+        clauses.append("p.mean_luminance <= ?")
+        params.append(max_lum)
+    if request.param("top_picks_filter", default=False, type=bool):
+        from facet_tpu.api.top_picks import top_picks_where_sql
+
+        clauses.append(top_picks_where_sql(ctx.config.viewer))
+    # show_rejected=1 means ONLY rejected photos (reference gallery.py:155)
+    if request.param("show_rejected", default=False, type=bool):
+        clauses.append(f"{_pref_expr(request, 'is_rejected')} = 1")
+    # exclude_art drops photos carrying the art category's required_tags
+    # (reference gallery.py:90 + db_helpers.get_art_tags_from_config)
+    if request.param("exclude_art", default=False, type=bool):
+        art = ctx.config.scoring.get_category_config("art") or {}
+        for art_tag in art.get("filters", {}).get("required_tags", []):
+            sql, tag_params = tag_filter_sql(conn, art_tag)
+            clauses.append("NOT (" + sql.replace("path IN", "p.path IN") + ")")
+            params += tag_params
 
     tag = request.param("tag")
     if tag:
@@ -153,7 +209,10 @@ def build_where(request, conn, ctx):
         clauses.append("(p.is_duplicate_lead = 1 OR p.is_duplicate_lead"
                        " IS NULL OR p.duplicate_group_id IS NULL)")
     if request.param("hide_rejected",
-                     default=defaults.get("hide_rejected", True), type=bool):
+                     default=defaults.get("hide_rejected", True), type=bool) \
+            and not request.param("show_rejected", default=False, type=bool):
+        # show_rejected wins over the hide default (reference's elif,
+        # gallery.py:155-158)
         clauses.append(f"{_pref_expr(request, 'is_rejected')} = 0")
     if request.param("favorites_only", default=False, type=bool):
         clauses.append(f"{_pref_expr(request, 'is_favorite')} = 1")

@@ -776,6 +776,36 @@ class TestClientFlows:
         hist = client.get("/api/comparison/history").json()["history"]
         assert hist[0]["category"] == "portrait"
 
+    def test_reference_param_spellings(self, client):
+        # the reference client's spellings work verbatim
+        base = {"hide_blinks": "false"}
+        assert client.get("/api/photos", params=dict(
+            base, person="1")).json()["total"] == 2
+        assert client.get("/api/photos", params=dict(
+            base, min_aggregate="8.0")).json()["total"] == 4
+        assert client.get("/api/photos", params=dict(
+            base, is_monochrome="true")).json()["total"] == 1
+        assert client.get("/api/photos", params=dict(
+            base, aperture="2.8")).json()["total"] == 12
+        assert client.get("/api/photos", params=dict(
+            base, aperture="5.6")).json()["total"] == 0
+        assert client.get("/api/photos", params=dict(
+            base, max_luminance="0.4")).json()["total"] == 0
+        assert client.get("/api/photos", params=dict(
+            base, min_luminance="0.4")).json()["total"] == 12
+        # show_rejected flips the default hide and shows ONLY rejected
+        client.post("/api/photos/rejected",
+                    json={"path": "/pics/img09.jpg", "rejected": True})
+        only = client.get("/api/photos", params=dict(
+            base, show_rejected="true")).json()
+        assert [p["path"] for p in only["photos"]] == ["/pics/img09.jpg"]
+        # top_picks_filter matches the top_picks type
+        flt = client.get("/api/photos", params=dict(
+            base, top_picks_filter="true")).json()["total"]
+        typ = client.get("/api/photos", params=dict(
+            base, type="top_picks")).json()["total"]
+        assert flt == typ > 0
+
     def test_require_and_exclude_tag_lists(self, client, seeded_db):
         # give one sunset photo an extra 'beach' tag
         with get_connection(seeded_db) as conn:
