@@ -51,6 +51,27 @@ _RANGE_FILTERS = [
     ("min_f_stop", "p.f_stop", ">="), ("max_f_stop", "p.f_stop", "<="),
     ("min_focal", "p.focal_length", ">="), ("max_focal", "p.focal_length", "<="),
     ("min_rating", "@star_rating", ">="),
+    # the rest of the reference's range vocabulary (gallery.py:160-201)
+    ("min_face_ratio", "p.face_ratio", ">="), ("max_face_ratio", "p.face_ratio", "<="),
+    ("min_exposure", "p.exposure_score", ">="), ("max_exposure", "p.exposure_score", "<="),
+    ("min_face_count", "p.face_count", ">="), ("max_face_count", "p.face_count", "<="),
+    ("max_face_quality", "p.face_quality", "<="),
+    ("min_eye_sharpness", "p.eye_sharpness", ">="), ("max_eye_sharpness", "p.eye_sharpness", "<="),
+    ("min_fstop", "p.f_stop", ">="), ("max_fstop", "p.f_stop", "<="),
+    ("min_dynamic_range", "p.dynamic_range_stops", ">="),
+    ("max_dynamic_range", "p.dynamic_range_stops", "<="),
+    ("min_contrast", "p.contrast_score", ">="), ("max_contrast", "p.contrast_score", "<="),
+    ("min_noise", "p.noise_sigma", ">="), ("max_noise", "p.noise_sigma", "<="),
+    ("min_color", "p.color_score", ">="), ("max_color", "p.color_score", "<="),
+    ("min_composition", "p.comp_score", ">="), ("max_composition", "p.comp_score", "<="),
+    ("min_face_sharpness", "p.face_sharpness", ">="),
+    ("max_face_sharpness", "p.face_sharpness", "<="),
+    ("min_power_point", "p.power_point_score", ">="),
+    ("max_power_point", "p.power_point_score", "<="),
+    ("min_isolation", "p.isolation_bonus", ">="),
+    ("max_isolation", "p.isolation_bonus", "<="),
+    ("min_histogram_spread", "p.histogram_spread", ">="),
+    ("max_histogram_spread", "p.histogram_spread", "<="),
 ]
 
 

@@ -805,6 +805,14 @@ class TestClientFlows:
         typ = client.get("/api/photos", params=dict(
             base, type="top_picks")).json()["total"]
         assert flt == typ > 0
+        # the long tail of reference range params binds to real columns
+        for extreme in ({"min_exposure": "0"}, {"max_face_count": "99"},
+                        {"min_composition": "0"}, {"max_dynamic_range": "99"},
+                        {"min_face_ratio": "0"}, {"max_noise": "1e9"},
+                        {"min_isolation": "-1e9"},
+                        {"min_histogram_spread": "-1"}):
+            res = client.get("/api/photos", params=dict(base, **extreme))
+            assert res.status_code == 200, extreme
 
     def test_require_and_exclude_tag_lists(self, client, seeded_db):
         # give one sunset photo an extra 'beach' tag
