@@ -37,6 +37,8 @@ SORTABLE = {
     "noise_sigma", "power_point_score", "leading_lines_score", "date_taken",
     "iso", "f_stop", "focal_length", "face_count", "face_ratio", "filename",
     "category", "star_rating", "mean_luminance",
+    # computed: the blended top-picks ranking (reference VALID_SORT_COLS)
+    "top_picks_score",
 }
 
 _RANGE_FILTERS = [
@@ -266,6 +268,11 @@ def register(app, ctx):
             order_sql = special_order or f"p.{sort} {direction}"
             if sort == "star_rating":
                 order_sql = f"{_pref_expr(request, 'star_rating')} {direction}"
+            elif sort == "top_picks_score":
+                from facet_tpu.api.top_picks import top_picks_score_sql
+
+                order_sql = (f"{top_picks_score_sql(ctx.config.viewer)}"
+                             f" {direction}")
 
             pref_cols, pref_params = preference_columns(request)
             join, join_params = preference_join(request)
