@@ -509,7 +509,8 @@ def build_default_config():
                 "order": "desc",
             },
             "sort_options": {
-                "scores": ["aggregate", "aesthetic", "quality_score", "topiq_score",
+                "scores": ["aggregate", "top_picks_score", "aesthetic",
+                           "quality_score", "topiq_score",
                            "comp_score", "face_quality", "eye_sharpness", "face_sharpness"],
                 "technical": ["tech_sharpness", "exposure_score", "color_score",
                               "contrast_score", "dynamic_range_stops", "noise_sigma"],
