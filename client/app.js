@@ -51,6 +51,16 @@ function thumbUrl(path, size) {
   return "/api/thumbnail" + path + "?size=" + (size || 320) + token;
 }
 
+// photographic shutter display: numeric seconds -> "1/250s" / "2.5s"
+// (the DB stores the reference's numeric form; this mirrors the
+// reference client's ShutterSpeedPipe)
+function fmtShutter(value) {
+  const s = Number(value);
+  if (!value || !isFinite(s) || s <= 0) return value || "?";
+  if (s >= 1) return `${Math.round(s * 10) / 10}s`;
+  return `1/${Math.round(1 / s)}s`;
+}
+
 function toast(message) {
   const el = document.getElementById("toast");
   el.textContent = message;
@@ -229,7 +239,7 @@ function tooltipHtml(photo) {
   rows = row(t("gallery.camera"), photo.camera_model ? esc(photo.camera_model) +
       (photo.lens_model ? " · " + esc(photo.lens_model) : "") : null) +
     row("ISO / f / s", photo.iso
-      ? `${photo.iso} / f${photo.f_stop || "?"} / ${esc(photo.shutter_speed || "?")}`
+      ? `${photo.iso} / f${photo.f_stop || "?"} / ${fmtShutter(photo.shutter_speed)}`
       : null) +
     row(t("gallery.focal"),
         photo.focal_length ? `${photo.focal_length} mm` : null);
@@ -700,7 +710,7 @@ function openModal(photo) {
       (photo.lens_model ? " · " + esc(photo.lens_model) : "") + `</b></div>`;
   if (photo.iso)
     html += `<div class="metric"><span>ISO / f / s</span>` +
-      `<b>${photo.iso} / f${photo.f_stop || "?"} / ${esc(photo.shutter_speed || "?")}</b></div>`;
+      `<b>${photo.iso} / f${photo.f_stop || "?"} / ${fmtShutter(photo.shutter_speed)}</b></div>`;
   let stars = '<div class="stars">';
   for (let i = 1; i <= 5; i++) {
     stars += `<span data-star="${i}">${i <= (photo.star_rating || 0) ? "★" : "☆"}</span>`;

@@ -173,17 +173,25 @@ def _exiftool_chunk(paths, timeout):
 
 
 def _standardize_exiftool(rec):
+    """Field mapping matches the reference's parse_exif_data
+    (exiftool/exiftool_batch.py:178-210, run with -j -n): CreateDate
+    falls back for date_taken, Aperture precedes FNumber, and
+    shutter_speed stores the NUMERIC seconds string (the viewer formats
+    '1/250' for display) so databases from either implementation sort
+    and mix cleanly."""
     exif = _empty()
-    date = rec.get("DateTimeOriginal")
+    date = rec.get("DateTimeOriginal") or rec.get("CreateDate")
     exif["date_taken"] = str(date) if date else None
     exif["camera_model"] = rec.get("Model")
     exif["lens_model"] = rec.get("LensModel") or rec.get("LensID")
     exif["iso"] = _to_int(rec.get("ISO"))
-    exif["f_stop"] = _to_float(rec.get("FNumber"))
+    exif["f_stop"] = _to_float(rec.get("Aperture") or rec.get("FNumber"))
     et = rec.get("ExposureTime")
-    exif["shutter_speed"] = _format_shutter(et)
+    exif["shutter_speed"] = str(et) if et else None
     exif["focal_length"] = _to_float(rec.get("FocalLength"))
-    exif["focal_length_35mm"] = _to_float(rec.get("FocalLengthIn35mmFormat"))
+    exif["focal_length_35mm"] = _to_float(
+        rec.get("FocalLengthIn35mmFormat")
+        or rec.get("FocalLengthIn35mmFilm"))
     exif["image_width"] = _to_int(rec.get("ImageWidth"))
     exif["image_height"] = _to_int(rec.get("ImageHeight"))
     return exif
@@ -212,7 +220,8 @@ def _pil_exif(path):
             exif["iso"] = _to_int(merged.get("ISOSpeedRatings")
                                   or merged.get("PhotographicSensitivity"))
             exif["f_stop"] = _to_float(merged.get("FNumber"))
-            exif["shutter_speed"] = _format_shutter(_to_float(merged.get("ExposureTime")))
+            et = _to_float(merged.get("ExposureTime"))
+            exif["shutter_speed"] = str(et) if et else None
             exif["focal_length"] = _to_float(merged.get("FocalLength"))
             exif["focal_length_35mm"] = _to_int(merged.get("FocalLengthIn35mmFilm"))
     except Exception:

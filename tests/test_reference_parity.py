@@ -975,3 +975,46 @@ class TestTopPicksParity:
         got = [r[0] for r in conn.execute(
             f"SELECT {our_sql.replace('p.', '')} FROM photos")]
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestExifParseParity:
+    """Our exiftool-record standardization must agree with the
+    reference's parse_exif_data (exiftool/exiftool_batch.py:178-210)
+    on every shared field."""
+
+    def test_fields_match(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_exif", os.path.join(REFERENCE, "exiftool",
+                                     "exiftool_batch.py"))
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+
+        from facet_tpu.utils.exif import _standardize_exiftool
+
+        records = [
+            {"DateTimeOriginal": "2026:05:01 10:00:00", "Model": "CamX",
+             "LensModel": "50mm f/1.8", "ISO": 400, "Aperture": 2.8,
+             "ExposureTime": 0.004, "FocalLength": 50.0,
+             "FocalLengthIn35mmFormat": 75.0},
+            # CreateDate fallback, LensID fallback, string numerics
+            # (f_stop: the reference reads only the Aperture composite;
+            # our FNumber fallback is a strict-superset extension, so the
+            # shared record uses Aperture)
+            {"CreateDate": "2026:05:02 11:00:00", "Model": "CamY",
+             "LensID": "Zoom 24-70", "ISO": "1600", "Aperture": "4.0",
+             "ExposureTime": 2.5, "FocalLength": "24"},
+            # empty record
+            {},
+        ]
+        for rec in records:
+            want = ref_mod.parse_exif_data(rec)
+            got = _standardize_exiftool(rec)
+            for field in ("date_taken", "camera_model", "lens_model",
+                          "f_stop", "shutter_speed", "focal_length"):
+                assert got[field] == want[field], (field, rec, got, want)
+            # iso: we store the int form of the same number
+            assert (got["iso"] is None) == (want["iso"] is None)
+            if want["iso"] is not None:
+                assert float(got["iso"]) == want["iso"]
