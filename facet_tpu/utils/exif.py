@@ -243,8 +243,12 @@ def _to_float(v):
     try:
         if v is None:
             return None
+        # PIL hands EXIF rationals through as (numerator, denominator)
+        # tuples in some versions; IFDRational handles float() itself
+        if isinstance(v, tuple) and len(v) == 2:
+            return float(v[0]) / float(v[1]) if v[1] else None
         return float(v)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, ZeroDivisionError):
         return None
 
 

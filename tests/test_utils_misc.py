@@ -115,6 +115,27 @@ class TestExifFallback:
         assert _format_shutter(2.5) == "2.5"
         assert _format_shutter(None) is None
 
+    def test_pil_rational_tags(self, tmp_path):
+        """PIL hands EXIF rationals through as (num, den) tuples in some
+        versions — exposure/aperture/focal must still parse, and the
+        shutter stores the reference's numeric-seconds string."""
+        from facet_tpu.utils.exif import get_exif_batch
+
+        path = str(tmp_path / "rational.jpg")
+        img = Image.new("RGB", (320, 240), (9, 9, 9))
+        exif = img.getexif()
+        exif[0x0110] = "CamR"
+        exif[0x8827] = 640                # ISO
+        exif[0x829A] = (1, 250)           # ExposureTime
+        exif[0x829D] = (28, 10)           # FNumber
+        exif[0x920A] = (85, 1)            # FocalLength
+        img.save(path, exif=exif)
+        out = get_exif_batch([path])[path]
+        assert out["f_stop"] == 2.8
+        assert out["shutter_speed"] == "0.004"
+        assert out["focal_length"] == 85.0
+        assert out["iso"] == 640
+
 
 class TestPairSelector:
     @pytest.fixture
