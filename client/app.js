@@ -56,7 +56,8 @@ function thumbUrl(path, size) {
 // reference client's ShutterSpeedPipe)
 function fmtShutter(value) {
   const s = Number(value);
-  if (!value || !isFinite(s) || s <= 0) return value || "?";
+  // the non-numeric fallback must stay escaped — it lands in innerHTML
+  if (!value || !isFinite(s) || s <= 0) return value ? esc(value) : "?";
   if (s >= 1) return `${Math.round(s * 10) / 10}s`;
   return `1/${Math.round(1 / s)}s`;
 }

@@ -125,14 +125,17 @@ def build_where(request, conn, ctx):
             clauses.append(f"{column} = ?")
             params.append(val)
 
-    # exact-value selects driven by the filter-option dropdowns
-    # (reference params: aperture, focal_length)
-    for key, column in (("aperture", "p.f_stop"),
-                        ("focal_length", "p.focal_length")):
-        val = request.param(key, type=float)
-        if val is not None:
-            clauses.append(f"{column} = ?")
-            params.append(val)
+    # exact-value selects driven by the filter-option dropdowns; match
+    # through ROUND like the reference (gallery.py:174,182) so the
+    # rounded dropdown values hit unrounded stored columns
+    aperture = request.param("aperture", type=float)
+    if aperture is not None:
+        clauses.append("ROUND(p.f_stop, 1) = ?")
+        params.append(round(aperture, 1))
+    focal = request.param("focal_length", type=float)
+    if focal is not None:
+        clauses.append("ROUND(p.focal_length) = ?")
+        params.append(round(focal))
 
     # reference boolean/range filters with no spelling of ours;
     # burst_only and no_blink apply the same HIDE_* fragments as the
@@ -149,7 +152,7 @@ def build_where(request, conn, ctx):
         params.append(min_lum)
     max_lum = request.param("max_luminance", type=float)
     if max_lum is not None:
-        clauses.append("p.mean_luminance <= ?")
+        clauses.append("p.mean_luminance < ?")    # strict, like the reference
         params.append(max_lum)
     if request.param("top_picks_filter", default=False, type=bool):
         from facet_tpu.api.top_picks import top_picks_where_sql
@@ -195,11 +198,18 @@ def build_where(request, conn, ctx):
             clauses.append("NOT (" + sql.replace("path IN", "p.path IN") + ")")
             params += tag_params
 
-    person_id = request.param("person_id", type=int)
-    if person_id is not None:
-        clauses.append(
-            "p.path IN (SELECT photo_path FROM faces WHERE person_id = ?)")
-        params.append(person_id)
+    person_raw = request.param("person_id") or ""
+    if person_raw:
+        # comma lists AND one clause per person (reference splits
+        # params['person'] the same way): photo must contain ALL of them
+        try:
+            ids = [int(p) for p in str(person_raw).split(",") if p.strip()]
+        except ValueError:
+            raise HTTPError(400, "invalid person id")
+        for pid in ids:
+            clauses.append(
+                "p.path IN (SELECT photo_path FROM faces WHERE person_id = ?)")
+            params.append(pid)
 
     date_from = request.param("date_from")
     if date_from:

@@ -26,12 +26,12 @@ def top_picks_score_sql(viewer=None):
     face = weights.get("face_quality_percent", 24) / 100.0
     # without a significant face, the face weight splits evenly onto
     # aesthetic and composition (reference top_picks.py:26-27); the
-    # reference renders every weight with {:.2f}, so derived weights on
-    # odd percents (e.g. 0.435 -> 0.43) round the same way here
+    # reference derives from UNROUNDED weights and renders every weight
+    # with {:.2f} — round only at render time, after derivation
     two = lambda x: float(f"{x:.2f}")
-    agg, aes, comp, face = two(agg), two(aes), two(comp), two(face)
     nae = two(aes + face / 2.0)
     nc = two(comp + face / 2.0)
+    agg, aes, comp, face = two(agg), two(aes), two(comp), two(face)
     # branch ONLY on face_ratio, exactly like the reference
     # (top_picks.py:30): a big face with missing face_quality scores a
     # zero face term rather than redistributing the face weight
@@ -52,10 +52,10 @@ def top_picks_where_sql(viewer=None):
     cutoff (reference api/types.py:56-60 builds the top_picks type as
     `score >= top_picks_min_score`)."""
     threshold = _photo_types(viewer).get("top_picks_min_score", 7)
-    # the NULL guard keeps partially-scored photos (aggregate pending,
-    # strong per-metric values) out of the view mid-scan
-    return ("p.aggregate IS NOT NULL AND "
-            f"({top_picks_score_sql(viewer)}) >= {float(threshold)}")
+    # NO aggregate-NULL guard: the reference's type and top_picks_filter
+    # both admit any photo whose blend clears the threshold
+    # (api/types.py:60), including mid-scan partial scores
+    return f"({top_picks_score_sql(viewer)}) >= {float(threshold)}"
 
 
 def top_picks_order_sql(viewer=None):

@@ -26,9 +26,10 @@ _CHUNK = 50
 
 _EXIFTOOL_ARGS = [
     "-json", "-n",
-    "-DateTimeOriginal", "-Model", "-LensModel", "-LensID", "-ISO",
-    "-FNumber", "-ExposureTime", "-FocalLength",
-    "-FocalLengthIn35mmFormat", "-ImageWidth", "-ImageHeight",
+    "-DateTimeOriginal", "-CreateDate", "-Model", "-LensModel", "-LensID",
+    "-ISO", "-Aperture", "-FNumber", "-ExposureTime", "-FocalLength",
+    "-FocalLengthIn35mmFormat", "-FocalLengthIn35mmFilm",
+    "-ImageWidth", "-ImageHeight",
 ]
 
 
@@ -186,7 +187,7 @@ def _standardize_exiftool(rec):
     exif["lens_model"] = rec.get("LensModel") or rec.get("LensID")
     exif["iso"] = _to_int(rec.get("ISO"))
     exif["f_stop"] = _to_float(rec.get("Aperture") or rec.get("FNumber"))
-    et = rec.get("ExposureTime")
+    et = _to_float(rec.get("ExposureTime"))
     exif["shutter_speed"] = str(et) if et else None
     exif["focal_length"] = _to_float(rec.get("FocalLength"))
     exif["focal_length_35mm"] = _to_float(

@@ -789,6 +789,16 @@ class TestClientFlows:
             base, aperture="2.8")).json()["total"] == 12
         assert client.get("/api/photos", params=dict(
             base, aperture="5.6")).json()["total"] == 0
+        # ROUND matching: a dropdown value of 2.80001 still hits f/2.8 rows
+        assert client.get("/api/photos", params=dict(
+            base, aperture="2.80001")).json()["total"] == 12
+        # comma-separated person lists AND per id (reference semantics)
+        assert client.get("/api/photos", params=dict(
+            base, person="1,1")).json()["total"] == 2
+        assert client.get("/api/photos", params=dict(
+            base, person_id="1,424242")).json()["total"] == 0
+        assert client.get("/api/photos", params=dict(
+            base, person_id="junk")).status_code == 400
         assert client.get("/api/photos", params=dict(
             base, max_luminance="0.4")).json()["total"] == 0
         assert client.get("/api/photos", params=dict(

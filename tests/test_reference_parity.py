@@ -945,6 +945,12 @@ class TestTopPicksParity:
                                "aesthetic_percent": 31,
                                "composition_percent": 24,
                                "face_quality_percent": 25}},
+        # fractional percents: derivation must happen BEFORE rounding
+        # (0.245 + 0.125 = 0.37, not round(0.245)=0.25 -> 0.38)
+        {"top_picks_weights": {"aggregate_percent": 26,
+                               "aesthetic_percent": 24.5,
+                               "composition_percent": 24.5,
+                               "face_quality_percent": 25}},
     ])
     def test_scores_match_reference_sql(self, photo_types, tmp_path):
         import sqlite3
