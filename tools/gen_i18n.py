@@ -351,5 +351,72 @@ def main():
         print(f"{lang}: {len(merged)} keys ({len(K)} generated)")
 
 
+
+
+# ------------------------------------------------ round-3 viewer depth
+add('gallery.select',
+    'Select', 'Sélectionner', 'Auswählen', 'Seleziona', 'Seleccionar')
+add('gallery.selection.favorite',
+    'Favorite selected', 'Ajouter la sélection aux favoris', 'Auswahl favorisieren', 'Aggiungi selezione ai preferiti', 'Añadir selección a favoritos')
+add('gallery.selection.favorited',
+    'Added {n} photos to favorites', '{n} photos ajoutées aux favoris', '{n} Fotos zu Favoriten hinzugefügt', '{n} foto aggiunte ai preferiti', '{n} fotos añadidas a favoritos')
+add('gallery.faces_in_photo',
+    '{n} faces in this photo', '{n} visages sur cette photo', '{n} Gesichter auf diesem Foto', '{n} volti in questa foto', '{n} caras en esta foto')
+add('gallery.face_n',
+    'Face {n}', 'Visage {n}', 'Gesicht {n}', 'Volto {n}', 'Cara {n}')
+add('gallery.assign_all_faces',
+    'Assign all {n} unidentified faces to', 'Attribuer les {n} visages non identifiés à', 'Alle {n} unbekannten Gesichter zuordnen zu', 'Assegna tutti i {n} volti non identificati a', 'Asignar las {n} caras sin identificar a')
+add('notifications.person_removed',
+    'Person removed from the photo', 'Personne retirée de la photo', 'Person vom Foto entfernt', 'Persona rimossa dalla foto', 'Persona eliminada de la foto')
+add('comparison.history',
+    'Recent votes', 'Votes récents', 'Letzte Abstimmungen', 'Voti recenti', 'Votos recientes')
+add('comparison.no_votes',
+    'No votes yet', "Aucun vote pour l'instant", 'Noch keine Stimmen', 'Ancora nessun voto', 'Aún no hay votos')
+add('comparison.change_winner',
+    'Change the winner', 'Changer le gagnant', 'Gewinner ändern', 'Cambia il vincitore', 'Cambiar el ganador')
+add('comparison.delete_vote',
+    'Delete this vote', 'Supprimer ce vote', 'Diese Stimme löschen', 'Elimina questo voto', 'Eliminar este voto')
+add('comparison.vote_updated',
+    'Vote updated', 'Vote mis à jour', 'Stimme aktualisiert', 'Voto aggiornato', 'Voto actualizado')
+add('comparison.vote_deleted',
+    'Vote deleted', 'Vote supprimé', 'Stimme gelöscht', 'Voto eliminato', 'Voto eliminado')
+add('comparison.snapshot_saved',
+    'Snapshot #{id} saved', 'Instantané n°{id} enregistré', 'Schnappschuss Nr. {id} gespeichert', 'Istantanea n. {id} salvata', 'Instantánea n.º {id} guardada')
+add('gallery.category_changed',
+    'Category changed: {old} → {new}', 'Catégorie modifiée : {old} → {new}', 'Kategorie geändert: {old} → {new}', 'Categoria modificata: {old} → {new}', 'Categoría cambiada: {old} → {new}')
+add('persons.view',
+    'Open', 'Ouvrir', 'Öffnen', 'Apri', 'Abrir')
+add('manage_persons.sort.name_asc',
+    'Name A–Z', 'Nom A–Z', 'Name A–Z', 'Nome A–Z', 'Nombre A–Z')
+add('drawer.fields.require_tags',
+    'With any of these tags', "Avec l'un de ces tags", 'Mit einem dieser Tags', 'Con uno di questi tag', 'Con alguna de estas etiquetas')
+add('drawer.fields.exclude_tags',
+    'Without these tags', 'Sans ces tags', 'Ohne diese Tags', 'Senza questi tag', 'Sin estas etiquetas')
+add('sort_options.top_picks_score',
+    'Top-picks score', 'Score des meilleures photos', 'Top-Picks-Wert', 'Punteggio top picks', 'Puntuación de las mejores')
+add('auth.error',
+    'Login failed', 'Échec de la connexion', 'Anmeldung fehlgeschlagen', 'Accesso non riuscito', 'Error de inicio de sesión')
+add('auth.invalid_credentials',
+    'Invalid credentials', 'Identifiants invalides', 'Ungültige Anmeldedaten', 'Credenziali non valide', 'Credenciales no válidas')
+add('category_names.(uncategorized)',
+    'Uncategorized', 'Sans catégorie', 'Ohne Kategorie', 'Senza categoria', 'Sin categoría')
+add('compare.weights.labels.noise_inv',
+    'Noise (inverted)', 'Bruit (inversé)', 'Rauschen (invertiert)', 'Rumore (invertito)', 'Ruido (invertido)')
+add('compare.weights.labels.power_points',
+    'Power points', 'Points forts', 'Kraftpunkte', 'Punti di forza', 'Puntos de fuerza')
+add('compare.weights.labels.quality_score',
+    'Quality score', 'Score de qualité', 'Qualitätswert', 'Punteggio di qualità', 'Puntuación de calidad')
+add('nav.compare',
+    'Weight tuning', 'Réglage des pondérations', 'Gewichtsabstimmung', 'Regolazione dei pesi', 'Ajuste de pesos')
+add('person_page.title',
+    '{name} - Facet', '{name} - Facet', '{name} - Facet', '{name} - Facet', '{name} - Facet')
+add('stats.score_distribution',
+    'Score distribution', 'Distribution des scores', 'Bewertungsverteilung', 'Distribuzione dei punteggi', 'Distribución de puntuaciones')
+add('tooltip.composition_section',
+    'Composition', 'Composition', 'Komposition', 'Composizione', 'Composición')
+add('tooltip.face_quality',
+    'Face quality', 'Qualité du visage', 'Gesichtsqualität', 'Qualità del volto', 'Calidad facial')
+
+
 if __name__ == "__main__":
     main()
