@@ -313,6 +313,11 @@ function photoCard(photo) {
   return card;
 }
 
+document.getElementById("hide-details").addEventListener("change", (e) => {
+  document.getElementById("grid").classList.toggle("hide-details",
+                                                    e.target.checked);
+});
+
 document.getElementById("clear-selection-btn").addEventListener("click", () => {
   selection.clear();
   document.querySelectorAll("#grid .card.selected").forEach((el) =>
@@ -467,6 +472,14 @@ async function loadFilterOptions() {
   state.config = config;
   state.weights = weights.weights || {};
   state.categories = Object.keys(state.weights).sort();
+
+  // apply the server's display knobs (viewer.display, served through
+  // /api/config like the reference's VIEWER_CONFIG)
+  const display = config.display || {};
+  if (display.card_width_px) {
+    document.getElementById("grid").style.setProperty(
+      "--card-w", display.card_width_px + "px");
+  }
 
   // each dropdown family loads from its own lazy endpoint, with counts
   const lazy = [
