@@ -715,9 +715,14 @@ function openModal(photo) {
   if (photo.composition_pattern)
     html += `<div class="metric"><span>${t("gallery.pattern")}</span>` +
       `<b>${patName(photo.composition_pattern)}</b></div>`;
-  if (photo.tags && photo.tags.length)
+  if (photo.tags && photo.tags.length) {
+    // cap at viewer.display.tags_per_photo like the reference's cards
+    const cap = ((state.config || {}).display || {}).tags_per_photo || 4;
+    const shown = photo.tags.slice(0, cap).join(", ") +
+      (photo.tags.length > cap ? ` +${photo.tags.length - cap}` : "");
     html += `<div class="metric"><span>${t("gallery.tags")}</span>` +
-      `<b>${esc(photo.tags.join(", "))}</b></div>`;
+      `<b>${esc(shown)}</b></div>`;
+  }
   if (photo.camera_model)
     html += `<div class="metric"><span>${t("gallery.camera")}</span>` +
       `<b>${esc(photo.camera_model)}` +
