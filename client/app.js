@@ -313,10 +313,14 @@ function photoCard(photo) {
   return card;
 }
 
-document.getElementById("hide-details").addEventListener("change", (e) => {
+const _hideDetails = document.getElementById("hide-details");
+_hideDetails.addEventListener("change", () => {
   document.getElementById("grid").classList.toggle("hide-details",
-                                                    e.target.checked);
+                                                   _hideDetails.checked);
 });
+// browsers restore form state across reload — sync the grid class once
+document.getElementById("grid").classList.toggle("hide-details",
+                                                 _hideDetails.checked);
 
 document.getElementById("clear-selection-btn").addEventListener("click", () => {
   selection.clear();
@@ -715,9 +719,10 @@ function openModal(photo) {
   if (photo.composition_pattern)
     html += `<div class="metric"><span>${t("gallery.pattern")}</span>` +
       `<b>${patName(photo.composition_pattern)}</b></div>`;
-  if (photo.tags && photo.tags.length) {
+  const tagCap = ((state.config || {}).display || {}).tags_per_photo ?? 4;
+  if (photo.tags && photo.tags.length && tagCap > 0) {
     // cap at viewer.display.tags_per_photo like the reference's cards
-    const cap = ((state.config || {}).display || {}).tags_per_photo || 4;
+    const cap = tagCap;
     const shown = photo.tags.slice(0, cap).join(", ") +
       (photo.tags.length > cap ? ` +${photo.tags.length - cap}` : "");
     html += `<div class="metric"><span>${t("gallery.tags")}</span>` +

@@ -334,23 +334,6 @@ add("language.it", "Italian", "Italien", "Italienisch", "Italiano", "Italiano")
 add("language.es", "Spanish", "Espagnol", "Spanisch", "Spagnolo", "Español")
 
 
-def main():
-    for lang in LANGS:
-        path = os.path.join(OUT_DIR, f"{lang}.json")
-        existing = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                existing = json.load(fh)
-        merged = dict(existing)
-        for key, words in K.items():
-            merged[key] = words[lang]
-        with open(path, "w") as fh:
-            json.dump(dict(sorted(merged.items())), fh, ensure_ascii=False,
-                      indent=1)
-            fh.write("\n")
-        print(f"{lang}: {len(merged)} keys ({len(K)} generated)")
-
-
 
 
 # ------------------------------------------------ round-3 viewer depth
@@ -416,6 +399,27 @@ add('tooltip.composition_section',
     'Composition', 'Composition', 'Komposition', 'Composizione', 'Composición')
 add('tooltip.face_quality',
     'Face quality', 'Qualité du visage', 'Gesichtsqualität', 'Qualità del volto', 'Calidad facial')
+add('gallery.hide_details',
+    'Hide details', 'Masquer les détails', 'Details ausblenden',
+    'Nascondi dettagli', 'Ocultar detalles')
+
+
+def main():
+    for lang in LANGS:
+        path = os.path.join(OUT_DIR, f"{lang}.json")
+        existing = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                existing = json.load(fh)
+        merged = dict(existing)
+        for key, words in K.items():
+            merged[key] = words[lang]
+        with open(path, "w") as fh:
+            json.dump(dict(sorted(merged.items())), fh, ensure_ascii=False,
+                      indent=1)
+            fh.write("\n")
+        print(f"{lang}: {len(merged)} keys ({len(K)} generated)")
+
 
 
 if __name__ == "__main__":
