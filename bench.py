@@ -15,15 +15,25 @@ members per batch (sequential device calls, as the engine does); per-member
 throughput is also reported, plus the CLIP-only figure for continuity with
 round 1.
 
-WALL-CLOCK DISCIPLINE (round 3): the bench bounds its own runtime. All
-members compile at ONE batch shape; the headline JSON line is printed the
-moment the headline number exists, and the optional extras (b=1 latency —
-the only extra compile — and the ingest measurement) run only if budget
-remains, after which the same JSON enriched with those fields is printed
-again as the final line. Either line parses to the same headline value, so
-a driver reading the first or the last JSON line gets the same result, and
-a timeout after the first print still leaves a number on record. SIGTERM/
-SIGINT print the best-known JSON before exiting.
+WALL-CLOCK DISCIPLINE (round 4): the bench bounds its own runtime and is
+outage-proof in three ways:
+
+1. Backend availability is probed in SUBPROCESSES with a hard per-attempt
+   timeout. The observed axon failure mode is `jax.devices()` BLOCKING
+   inside backend init for 25+ minutes — an in-process retry loop cannot
+   escape that (signals don't fire while init holds the GIL), but killing
+   a probe child stuck pre-compile was observed NOT to wedge the service.
+   The parent only initializes jax after a child probe has answered, so
+   the parent's own init is near-certain to be fast.
+2. The measurement budget counts from BACKEND-READY, not process start,
+   so outage wait never eats measurement time.
+3. A provisional headline JSON is printed after EVERY member finishes
+   (compile+measure are interleaved per member), with `"provisional":
+   true` and the serial-ensemble estimate 1/sum(1/rate_i) over members
+   measured so far. The exact combined-loop number replaces it at the
+   end. A SIGTERM/timeout at ANY point after the first member leaves a
+   parseable headline on record; the driver reading the last JSON line
+   gets the best-known number.
 
 vs_baseline is relative to the only throughput number the reference ships:
 its auto-tuner's assumed 6.5 img/s batched-GPU constant
@@ -34,6 +44,7 @@ import argparse
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -58,6 +69,37 @@ def _on_term(signum, frame):
     if _RESULT.get("value"):
         _emit()
     os._exit(0)
+
+
+def wait_for_backend(retry_budget):
+    """Probe `jax.devices()` in fresh subprocesses until one answers.
+
+    Each attempt gets a hard timeout: the observed axon failure mode is
+    backend init BLOCKING for 25+ min (not raising), which an in-process
+    loop cannot escape. Killing a child stuck pre-compile does not wedge
+    the service (round-3 observation). Returns True once a probe
+    succeeds, False when retry_budget is exhausted.
+    """
+    probe = [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"]
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(probe, timeout=150, capture_output=True)
+            if r.returncode == 0:
+                _phase(f"backend probe {attempt} ok")
+                return True
+            tail = (r.stderr or b"").decode(errors="replace").strip()
+            tail = tail.rsplit("\n", 1)[-1][:200]
+            _phase(f"backend probe {attempt} rc={r.returncode}: {tail}")
+        except subprocess.TimeoutExpired:
+            _phase(f"backend probe {attempt} hung >150s; killed")
+        waited = time.monotonic() - t0
+        if waited + 20 > retry_budget:
+            return False
+        time.sleep(20)
 
 
 def build_members(args):
@@ -185,38 +227,30 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
 
-    def remaining():
-        return args.budget - (time.monotonic() - _START)
+    # the axon TPU service goes UNAVAILABLE intermittently, sometimes for
+    # 25+ minutes (BENCH_r03 was lost to one such outage). Probe from
+    # subprocesses before touching jax in-process; size the retry window
+    # to outlast the observed outage length.
+    retry_budget = float(os.environ.get("FACET_BENCH_BACKEND_RETRY_S",
+                                        "2700"))
+    if not wait_for_backend(retry_budget):
+        _phase(f"backend unavailable after {retry_budget:.0f}s of probes")
+        return 1
 
     import jax
     import jax.numpy as jnp
 
     _phase("jax imported")
-
-    # the axon TPU service occasionally reports UNAVAILABLE for a while
-    # (observed: a healthy run at 16:47, backend-init failure at 21:47
-    # after ~25 min of waiting); retry initialization instead of losing
-    # the round's number to a transient outage
-    retry_budget = float(os.environ.get("FACET_BENCH_BACKEND_RETRY_S", "600"))
-    retry_start = time.monotonic()
-    while True:
-        try:
-            jax.devices()
-            break
-        except RuntimeError as exc:
-            waited = time.monotonic() - retry_start
-            if waited > retry_budget:
-                _phase(f"backend unavailable after {waited:.0f}s: {exc}")
-                raise
-            _phase(f"backend unavailable ({exc}); retrying")
-            try:
-                from jax._src import xla_bridge
-
-                xla_bridge._clear_backends()
-            except Exception:
-                pass
-            time.sleep(20)
+    jax.devices()
     _phase("backend ready")
+
+    # the measurement budget counts from BACKEND-READY: outage wait must
+    # not eat measurement time
+    ready_t = time.monotonic()
+
+    def remaining():
+        return args.budget - (time.monotonic() - ready_t)
+
     members = build_members(args)
     _phase("members built")
 
@@ -236,17 +270,21 @@ def main():
         _ = jax.device_get(jnp.sum(buf.astype(jnp.int32)))  # force materialize
     _phase("buffers resident")
 
-    # compile + warmup each member — the ONLY compiles on the default path
+    metric = ("full_ensemble_images_per_second_per_chip"
+              if args.members == "all"
+              else "clip_fused_images_per_second_per_chip")
+
+    # --- compile + measure each member IN TURN, emitting an updated
+    # provisional headline after every one: a timeout mid-run still
+    # leaves the best-known serial-ensemble estimate 1/sum(1/rate_i)
+    # on record. clip_fused (the engine's floor) runs first.
     compile_s = {}
+    member_rates = {}
     for name, fn in members.items():
         t0 = time.perf_counter()
         jax.device_get(fn(buffers[0]))
         compile_s[name] = round(time.perf_counter() - t0, 1)
         _phase(f"compiled {name}")
-
-    # --- per-member steady-state throughput
-    member_rates = {}
-    for name, fn in members.items():
         best = 0.0
         for _ in range(args.repeats):
             t0 = time.perf_counter()
@@ -256,6 +294,22 @@ def main():
                        / (time.perf_counter() - t0))
         member_rates[name] = round(best, 2)
         _phase(f"measured {name}")
+        est = 1.0 / sum(1.0 / r for r in member_rates.values())
+        _RESULT.update({
+            "metric": metric,
+            "value": round(est, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(est / BASELINE_IMG_PER_SEC, 2),
+            "provisional": True,
+            "members_measured": list(member_rates),
+            "members": dict(member_rates),
+            "clip_only_images_per_second": member_rates.get("clip_fused"),
+            "image_shape": [args.height, args.width],
+            "batch": args.batch,
+            "compile_seconds": dict(compile_s),
+            "device": str(jax.devices()[0]),
+        })
+        _emit()      # a parseable headline is on record from here on
 
     # --- headline: ALL members over each batch in one timed loop.
     # Programs are issued back-to-back (async dispatch) and results fetched
@@ -269,23 +323,14 @@ def main():
             jax.device_get([fn(buf) for fn in members.values()])
         best = max(best, args.steps * args.batch / (time.perf_counter() - t0))
 
-    metric = ("full_ensemble_images_per_second_per_chip"
-              if args.members == "all"
-              else "clip_fused_images_per_second_per_chip")
     _RESULT.update({
-        "metric": metric,
         "value": round(best, 2),
-        "unit": "images/sec",
         "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 2),
-        "members": member_rates,
-        "clip_only_images_per_second": member_rates.get("clip_fused"),
-        "image_shape": [args.height, args.width],
-        "batch": args.batch,
-        "compile_seconds": compile_s,
-        "device": str(jax.devices()[0]),
+        "provisional": False,
     })
+    _RESULT.pop("members_measured", None)
     _phase("headline measured")
-    _emit()          # the headline is on record from this moment on
+    _emit()          # the exact headline replaces the estimates
     enriched = False
 
     # --- OPTIONAL: ingest-limited rate on this machine's host->device link.

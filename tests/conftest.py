@@ -7,6 +7,12 @@ paths are exercised without TPU hardware. Must run before jax import.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize hook registers the TPU PJRT plugin on first jax
+# import whenever PALLAS_AXON_POOL_IPS is set — and during a TPU-service
+# outage that registration BLOCKS indefinitely, hanging even CPU-only
+# runs (observed 2026-08-18: `import jax` hung >120 s while bare python
+# started in 2 s). Tests are CPU-only; drop the hook's trigger.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
