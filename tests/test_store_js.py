@@ -1,0 +1,338 @@
+"""Execute the SHIPPED client/store.js under test (VERDICT r3 #6).
+
+The reference ships Jest specs that run gallery.store.ts for real
+(client/src/app/features/gallery/gallery.store.spec.ts). There is no
+node/deno in this image, so tests/minijs.py provides a tree-walking
+interpreter for the ES subset store.js is written in, and these tests
+run the actual file through it — a store.js regression now fails the
+Python suite instead of only surfacing in manual browser use.
+
+Golden fixtures (tests/fixtures/store_golden.json) are asserted on both
+sides: the JS query builder must reproduce each `query` byte-for-byte,
+and the live in-process server must accept and correctly apply the very
+same strings (TestGoldenQueriesAgainstServer).
+"""
+
+import json
+import pathlib
+
+import pytest
+
+from minijs import Interpreter, JSObject, JSSyntaxError, undefined
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+STORE_JS = REPO / "client" / "store.js"
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "fixtures" / "store_golden.json")
+    .read_text())
+CASES = GOLDEN["cases"]
+
+
+@pytest.fixture(scope="module")
+def store():
+    interp = Interpreter()
+    interp.run_file(str(STORE_JS))
+    facet = interp.get_global("FacetStore")
+    assert isinstance(facet, JSObject), "store.js did not export FacetStore"
+    return interp, facet
+
+
+def call(interp, facet, name, *args, this=undefined):
+    fn = facet.get(name, interp)
+    assert fn is not undefined, f"FacetStore.{name} missing"
+    return interp.call(fn, [interp.py_to_js(a) for a in args], this=this)
+
+
+def method(interp, obj, name, *args):
+    fn = obj.get(name, interp)
+    return interp.call(fn, [interp.py_to_js(a) for a in args], this=obj)
+
+
+def make_filters(interp, facet, overrides):
+    filters = call(interp, facet, "defaultFilters")
+    for k, v in overrides.items():
+        filters.set(k, v)
+    return filters
+
+
+# ---------------------------------------------------------------------------
+# golden fixtures: JS side
+# ---------------------------------------------------------------------------
+
+class TestGoldenQueries:
+    @pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+    def test_build_query(self, store, case):
+        interp, facet = store
+        filters = make_filters(interp, facet, case["filters"])
+        params = interp.call(facet.get("buildQuery", interp),
+                             [filters, case["page"], case["page_size"],
+                              case["sort"], case["order"]])
+        assert params.toString() == case["query"]
+
+    @pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+    def test_filters_to_url(self, store, case):
+        interp, facet = store
+        filters = make_filters(interp, facet, case["filters"])
+        params = interp.call(facet.get("filtersToUrl", interp),
+                             [filters, case["sort"], case["order"]])
+        assert params.toString() == case["url"]
+
+    @pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+    def test_filters_from_url_roundtrip(self, store, case):
+        interp, facet = store
+        state = call(interp, facet, "filtersFromUrl", case["url"])
+        assert state.get("sort", interp) == case["sort"]
+        assert state.get("order", interp) == case["order"]
+        expected = make_filters(interp, facet, case["filters"])
+        got = state.get("filters", interp)
+        assert interp.js_to_py(got) == interp.js_to_py(expected)
+
+    @pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+    def test_active_filter_count(self, store, case):
+        interp, facet = store
+        filters = make_filters(interp, facet, case["filters"])
+        assert call(interp, facet, "activeFilterCount",
+                    filters) == case["active_count"]
+
+
+# ---------------------------------------------------------------------------
+# golden fixtures: server side — replay the JS-built strings live
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def api_client(tmp_db, tmp_config):
+    from facet_tpu.api import create_app
+    from facet_tpu.db.connection import get_connection
+    from facet_tpu.web import TestClient
+
+    with get_connection(tmp_db) as conn:
+        for i in range(6):
+            conn.execute(
+                "INSERT INTO photos (path, filename, date_taken, camera_model,"
+                " lens_model, category, aggregate, aesthetic, quality_score,"
+                " tech_sharpness, face_quality, face_count, focal_length,"
+                " iso, f_stop, is_burst_lead, tags)"
+                " VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, 1, ?)",
+                (f"/pics/g{i}.jpg", f"g{i}.jpg", f"2026:0{i + 1}:01 10:00:00",
+                 "Canon EOS R5" if i % 2 else "CamB",
+                 "RF 50mm F1.2", "portrait" if i < 3 else "landscape",
+                 5.0 + i, 6.0 + i * 0.5, 5.5 + i * 0.5, 3.0 + i,
+                 7.5, 1, 50.0, 200 * (i + 1), 2.0 + i, "sunset" if i < 2 else ""))
+        for i in range(2):
+            conn.execute("INSERT INTO photo_tags (photo_path, tag)"
+                         " VALUES (?, 'sunset')", (f"/pics/g{i}.jpg",))
+    app = create_app(db_path=tmp_db, config_path=tmp_config)
+    return TestClient(app)
+
+
+class TestGoldenQueriesAgainstServer:
+    @pytest.mark.parametrize("case", CASES, ids=[c["name"] for c in CASES])
+    def test_query_accepted(self, api_client, case):
+        res = api_client.get("/api/photos?" + case["query"])
+        assert res.status_code == 200, res.text
+        data = res.json()
+        for key in ("photos", "page", "pages", "total"):
+            assert key in data
+
+    def test_query_filters_apply(self, store, api_client):
+        """The JS-built string drives real filtering, not just a 200."""
+        interp, facet = store
+        filters = make_filters(interp, facet, {"camera": "Canon EOS R5"})
+        params = interp.call(facet.get("buildQuery", interp),
+                             [filters, 1, 60, "aggregate", "desc"])
+        data = api_client.get("/api/photos?" + params.toString()).json()
+        assert data["total"] == 3
+        filters = make_filters(interp, facet, {"tag": "sunset",
+                                               "min_score": "5.5"})
+        params = interp.call(facet.get("buildQuery", interp),
+                             [filters, 1, 60, "aggregate", "desc"])
+        data = api_client.get("/api/photos?" + params.toString()).json()
+        assert data["total"] == 1
+
+    def test_js_vocabulary_known_to_server(self, store):
+        """Every FILTER_PARAMS query param appears in the server router
+        source — the static cross-check test_client.py used to rely on,
+        now derived from the executing store."""
+        interp, facet = store
+        src = (REPO / "facet_tpu" / "api" / "routers" / "gallery.py").read_text()
+        fp = interp.js_to_py(facet.get("FILTER_PARAMS", interp))
+        for field, (param, _dflt) in fp.items():
+            assert f'"{param}"' in src or f"'{param}'" in src, (
+                f"store.js param {param!r} unknown to gallery router")
+
+
+# ---------------------------------------------------------------------------
+# store reducers (mirrors gallery.store.spec.ts coverage intent)
+# ---------------------------------------------------------------------------
+
+class TestGalleryStore:
+    def test_paging_accounting(self, store):
+        interp, facet = store
+        g = call(interp, facet, "createGalleryStore", 24)
+        assert g.get("pageSize", interp) == 24
+        assert g.get("hasMore", interp) is True  # page 0 < pages 1
+
+        q = method(interp, g, "nextQuery")
+        assert q.get("page") == "1"
+        assert q.get("page_size") == "24"
+
+        method(interp, g, "appendPage",
+               {"photos": [{"path": "/a.jpg", "aggregate": 7.0},
+                           {"path": "/b.jpg", "aggregate": 6.0}],
+                "page": 1, "pages": 3, "total": 70})
+        assert g.get("page", interp) == 1
+        assert g.get("total", interp) == 70
+        assert len(g.get("photos", interp).elements) == 2
+        assert g.get("hasMore", interp) is True
+        assert method(interp, g, "nextQuery").get("page") == "2"
+
+        method(interp, g, "appendPage",
+               {"photos": [{"path": "/c.jpg"}], "page": 3, "pages": 3,
+                "total": 70})
+        assert g.get("hasMore", interp) is False
+        assert len(g.get("photos", interp).elements) == 3
+
+        method(interp, g, "reset")
+        assert g.get("page", interp) == 0
+        assert g.get("photos", interp).elements == []
+        assert g.get("hasMore", interp) is True
+
+    def test_patch_photo(self, store):
+        interp, facet = store
+        g = call(interp, facet, "createGalleryStore", 10)
+        method(interp, g, "appendPage",
+               {"photos": [{"path": "/a.jpg", "star_rating": 0},
+                           {"path": "/b.jpg", "star_rating": 2}],
+                "page": 1, "pages": 1, "total": 2})
+        method(interp, g, "patchPhoto", "/b.jpg",
+               {"star_rating": 5, "is_favorite": 1})
+        photos = interp.js_to_py(g.get("photos", interp))
+        assert photos[0]["star_rating"] == 0
+        assert photos[1]["star_rating"] == 5
+        assert photos[1]["is_favorite"] == 1
+
+
+class TestSelectionStore:
+    def test_toggle_clear_copy(self, store):
+        interp, facet = store
+        s = call(interp, facet, "createSelectionStore")
+        assert s.get("size", interp) == 0
+        assert method(interp, s, "toggle", "/pics/a.jpg") is True
+        assert method(interp, s, "toggle", "/pics/sub/b.jpg") is True
+        assert s.get("size", interp) == 2
+        assert method(interp, s, "has", "/pics/a.jpg") is True
+        # toggling off
+        assert method(interp, s, "toggle", "/pics/a.jpg") is False
+        assert s.get("size", interp) == 1
+        method(interp, s, "toggle", "/pics/c.jpg")
+        assert method(interp, s, "asText") == "/pics/sub/b.jpg\n/pics/c.jpg"
+        assert method(interp, s, "asFilenames") == "b.jpg\nc.jpg"
+        method(interp, s, "clear")
+        assert s.get("size", interp) == 0
+        assert method(interp, s, "asText") == ""
+
+
+class TestScoreBreakdown:
+    def test_rows_and_contributions(self, store):
+        interp, facet = store
+        photo = {"aggregate": 7.2, "aesthetic": 6.5, "quality_score": 8.0,
+                 "tech_sharpness": 4.0, "comp_score": None}
+        weights = {"aesthetic": 0.3, "quality": 0.2, "tech_sharpness": 0.1}
+        rows = interp.js_to_py(call(interp, facet, "scoreBreakdown",
+                                    photo, weights))
+        by_col = {r["col"]: r for r in rows}
+        # null metric skipped entirely
+        assert "comp_score" not in by_col
+        # aggregate row: no weight key -> weight null, no contribution
+        assert by_col["aggregate"]["weight"] is None
+        assert by_col["aggregate"]["contribution"] is None
+        assert by_col["aesthetic"]["contribution"] == pytest.approx(6.5 * 0.3)
+        assert by_col["quality_score"]["contribution"] == pytest.approx(8.0 * 0.2)
+        # metric present but unweighted in this category -> weight 0
+        assert by_col["tech_sharpness"]["weight"] == pytest.approx(0.1)
+
+    def test_missing_weights_default_zero(self, store):
+        interp, facet = store
+        rows = interp.js_to_py(call(interp, facet, "scoreBreakdown",
+                                    {"aesthetic": 5.0}, None))
+        assert rows == [{"col": "aesthetic", "label": "gallery.aesthetic",
+                         "value": 5.0, "weight": 0, "contribution": 0.0}]
+
+
+class TestChartHelpers:
+    def test_bucketize(self, store):
+        interp, facet = store
+        rows = [{"value": 1.2, "count": 3}, {"value": 4.9, "count": 2},
+                {"value": 5.0, "count": 1}, {"value": 99.0, "count": 7}]
+        counts = interp.js_to_py(call(interp, facet, "bucketize",
+                                      rows, [2, 5, 8]))
+        # 1.2<=2 -> b0; 4.9<=5 and 5.0<=5 -> b1; 99 overflows -> last
+        assert counts == [3, 3, 7]
+        # tuple-form rows [value, count]
+        counts = interp.js_to_py(call(interp, facet, "bucketize",
+                                      [[1, 4], [7, 2]], [2, 5, 8]))
+        assert counts == [4, 0, 2]
+
+    def test_summarize_metrics(self, store):
+        interp, facet = store
+        rows = interp.js_to_py(call(interp, facet, "summarizeMetrics",
+                                    {"sharpness": [2.0, 4.0, 9.0],
+                                     "empty": []}))
+        assert len(rows) == 1
+        assert rows[0]["metric"] == "sharpness"
+        assert rows[0]["avg"] == pytest.approx(5.0)
+        assert rows[0]["min"] == 2.0 and rows[0]["max"] == 9.0
+        assert rows[0]["count"] == 3
+
+
+class TestI18n:
+    def test_make_t(self, store):
+        interp, facet = store
+        t = call(interp, facet, "makeT",
+                 {"greet": "Hello {name}!", "plain": "Plain"})
+        assert interp.call(t, ["plain"]) == "Plain"
+        assert interp.call(t, ["missing.key"]) == "missing.key"
+        assert interp.call(t, ["greet", interp.py_to_js({"name": "Ada"})]) \
+            == "Hello Ada!"
+
+
+# ---------------------------------------------------------------------------
+# meta: the fixtures really bind to the shipped file
+# ---------------------------------------------------------------------------
+
+class TestMutationDetection:
+    """Prove a deliberate store.js mutation fails the golden tests —
+    i.e. the suite executes the real code, not a Python mirror."""
+
+    def _run_mutated(self, old, new):
+        src = STORE_JS.read_text()
+        assert old in src, f"mutation anchor {old!r} drifted"
+        interp = Interpreter()
+        interp.run(src.replace(old, new))
+        return interp, interp.get_global("FacetStore")
+
+    def test_default_flip_changes_query(self, store):
+        interp, facet = self._run_mutated(
+            'hide_blinks: ["hide_blinks", true]',
+            'hide_blinks: ["hide_blinks", false]')
+        case = CASES[1]  # sets hide_blinks false -> now the default -> omitted
+        filters = make_filters(interp, facet, case["filters"])
+        params = interp.call(facet.get("buildQuery", interp),
+                             [filters, case["page"], case["page_size"],
+                              case["sort"], case["order"]])
+        assert params.toString() != case["query"]
+
+    def test_param_rename_changes_query(self, store):
+        interp, facet = self._run_mutated(
+            'search: ["search", ""]', 'search: ["q", ""]')
+        case = CASES[1]
+        filters = make_filters(interp, facet, case["filters"])
+        params = interp.call(facet.get("buildQuery", interp),
+                             [filters, case["page"], case["page_size"],
+                              case["sort"], case["order"]])
+        assert params.toString() != case["query"]
+
+    def test_unsupported_syntax_is_loud(self):
+        interp = Interpreter()
+        with pytest.raises((JSSyntaxError, Exception)):
+            interp.run("class Foo { #priv = 1; }")
