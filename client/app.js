@@ -967,6 +967,11 @@ async function loadStatsTab(tab) {
       timeline.months.slice(-24).reverse(),
       ["month", "count", "avg_score"],
       [t("stats.month"), t("stats.count"), t("stats.avg_score")]);
+    document.getElementById("timeline-heatmap").innerHTML =
+      S.svgHeatmap(S.heatmapCells(timeline.heatmap || []));
+    document.getElementById("top-days-table").innerHTML = htmlTable(
+      timeline.top_days || [], ["date", "count"],
+      [t("stats.date"), t("stats.count")]);
   }
   if (tab === "correlations" && !_statsLoaded.correlations) {
     _statsLoaded.correlations = true;
@@ -978,6 +983,11 @@ async function loadStatsTab(tab) {
                    () => renderCorrelations(),
                    (c) => c === "__global__" ? t("stats.global") : catName(c));
     renderCorrelations();
+    fillSelectOnce("scatter-x", SCATTER_AXES, () => renderScatter(), sortName);
+    fillSelectOnce("scatter-y", SCATTER_AXES, () => renderScatter(), sortName);
+    document.getElementById("scatter-x").value = "aesthetic";
+    document.getElementById("scatter-y").value = "aggregate";
+    renderScatter();
     const overlap = await api("/api/stats/category_overlap").catch(() => null);
     if (overlap) {
       const rows = overlap.per_category.map((r) => Object.assign({}, r, {
@@ -1035,6 +1045,26 @@ async function renderCorrelations() {
   document.getElementById("correlation-table").innerHTML =
     htmlTable(rows, ["metric", "r", "weight"],
               [t("stats.metric"), "r", t("stats.weight")]);
+}
+
+// axes offered for the correlation scatter (whitelisted server-side in
+// /api/stats/scatter)
+const SCATTER_AXES = ["aesthetic", "quality_score", "tech_sharpness",
+                      "exposure_score", "color_score", "comp_score",
+                      "contrast_score", "face_quality", "aggregate",
+                      "iso", "f_stop", "focal_length", "mean_luminance"];
+
+async function renderScatter() {
+  const x = document.getElementById("scatter-x").value || "aesthetic";
+  const y = document.getElementById("scatter-y").value || "aggregate";
+  const q = statsQuery();
+  const data = await api("/api/stats/scatter" + (q ? q + "&" : "?") +
+                         "x=" + x + "&y=" + y).catch(() => null);
+  if (!data) return;
+  document.getElementById("scatter-r").textContent = data.r != null
+    ? "r = " + data.r.toFixed(3) + " (n = " + data.samples + ")" : "";
+  document.getElementById("scatter-chart").innerHTML =
+    S.svgScatter(data.points, { xlabel: sortName(x), ylabel: sortName(y) });
 }
 
 async function loadCategoryMetrics() {

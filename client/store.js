@@ -282,6 +282,122 @@
     return rows;
   }
 
+  // ---- SVG charts (pure string builders, DOM-free) ------------------------
+
+  /** /api/stats/timeline heatmap rows [{day (0=Sun), hour, count}] ->
+   *  7x24 count matrix ordered Mon..Sun (display order). */
+  function heatmapCells(rows) {
+    const cells = [];
+    for (let d = 0; d < 7; d++) cells.push(new Array(24).fill(0));
+    for (const row of rows || []) {
+      const dow = Number(row.day);      // 0 = Sunday (strftime %w)
+      const hour = Number(row.hour);
+      if (dow >= 0 && dow < 7 && hour >= 0 && hour < 24) {
+        cells[(dow + 6) % 7][hour] += Number(row.count) || 0;
+      }
+    }
+    return cells;
+  }
+
+  /** 7x24 matrix (rows Mon..Sun) -> inline SVG heatmap string. Mirrors
+   *  the reference stats timeline day-of-week x hour heatmap
+   *  (reference api/routers/stats.py:460-467 + stats.component.ts). */
+  function svgHeatmap(cells, opts) {
+    const o = opts || {};
+    const cw = o.cellWidth || 24;
+    const ch = o.cellHeight || 18;
+    const pad = o.pad || 40;
+    const days = o.dayLabels ||
+      ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"];
+    let max = 1;
+    for (const row of cells) {
+      for (const v of row) if (v > max) max = v;
+    }
+    const width = pad + 24 * cw + 4;
+    const height = pad + 7 * ch + 4;
+    const parts = [];
+    parts.push('<svg class="heatmap" viewBox="0 0 ' + width + " " + height +
+               '" xmlns="http://www.w3.org/2000/svg">');
+    for (let h = 0; h < 24; h += 3) {
+      parts.push('<text class="axis" x="' + (pad + h * cw + cw / 2) +
+                 '" y="' + (pad - 8) + '" text-anchor="middle">' + h +
+                 "</text>");
+    }
+    for (let d = 0; d < 7; d++) {
+      parts.push('<text class="axis" x="' + (pad - 6) + '" y="' +
+                 (pad + d * ch + ch - 5) + '" text-anchor="end">' +
+                 days[d] + "</text>");
+      for (let h = 0; h < 24; h++) {
+        const v = (cells[d] && cells[d][h]) || 0;
+        const alpha = v ? (0.15 + 0.85 * (v / max)).toFixed(3) : "0";
+        parts.push('<rect class="cell" x="' + (pad + h * cw) + '" y="' +
+                   (pad + d * ch) + '" width="' + (cw - 2) + '" height="' +
+                   (ch - 2) + '" rx="2" data-count="' + v +
+                   '" fill="rgba(79,156,240,' + alpha + ')">' +
+                   "<title>" + days[d] + " " + h + ":00 — " + v +
+                   "</title></rect>");
+      }
+    }
+    parts.push("</svg>");
+    return parts.join("");
+  }
+
+  /** [[x, y], ...] points -> inline SVG scatter with axes + ticks
+   *  (the correlation scatter; point values from /api/stats/scatter). */
+  function svgScatter(points, opts) {
+    const o = opts || {};
+    const w = o.width || 460;
+    const h = o.height || 320;
+    const pad = o.pad || 42;
+    const pts = (points || []).map((p) =>
+      p.length != null ? { x: Number(p[0]), y: Number(p[1]) }
+                       : { x: Number(p.x), y: Number(p.y) });
+    let xmin = Infinity, xmax = -Infinity, ymin = Infinity, ymax = -Infinity;
+    for (const p of pts) {
+      if (p.x < xmin) xmin = p.x;
+      if (p.x > xmax) xmax = p.x;
+      if (p.y < ymin) ymin = p.y;
+      if (p.y > ymax) ymax = p.y;
+    }
+    if (!pts.length || xmin === xmax) { xmin = 0; xmax = xmax > 0 ? xmax : 10; }
+    if (!pts.length || ymin === ymax) { ymin = 0; ymax = ymax > 0 ? ymax : 10; }
+    const sx = (v) => pad + ((v - xmin) / (xmax - xmin)) * (w - pad - 12);
+    const sy = (v) => h - pad - ((v - ymin) / (ymax - ymin)) * (h - pad - 14);
+    const parts = [];
+    parts.push('<svg class="scatter" viewBox="0 0 ' + w + " " + h +
+               '" xmlns="http://www.w3.org/2000/svg">');
+    parts.push('<line class="axis-line" x1="' + pad + '" y1="' + (h - pad) +
+               '" x2="' + (w - 8) + '" y2="' + (h - pad) + '"/>');
+    parts.push('<line class="axis-line" x1="' + pad + '" y1="' + (h - pad) +
+               '" x2="' + pad + '" y2="10"/>');
+    for (let i = 0; i <= 4; i++) {
+      const xv = xmin + ((xmax - xmin) * i) / 4;
+      const yv = ymin + ((ymax - ymin) * i) / 4;
+      parts.push('<text class="axis" x="' + sx(xv).toFixed(1) + '" y="' +
+                 (h - pad + 14) + '" text-anchor="middle">' +
+                 xv.toFixed(1) + "</text>");
+      parts.push('<text class="axis" x="' + (pad - 6) + '" y="' +
+                 (sy(yv) + 4).toFixed(1) + '" text-anchor="end">' +
+                 yv.toFixed(1) + "</text>");
+    }
+    if (o.xlabel) {
+      parts.push('<text class="axis-label" x="' + (pad + (w - pad) / 2) +
+                 '" y="' + (h - 6) + '" text-anchor="middle">' + o.xlabel +
+                 "</text>");
+    }
+    if (o.ylabel) {
+      parts.push('<text class="axis-label" x="12" y="' + (h / 2) +
+                 '" text-anchor="middle" transform="rotate(-90 12 ' +
+                 (h / 2) + ')">' + o.ylabel + "</text>");
+    }
+    for (const p of pts) {
+      parts.push('<circle class="pt" cx="' + sx(p.x).toFixed(1) + '" cy="' +
+                 sy(p.y).toFixed(1) + '" r="2.5"/>');
+    }
+    parts.push("</svg>");
+    return parts.join("");
+  }
+
   // ---- i18n --------------------------------------------------------------
 
   function makeT(catalog) {
@@ -309,6 +425,9 @@
     scoreBreakdown: scoreBreakdown,
     bucketize: bucketize,
     summarizeMetrics: summarizeMetrics,
+    heatmapCells: heatmapCells,
+    svgHeatmap: svgHeatmap,
+    svgScatter: svgScatter,
     makeT: makeT,
   };
 })(typeof window !== "undefined" ? window : globalThis);

@@ -166,10 +166,65 @@ def register(app, ctx):
                 "SELECT substr(date_taken, 1, 7) AS month, COUNT(*),"
                 f" AVG(aggregate) FROM photos WHERE date_taken IS NOT NULL{flt}"
                 " GROUP BY month ORDER BY month", fp).fetchall()
-        return {"months": [
-            {"month": r[0].replace(":", "-"), "count": r[1],
-             "avg_score": round(r[2], 3) if r[2] is not None else None}
-            for r in rows if r[0]]}
+            yearly = conn.execute(
+                "SELECT substr(date_taken, 1, 4) AS year, COUNT(*)"
+                f" FROM photos WHERE date_taken IS NOT NULL AND"
+                f" date_taken != ''{flt} GROUP BY year ORDER BY year",
+                fp).fetchall()
+            # day-of-week x hour heatmap, reference shape: day 0 = Sunday
+            # (strftime %w) — reference stats.py:460-467
+            heat = conn.execute(
+                "SELECT CAST(STRFTIME('%w',"
+                " REPLACE(SUBSTR(date_taken, 1, 10), ':', '-')) AS INTEGER),"
+                " CAST(SUBSTR(date_taken, 12, 2) AS INTEGER), COUNT(*)"
+                " FROM photos WHERE date_taken IS NOT NULL"
+                f" AND LENGTH(date_taken) >= 13{flt}"
+                " GROUP BY 1, 2", fp).fetchall()
+            top_days = conn.execute(
+                "SELECT REPLACE(SUBSTR(date_taken, 1, 10), ':', '-') AS day,"
+                " COUNT(*) AS cnt FROM photos WHERE date_taken IS NOT NULL"
+                f" AND date_taken != ''{flt}"
+                " GROUP BY day ORDER BY cnt DESC LIMIT 10", fp).fetchall()
+        return {
+            "months": [
+                {"month": r[0].replace(":", "-"), "count": r[1],
+                 "avg_score": round(r[2], 3) if r[2] is not None else None}
+                for r in rows if r[0]],
+            "yearly": [{"year": r[0], "count": r[1]} for r in yearly if r[0]],
+            "heatmap": [{"day": r[0], "hour": r[1], "count": r[2]}
+                        for r in heat if r[0] is not None and r[1] is not None
+                        and 0 <= r[1] < 24],
+            "top_days": [{"date": r[0], "count": r[1]} for r in top_days],
+        }
+
+    @app.get("/api/stats/scatter")
+    def scatter(request):
+        """Raw sampled (x, y) metric points + Pearson r for the
+        correlation scatter chart. Columns whitelisted against
+        SCORE_COLUMNS (+ shooting params); sampling is a deterministic
+        Knuth-hash shuffle so pagination-free charts stay stable."""
+        axes = set(SCORE_COLUMNS) | {"iso", "f_stop", "focal_length",
+                                     "mean_luminance", "face_count",
+                                     "dynamic_range_stops", "noise_sigma"}
+        x = request.param("x", "aesthetic")
+        y = request.param("y", "aggregate")
+        if x not in axes or y not in axes:
+            raise HTTPError(400, "invalid scatter axis")
+        limit = max(10, min(request.param("limit", 500, int), 2000))
+        flt, fp = _stats_filter(request)
+        with ctx.connection() as conn:
+            rows = conn.execute(
+                f"SELECT {x}, {y} FROM photos"
+                f" WHERE {x} IS NOT NULL AND {y} IS NOT NULL{flt}"
+                " ORDER BY (rowid * 2654435761) % 4294967296 LIMIT ?",
+                fp + [limit]).fetchall()
+        xs = [r[0] for r in rows]
+        ys = [r[1] for r in rows]
+        corr = _pearson(xs, ys)
+        return {"x": x, "y": y,
+                "points": [[round(a, 4), round(b, 4)] for a, b in rows],
+                "r": round(corr, 4) if corr is not None else None,
+                "samples": len(rows)}
 
     @app.get("/api/stats/categories")
     def categories(request):

@@ -137,12 +137,43 @@ class TestStats:
         assert {c["camera"] for c in gear["cameras"]} == {"CamA", "CamB"}
 
     def test_timeline_categories_correlations(self, client):
-        months = client.get("/api/stats/timeline").json()["months"]
+        timeline = client.get("/api/stats/timeline").json()
+        months = timeline["months"]
         assert months and all("-" in m["month"] for m in months)
         cats = client.get("/api/stats/categories").json()["categories"]
         assert {c["category"] for c in cats} == {"portrait", "landscape"}
         corr = client.get("/api/stats/correlations").json()
         assert "aesthetic" in corr["correlation_with_aggregate"]
+        # reference-shape extensions (stats.py:452-476): yearly, day x hour
+        # heatmap (day 0 = Sunday), top days
+        assert timeline["yearly"] and timeline["yearly"][0]["year"] == "2026"
+        assert sum(y["count"] for y in timeline["yearly"]) == 12
+        heat = timeline["heatmap"]
+        assert heat and all(0 <= c["day"] < 7 and 0 <= c["hour"] < 24
+                            for c in heat)
+        assert sum(c["count"] for c in heat) == 12  # all rows stamped 12:00
+        assert all(c["hour"] == 12 for c in heat)
+        assert timeline["top_days"][0]["count"] >= 1
+        assert "-" in timeline["top_days"][0]["date"]
+
+    def test_scatter(self, client):
+        data = client.get("/api/stats/scatter",
+                          params={"x": "aesthetic", "y": "aggregate"}).json()
+        assert data["samples"] == 12
+        assert len(data["points"]) == 12
+        # seeded aesthetic/aggregate are jointly monotone -> r == 1
+        assert data["r"] == pytest.approx(1.0, abs=1e-3)
+        # whitelist guard
+        assert client.get("/api/stats/scatter",
+                          params={"x": "path"}).status_code == 400
+        # drill-down filter applies
+        portrait = client.get("/api/stats/scatter",
+                              params={"category": "portrait"}).json()
+        assert portrait["samples"] == 4
+        # deterministic sampling order
+        again = client.get("/api/stats/scatter",
+                           params={"x": "aesthetic", "y": "aggregate"}).json()
+        assert again["points"] == data["points"]
 
     def test_update_weights_roundtrip(self, client):
         res = client.post("/api/stats/update_weights",

@@ -285,6 +285,81 @@ class TestChartHelpers:
         assert rows[0]["count"] == 3
 
 
+class TestSvgCharts:
+    """Execute the shipped SVG builders and pin the structure the stats
+    tabs render (VERDICT r3 #8: timeline heatmap + correlation scatter)."""
+
+    def test_heatmap_cells_reorders_sunday(self, store):
+        interp, facet = store
+        rows = [{"day": 0, "hour": 9, "count": 4},   # Sunday
+                {"day": 1, "hour": 0, "count": 2},   # Monday
+                {"day": 6, "hour": 23, "count": 1}]  # Saturday
+        cells = interp.js_to_py(call(interp, facet, "heatmapCells", rows))
+        assert len(cells) == 7 and all(len(r) == 24 for r in cells)
+        assert cells[6][9] == 4   # Sunday -> last display row
+        assert cells[0][0] == 2   # Monday -> first display row
+        assert cells[5][23] == 1  # Saturday -> sixth row
+        assert sum(map(sum, cells)) == 7
+        # out-of-range rows dropped
+        cells = interp.js_to_py(call(interp, facet, "heatmapCells",
+                                     [{"day": 9, "hour": 3, "count": 5},
+                                      {"day": 2, "hour": 24, "count": 5}]))
+        assert sum(map(sum, cells)) == 0
+
+    def test_svg_heatmap_structure(self, store):
+        interp, facet = store
+        rows = [{"day": 1, "hour": 13, "count": 8},
+                {"day": 3, "hour": 7, "count": 2}]
+        cells = call(interp, facet, "heatmapCells", rows)
+        svg = interp.call(facet.get("svgHeatmap", interp), [cells])
+        assert svg.startswith('<svg class="heatmap" viewBox="0 0 ')
+        assert svg.endswith("</svg>")
+        assert svg.count("<rect") == 7 * 24
+        # max cell fully saturated, other non-zero cell scaled, zeros at 0
+        assert 'data-count="8" fill="rgba(79,156,240,1.000)"' in svg
+        assert 'data-count="2" fill="rgba(79,156,240,0.36' in svg
+        assert svg.count('fill="rgba(79,156,240,0)"') == 7 * 24 - 2
+        # native tooltips + axis labels
+        assert "<title>Mon 13:00 — 8</title>" in svg
+        assert "<title>Wed 7:00 — 2</title>" in svg
+        for day in ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"):
+            assert ">" + day + "<" in svg
+        assert svg.count('<text class="axis"') == 8 + 7  # hours 0..21 + days
+
+    def test_svg_scatter_structure(self, store):
+        interp, facet = store
+        points = [[0.0, 0.0], [5.0, 2.5], [10.0, 5.0]]
+        svg = interp.call(facet.get("svgScatter", interp),
+                          [interp.py_to_js(points),
+                           interp.py_to_js({"xlabel": "Aesthetic",
+                                            "ylabel": "Score"})])
+        assert svg.startswith('<svg class="scatter" viewBox="0 0 460 320"')
+        assert svg.count('<circle class="pt"') == 3
+        assert svg.count('<line class="axis-line"') == 2
+        # 5 ticks per axis
+        assert svg.count('<text class="axis"') == 10
+        assert ">0.0<" in svg and ">10.0<" in svg and ">5.0<" in svg
+        assert ">Aesthetic<" in svg and ">Score<" in svg
+        # x positions are monotone left-to-right for monotone points
+        import re as _re
+        cxs = [float(m) for m in _re.findall(r'cx="([\d.]+)"', svg)]
+        assert cxs == sorted(cxs)
+        cys = [float(m) for m in _re.findall(r'cy="([\d.]+)"', svg)]
+        assert cys == sorted(cys, reverse=True)  # SVG y grows downward
+
+    def test_svg_scatter_degenerate(self, store):
+        interp, facet = store
+        svg = interp.call(facet.get("svgScatter", interp),
+                          [interp.py_to_js([])])
+        assert svg.count("<circle") == 0
+        assert svg.count('<text class="axis"') == 10  # axes still drawn
+        # single point / zero-extent domain must not divide by zero
+        svg = interp.call(facet.get("svgScatter", interp),
+                          [interp.py_to_js([[3.0, 3.0]])])
+        assert svg.count("<circle") == 1
+        assert "NaN" not in svg
+
+
 class TestI18n:
     def test_make_t(self, store):
         interp, facet = store

@@ -163,6 +163,10 @@ add("stats.matched", "Matched", "Correspondantes", "Passend", "Corrispondenti", 
 add("stats.captured", "Captured by higher priority", "Captées par une priorité supérieure", "Von höherer Priorität erfasst", "Catturate da priorità superiore", "Capturadas por mayor prioridad")
 add("stats.overlap_pair", "Overlapping pair", "Paire en chevauchement", "Überschneidendes Paar", "Coppia sovrapposta", "Par solapado")
 add("stats.uncategorized", "{n} photos uncategorized", "{n} photos sans catégorie", "{n} Fotos ohne Kategorie", "{n} foto senza categoria", "{n} fotos sin categoría")
+add("stats.heatmap", "Shooting heatmap (day × hour)", "Carte thermique des prises (jour × heure)", "Aufnahme-Heatmap (Tag × Stunde)", "Mappa termica degli scatti (giorno × ora)", "Mapa de calor de disparos (día × hora)")
+add("stats.top_days", "Most active days", "Jours les plus actifs", "Aktivste Tage", "Giorni più attivi", "Días más activos")
+add("stats.scatter", "Correlation scatter", "Nuage de corrélation", "Korrelations-Streudiagramm", "Grafico a dispersione delle correlazioni", "Diagrama de dispersión de correlación")
+add("stats.date", "Date", "Date", "Datum", "Data", "Fecha")
 
 # ----------------------------------------------------------------- persons
 add("persons.merge_suggestions", "Merge suggestions", "Suggestions de fusion", "Zusammenführungsvorschläge", "Suggerimenti di unione", "Sugerencias de fusión")
