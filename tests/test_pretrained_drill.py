@@ -16,12 +16,14 @@ import os
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests", "fixtures"))
 
 ENGINE_FAMILIES = (
     "clip_vit_l14_vision", "aesthetic_head", "u2netp", "samp_net",
@@ -98,6 +100,186 @@ def test_converters_produce_every_engine_family(converted):
             family, log)
     assert "converted CLIP vision tower" in log
     assert "converted CLIP text tower" in log
+
+
+class TestInsightfaceOnnxDrill:
+    """The ONNX-only leg (VERDICT r3 #4): synthesize buffalo_l-format
+    .onnx files at real dims with tests/fixtures/onnx_writer.py, then run
+    tools/convert_insightface.py end-to-end WITHOUT the `onnx` package
+    (the CLI falls back to facet_tpu/models/onnx_pb.py)."""
+
+    @staticmethod
+    def _sd_to_onnx(path, sd):
+        """State dict -> ONNX whose initializer names/shapes match the
+        published export and whose nodes give each weight its consumer op
+        (Conv / BatchNormalization / Mul) for the manifest."""
+        from onnx_writer import write_model
+
+        inits, nodes, done = [], [], set()
+        prev, i = "input.1", 0
+        for key, arr in sd.items():
+            if "num_batches_tracked" in key or key in done:
+                continue
+            base = key[: -len(".weight")] if key.endswith(".weight") else key
+            if key.endswith(".weight") and base + ".running_mean" in sd:
+                names = [base + s for s in (".weight", ".bias",
+                                            ".running_mean", ".running_var")]
+                for n in names:
+                    inits.append((n, sd[n]))
+                    done.add(n)
+                out = f"t{i}"
+                i += 1
+                nodes.append(("BatchNormalization", [prev] + names, [out],
+                              {"epsilon": 1e-5}))
+                prev = out
+            elif key.endswith(".weight") and np.ndim(arr) == 4:
+                ins = [prev, key]
+                inits.append((key, arr))
+                done.add(key)
+                if base + ".bias" in sd:
+                    ins.append(base + ".bias")
+                    inits.append((base + ".bias", sd[base + ".bias"]))
+                    done.add(base + ".bias")
+                out = f"t{i}"
+                i += 1
+                k = arr.shape[2]
+                nodes.append(("Conv", ins, [out],
+                              {"strides": [1, 1], "group": 1,
+                               "kernel_shape": [k, k], "pads": [k // 2] * 4}))
+                prev = out
+            else:   # scalars (bbox_head.scales.*) and leftovers
+                inits.append((key, np.asarray(arr)))
+                done.add(key)
+                out = f"t{i}"
+                i += 1
+                nodes.append(("Mul", [prev, key], [out], {}))
+                prev = out
+        write_model(path, inits, nodes)
+
+    @pytest.fixture(scope="class")
+    def out_dir(self, tmp_path_factory):
+        return tmp_path_factory.mktemp("onnx_converted")
+
+    def _run_cli(self, model_path, out_dir):
+        env = dict(os.environ, FACET_PLATFORM="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1",
+                   PYTHONPATH=REPO + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        return subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "convert_insightface.py"),
+             str(model_path), "--out", str(out_dir)],
+            capture_output=True, text=True, env=env, timeout=900)
+
+    def test_det_10g_onnx_converts_exactly(self, tmp_path, out_dir):
+        """det_10g.onnx at REAL SCRFD-10G dims -> scrfd_detector.npz,
+        numerically identical to the direct state-dict conversion."""
+        from facet_tpu.models.convert import load_params
+        from facet_tpu.models.scrfd import (SCRFD_10G, convert_scrfd,
+                                            synthetic_scrfd_state_dict)
+
+        sd = synthetic_scrfd_state_dict(SCRFD_10G)
+        onnx_path = tmp_path / "det_10g.onnx"
+        self._sd_to_onnx(onnx_path, sd)
+        proc = self._run_cli(onnx_path, out_dir)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "inferred SCRFD config" in proc.stdout
+        assert "WARNING" not in proc.stdout, proc.stdout
+        got = load_params(os.path.join(out_dir, "scrfd_detector.npz"))
+        want, report = convert_scrfd(sd, SCRFD_10G, verbose=False)
+        assert not report["missing"]
+        got_flat = jax.tree_util.tree_leaves_with_path(got)
+        want_flat = jax.tree_util.tree_leaves_with_path(want)
+        assert len(got_flat) == len(want_flat)
+        for (kp_g, leaf_g), (kp_w, leaf_w) in zip(got_flat, want_flat):
+            assert kp_g == kp_w
+            np.testing.assert_array_equal(np.asarray(leaf_g),
+                                          np.asarray(leaf_w))
+
+    def test_w600k_onnx_converts(self, tmp_path, out_dir):
+        """w600k_r50.onnx (torch-export names) -> arcface_iresnet50.npz."""
+        from facet_tpu.models.convert import (load_params,
+                                              synthetic_arcface_state_dict)
+        from onnx_writer import write_model
+
+        sd = synthetic_arcface_state_dict()
+        inits = [(k, np.asarray(v)) for k, v in sd.items()
+                 if "num_batches_tracked" not in k]
+        write_model(tmp_path / "w600k_r50.onnx", inits, [])
+        proc = self._run_cli(tmp_path / "w600k_r50.onnx", out_dir)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        tree = load_params(os.path.join(out_dir, "arcface_iresnet50.npz"))
+        assert "params" in tree
+
+    def test_2d106det_onnx_serializes_and_executes(self, tmp_path, out_dir):
+        """A 2d106det-shaped graph (192x192 in, 212 landmarks out, MXNet
+        export ops) -> landmark_106_graph.npz that GraphRunner executes."""
+        from onnx_writer import write_model
+
+        rng = np.random.default_rng(3)
+        c = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.05
+        inits = [
+            ("conv0_w", c(8, 3, 3, 3)), ("conv0_b", np.zeros(8, np.float32)),
+            ("prelu0_a", np.full(8, 0.25, np.float32)),
+            ("conv1_w", c(16, 8, 3, 3)), ("conv1_b", np.zeros(16, np.float32)),
+            ("fc_w", c(212, 16)), ("fc_b", np.zeros(212, np.float32)),
+        ]
+        nodes = [
+            ("Conv", ["data", "conv0_w", "conv0_b"], ["c0"],
+             {"strides": [2, 2], "pads": [1, 1, 1, 1],
+              "kernel_shape": [3, 3], "group": 1}),
+            ("PRelu", ["c0", "prelu0_a"], ["p0"], {}),
+            ("MaxPool", ["p0"], ["m0"],
+             {"kernel_shape": [2, 2], "strides": [2, 2],
+              "pads": [0, 0, 0, 0]}),
+            ("Conv", ["m0", "conv1_w", "conv1_b"], ["c1"],
+             {"strides": [2, 2], "pads": [1, 1, 1, 1],
+              "kernel_shape": [3, 3], "group": 1}),
+            ("Relu", ["c1"], ["r1"], {}),
+            ("GlobalAveragePool", ["r1"], ["g1"], {}),
+            ("Flatten", ["g1"], ["f1"], {"axis": 1}),
+            ("Gemm", ["f1", "fc_w", "fc_b"], ["fc1"],
+             {"transB": 1, "alpha": 1.0, "beta": 1.0}),
+        ]
+        write_model(tmp_path / "2d106det.onnx", inits, nodes)
+        proc = self._run_cli(tmp_path / "2d106det.onnx", out_dir)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "executes via GraphRunner" in proc.stdout
+        from facet_tpu.models.onnx_exec import load_graph
+
+        runner = load_graph(os.path.join(out_dir, "landmark_106_graph.npz"))
+        out = runner(np.zeros((1, 3, 192, 192), np.float32))
+        assert out[0].shape == (1, 212)
+
+    def test_onnx_pb_reader_matches_writer_roundtrip(self):
+        """Byte-level sanity: every payload type survives write -> parse."""
+        from facet_tpu.models.onnx_pb import load_model
+        from onnx_writer import build_model
+        import tempfile
+
+        arr4 = np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2)
+        scalar = np.asarray(1.5, np.float32)
+        i64 = np.asarray([1, -2, 3], np.int64)
+        nodes = [("Conv", ["x", "w"], ["y"],
+                  {"strides": [2, 2], "group": 1, "alpha": 0.5,
+                   "mode": "nearest"}),
+                 ("Constant", [], ["k"], {"value": i64}),
+                 ("Reshape", ["y", "k"], ["z"], {})]
+        blob = build_model([("w", arr4), ("s", scalar)], nodes)
+        with tempfile.NamedTemporaryFile(suffix=".onnx") as fh:
+            fh.write(blob)
+            fh.flush()
+            inits, parsed_nodes = load_model(fh.name)
+        d = dict(inits)
+        np.testing.assert_array_equal(d["w"], arr4)
+        assert d["s"].shape == () and d["s"] == 1.5
+        np.testing.assert_array_equal(d["k"], i64)   # Constant folded
+        assert len(parsed_nodes) == 2
+        op, ins, outs, attrs = parsed_nodes[0]
+        assert (op, ins, outs) == ("Conv", ["x", "w"], ["y"])
+        assert attrs["strides"] == [2, 2] and attrs["group"] == 1
+        assert attrs["alpha"] == pytest.approx(0.5)
+        assert attrs["mode"] == "nearest"
 
 
 def test_engine_scores_with_converted_weights(converted, tmp_path):

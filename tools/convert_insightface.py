@@ -2,9 +2,10 @@
 """Convert insightface buffalo_l ONNX models into facet_tpu .npz trees.
 
 buffalo_l ships ONNX-only (det_10g.onnx, 2d106det.onnx, w600k_r50.onnx).
-Requires the `onnx` package at runtime (pip install onnx) — not baked into
-this build environment, so the graph-independent logic lives in functions
-testable without it.
+Uses the `onnx` package when installed, else the dependency-free wire
+parser in facet_tpu/models/onnx_pb.py — the CLI runs end-to-end either
+way (drilled by tests/test_pretrained_drill.py with synthesized
+published-format ONNX files).
 
 Strategy per model:
 
@@ -41,9 +42,18 @@ def load_onnx_initializers(path):
     """-> ordered [(name, array)] + [(op_type, [ins], [outs], {attrs})].
 
     Constant nodes are folded into the initializer list so GraphRunner
-    (facet_tpu/models/onnx_exec.py) sees a pure dataflow graph."""
-    import onnx
-    from onnx import numpy_helper
+    (facet_tpu/models/onnx_exec.py) sees a pure dataflow graph.
+
+    Prefers the `onnx` package when installed; otherwise falls back to
+    the in-repo wire-format parser (facet_tpu/models/onnx_pb.py), which
+    returns the identical structure — the CLI works either way."""
+    try:
+        import onnx
+        from onnx import numpy_helper
+    except ImportError:
+        from facet_tpu.models.onnx_pb import load_model
+
+        return load_model(path)
 
     model = onnx.load(path)
     graph = model.graph
