@@ -131,6 +131,9 @@ def build_members(args):
         vision, sds((1, config.image_size, config.image_size, 3)), seed=0)
     hp = fallback_init(head, sds((1, config.projection_dim)), seed=1)
     fused = build_fused_pipeline(vision, head, h, w)
+    # stashed for the optional fast-mode section (one extra fused build)
+    build_members.vision, build_members.head = vision, head
+    build_members.vp, build_members.hp = vp, hp
     # members return UN-FETCHED device outputs: the full-ensemble loop issues
     # every program back-to-back and fetches once per step, so dispatch/RPC
     # overhead overlaps device compute (device_get serializes otherwise)
@@ -332,6 +335,39 @@ def main():
     _phase("headline measured")
     _emit()          # the exact headline replaces the estimates
     enriched = False
+
+    # --- OPTIONAL: fast mode (processing.fast_color_harmony) — the H-S
+    # entropy from a stride-4 pixel subsample, everything else identical.
+    # One extra fused-program compile; the exact-mode headline above is the
+    # official metric, this documents the measured speed of the divergence.
+    if remaining() > 60:
+        from facet_tpu.processing.device_pipeline import build_fused_pipeline
+
+        fused_fast = build_fused_pipeline(
+            build_members.vision, build_members.head, args.height,
+            args.width, hs_subsample=4)
+        fast_members = dict(members)
+        fast_members["clip_fused"] = lambda buf: fused_fast(
+            build_members.vp, build_members.hp, buf)
+        t0 = time.perf_counter()
+        jax.device_get(fast_members["clip_fused"](buffers[0]))
+        fast_compile = round(time.perf_counter() - t0, 1)
+        best_fast = 0.0
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                buf = buffers[i % 2]
+                jax.device_get([fn(buf) for fn in fast_members.values()])
+            best_fast = max(best_fast,
+                            args.steps * args.batch / (time.perf_counter() - t0))
+        _RESULT["fast_mode"] = {
+            "images_per_second": round(best_fast, 2),
+            "hs_subsample": 4,
+            "compile_seconds": fast_compile,
+            "gate": "processing.fast_color_harmony",
+        }
+        _phase("fast mode measured")
+        _emit()
 
     # --- OPTIONAL: ingest-limited rate on this machine's host->device link.
     # Compile-free: copy a 64-image host batch over the link, zero-pad it to

@@ -352,6 +352,12 @@ def build_default_config():
         },
         "processing": {
             "mode": "auto",
+            # FAST MODE (measured divergence, default off): compute the H-S
+            # color-harmony entropy from a stride-4 pixel subsample. Every
+            # other metric stays exact; docs/SCORING.md records the measured
+            # score-delta distribution. The exact path is the parity-tested
+            # default (reference formula: analyzers/technical.py:79-113).
+            "fast_color_harmony": False,
             "device_batch_size": 16,
             "gpu_batch_size": 16,          # reference-compatible alias
             "ram_chunk_size": 100,

@@ -6,10 +6,17 @@ Pre-norm transformer, learned position embeddings, class token, final
 layer-norm and linear projection; text tower pools at the EOT (argmax) token
 with a causal mask.
 
-TPU notes: compute dtype is bf16 by default (params stay f32); attention is
-plain dot-product — at 257/77 tokens XLA's fused attention is already optimal,
-flash-style tiling buys nothing at this sequence length. Batches shard over
-the mesh's data axis via facet_tpu.parallel.
+TPU notes: compute dtype is bf16 by default (params stay f32). Two attention
+paths: "xla" (plain dot-product — the default AND the measured winner) and
+"flash" (the pallas flash-attention kernel, measured and rejected). The
+round-4 device trace attributed ~0.9 ms/img of the fused program to the
+materialized (B, 16, 257, 257) score tensors' softmax passes, but flash
+measured SLOWER in the same program (306.3 -> 247.1 img/s at batch 64):
+at 257 tokens the kernel's 384-token padding and per-grid-step overhead
+cost more than the softmax traffic it saves (block 128 was worse still,
+186.2). resolve_attn_impl keeps "xla" on every backend; the flash wrapper
++ parity test remain as the measured record (FACET_ATTN_IMPL=flash to
+re-probe). Batches shard over the mesh's data axis via facet_tpu.parallel.
 """
 
 from dataclasses import dataclass
@@ -50,10 +57,75 @@ class CLIPTextConfig:
     projection_dim: int = 768
 
 
+def _flash_attention(q, k, v, scale):
+    """(B, S, H, D) bf16 -> (B, S, H, D) via the pallas flash kernel.
+
+    Pads the sequence to a 128-multiple with a second segment id so padded
+    keys are excluded exactly; padded query rows are sliced off. On CPU
+    backends the kernel runs in interpreter mode (tests / dryrun).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, s, h, d = q.shape
+    s_pad = -(-s // 128) * 128
+    qt = jnp.swapaxes(q, 1, 2)          # (B, H, S, D)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if s_pad != s:
+        pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        qt, kt, vt = (jnp.pad(t, pad) for t in (qt, kt, vt))
+    seg = (jnp.arange(s_pad) < s).astype(jnp.int32)[None, :]
+    seg = jnp.broadcast_to(seg, (b, s_pad))
+    import os
+
+    # probe knob (round-4 record: 384 beat 128 at seq 257; both lost to xla)
+    block = min(int(os.environ.get("FACET_FLASH_BLOCK", "512")), s_pad)
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block)
+
+    def run():
+        return flash_attention(qt, kt, vt,
+                               segment_ids=SegmentIds(q=seg, kv=seg),
+                               sm_scale=scale, block_sizes=sizes)
+
+    if jax.default_backend() == "cpu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            out = run()
+    else:
+        out = run()
+    return jnp.swapaxes(out[:, :, :s, :], 1, 2).astype(q.dtype)
+
+
+def resolve_attn_impl(impl="auto"):
+    """Pick the attention implementation for the current backend.
+
+    "auto" -> "xla" everywhere. Flash was MEASURED AND REJECTED at this
+    sequence length (round 4, fused program at batch 64 on v5e: xla
+    306.3 img/s vs flash 247.1 at block 384 and 186.2 at block 128): the
+    kernel pads 257 -> 384 tokens and its grid overhead exceeds the
+    ~0.9 ms/img of materialized-softmax traffic it eliminates. The flash
+    path stays implemented + parity-tested as the measured record;
+    FACET_ATTN_IMPL=flash re-enables it for probing.
+    """
+    import os
+
+    impl = os.environ.get("FACET_ATTN_IMPL", impl)
+    if impl != "auto":
+        return impl
+    return "xla"
+
+
 class Attention(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -68,15 +140,19 @@ class Attention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         scale = head_dim ** -0.5
-        # attention entirely in the compute dtype: in bf16 this halves the
-        # (B, heads, S, S) logit traffic — measured +5% on the b64 ViT-L
-        # (fused qkv measured WORSE; probe table in docs/PERF.md). f32
-        # compute keeps the f32 softmax, so parity tests are bit-unchanged.
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        if mask is not None:
-            logits = logits + mask.astype(logits.dtype)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        if self.attn_impl == "flash" and mask is None:
+            out = _flash_attention(q, k, v, scale)
+        else:
+            # attention entirely in the compute dtype: in bf16 this halves
+            # the (B, heads, S, S) logit traffic — measured +5% on the b64
+            # ViT-L (fused qkv measured WORSE; probe table in docs/PERF.md).
+            # f32 compute keeps the f32 softmax, so parity tests are
+            # bit-unchanged.
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            if mask is not None:
+                logits = logits + mask.astype(logits.dtype)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(*out.shape[:-2], self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
@@ -98,11 +174,13 @@ class Block(nn.Module):
     heads: int
     mlp_ratio: float
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask=None):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
-        x = x + Attention(self.width, self.heads, self.dtype, name="attn")(y, mask)
+        x = x + Attention(self.width, self.heads, self.dtype,
+                          attn_impl=self.attn_impl, name="attn")(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         return x + MLP(self.width, int(self.width * self.mlp_ratio),
                        self.dtype, name="mlp")(y)
@@ -113,6 +191,7 @@ class CLIPVisionTower(nn.Module):
 
     config: CLIPVisionConfig = CLIPVisionConfig()
     dtype: jnp.dtype = jnp.bfloat16
+    attn_impl: str = "xla"   # "flash" on TPU hot paths (same params)
 
     @nn.compact
     def __call__(self, pixels):
@@ -137,7 +216,7 @@ class CLIPVisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         for i in range(cfg.layers):
             x = Block(cfg.width, cfg.heads, cfg.mlp_ratio, self.dtype,
-                      name=f"block_{i}")(x)
+                      attn_impl=self.attn_impl, name=f"block_{i}")(x)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0])
         proj = self.param("projection", nn.initializers.normal(cfg.width ** -0.5),
                           (cfg.width, cfg.projection_dim))

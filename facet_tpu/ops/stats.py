@@ -156,14 +156,98 @@ def hs_entropy_sorted(hh, ss, n_valid=None):
                     axis=1)
 
 
-def _batch_stats_impl(rgb_batch):
+def hs_entropy_radix(hp, sp, pixel_subsample=1):
+    """H-S joint entropy via the RADIX-PACKED one-hot MXU matmul.
+
+    hp/sp: (B, n_pad) int32 hue bins / saturations with n_pad a multiple of
+    HS_CHUNK; padding pixels carry hue -1 (or any value outside 0..179) so
+    they land in no histogram bin. Returns (B,) f32 entropy in bits.
+
+    This is the measured default formulation (decision table: docs/PERF.md);
+    factored out of the fused statistics program so the perf probes and the
+    fast-mode path time EXACTLY the shipped code.
+
+    pixel_subsample > 1 is the config-gated FAST MODE: it strides the pixel
+    stream (every k-th pixel feeds the histogram), trading an approximate
+    histogram for proportionally less matmul/bandwidth work. The exact mode
+    (subsample 1) is the parity-tested default.
+    """
+    if pixel_subsample > 1:
+        hp = hp[:, ::pixel_subsample]
+        sp = sp[:, ::pixel_subsample]
+        hp = _pad_to_tiles(hp, HS_CHUNK)
+        # padded hue entries must stay out-of-range; _pad_to_tiles zero-fills
+        # so re-mark everything past the strided length
+        n_strided = sp.shape[1]
+        sp = _pad_to_tiles(sp, HS_CHUNK)
+        if hp.shape[1] != n_strided:
+            mask = jnp.arange(hp.shape[1]) >= n_strided
+            hp = jnp.where(mask[None, :], -1, hp)
+    nchunks = hp.shape[1] // HS_CHUNK
+    nsub = HS_CHUNK // HS_SUBCHUNK
+    h_bins = jnp.arange(180, dtype=jnp.int32)
+    sh_bins = jnp.arange(128, dtype=jnp.int32)
+
+    def per_image(rows):
+        h_row, s_row = rows
+
+        def body(acc, ci):
+            start = ci * HS_CHUNK
+            hc = jax.lax.dynamic_slice(h_row, (start,), (HS_CHUNK,))
+            sc = jax.lax.dynamic_slice(s_row, (start,), (HS_CHUNK,))
+            hc = hc.reshape(nsub, HS_SUBCHUNK)
+            sc = sc.reshape(nsub, HS_SUBCHUNK)
+            oh_h = (hc[:, :, None] == h_bins[None, None, :]).astype(
+                jnp.bfloat16)
+            weight = jnp.where((sc & 1) == 1, HS_RADIX, 1.0).astype(
+                jnp.bfloat16)
+            packed_s = ((sc >> 1)[:, :, None] == sh_bins[None, None, :]
+                        ).astype(jnp.bfloat16) * weight[:, :, None]
+            # batched over sub-chunks: (nsub, 180, 128) f32, exact
+            packed = jax.lax.dot_general(
+                oh_h, packed_s, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            c_odd = jnp.floor(packed * (1.0 / HS_RADIX))
+            c_even = packed - c_odd * HS_RADIX
+            # keep separate even/odd accumulators across the scan — the
+            # field interleave happens ONCE at the end, not per chunk
+            # (measured: the per-chunk interleave costs ~0.15 ms/img)
+            ae, ao = acc
+            return (ae + c_even.sum(0), ao + c_odd.sum(0)), None
+
+        (acc_e, acc_o), _ = jax.lax.scan(
+            body, (jnp.zeros((180, 128), jnp.float32),
+                   jnp.zeros((180, 128), jnp.float32)), jnp.arange(nchunks))
+        hist2d = jnp.stack([acc_e, acc_o], axis=-1).reshape(180, 256)
+        prob = hist2d / jnp.sum(hist2d)
+        return -jnp.sum(jnp.where(prob > 0,
+                                  prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)),
+                                  0.0))
+
+    return jax.lax.map(per_image, (hp, sp))
+
+
+def _batch_stats_impl(rgb_batch, hs_subsample=1, entropy_impl="xla"):
     """(B, H, W, 3) uint8 -> device stats tuple.
 
-    This XLA formulation is the single default path; the alternatives were
-    measured and rejected (decision table: docs/PERF.md). The pallas
-    gray-stats kernel (ops/pallas_stats.py) compiles 15x faster standalone
-    but degrades XLA's scheduling ~20x when embedded here; the sort-based
-    entropy (hs_entropy_sorted below) never finished compiling on v5e."""
+    The histogram/stencil formulations are the measured defaults (decision
+    table: docs/PERF.md). The pallas gray-stats kernel (ops/pallas_stats.py)
+    compiles 15x faster standalone but degrades XLA's scheduling ~20x when
+    embedded here; the sort-based entropy (hs_entropy_sorted below) never
+    finished compiling on v5e.
+
+    entropy_impl selects the H-S joint-entropy path: "xla" (the radix-packed
+    one-hot matmul, hs_entropy_radix), "pallas" (the ILP kernel,
+    ops/pallas_entropy.hs_entropy_pallas_ilp — measured 1.55x faster
+    standalone in round 4), or "none" (entropy returned as zeros; the caller
+    runs it as a separate device program so kernel and XLA program compile
+    independently).
+
+    hs_subsample > 1 is the config-gated FAST MODE (default off,
+    processing.fast_color_harmony): the H-S joint entropy — the single most
+    expensive statistic — is computed from every k-th pixel; every other
+    statistic stays exact. docs/SCORING.md records the measured score
+    deltas."""
     b, h, w, _ = rgb_batch.shape
     n = h * w
     gray = rgb_to_gray(rgb_batch)
@@ -232,62 +316,52 @@ def _batch_stats_impl(rgb_batch):
     # unpacked at 1.5 MP — so the win is budget headroom, not wall-clock;
     # every other formulation (int8 / pallas / sort / chunk sweeps /
     # per-chunk interleave) measured equal or worse. Decision table:
-    # docs/PERF.md.
-    h_bins = jnp.arange(180, dtype=jnp.int32)
-    sh_bins = jnp.arange(128, dtype=jnp.int32)
+    # docs/PERF.md. The formulation lives in hs_entropy_radix so the perf
+    # probes and the config-gated fast mode exercise the identical code.
     hp = _pad_to_tiles(hh.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else hh.reshape(b, -1)
     sp = _pad_to_tiles(ss.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else ss.reshape(b, -1)
     if hp.shape[1] != n:
         # mark padding as out-of-range so it lands in no bin
         pad_mask = jnp.arange(hp.shape[1]) >= n
         hp = jnp.where(pad_mask[None, :], -1, hp)
-    nchunks = hp.shape[1] // HS_CHUNK
-    nsub = HS_CHUNK // HS_SUBCHUNK
+    if entropy_impl == "zero":
+        # measurement floor: the whole entropy stage elided
+        entropy = jnp.zeros((b,), jnp.float32)
+    elif entropy_impl == "none":
+        # the caller computes entropy in a separate program from (hh, ss);
+        # returning them lets it avoid recomputing the HSV conversion
+        entropy = (hp[:, ::hs_subsample], sp[:, ::hs_subsample])
+    elif entropy_impl == "pallas":
+        from facet_tpu.ops.pallas_entropy import hs_entropy_pallas_ilp
 
-    def per_image(rows):
-        h_row, s_row = rows
-
-        def body(acc, ci):
-            start = ci * HS_CHUNK
-            hc = jax.lax.dynamic_slice(h_row, (start,), (HS_CHUNK,))
-            sc = jax.lax.dynamic_slice(s_row, (start,), (HS_CHUNK,))
-            hc = hc.reshape(nsub, HS_SUBCHUNK)
-            sc = sc.reshape(nsub, HS_SUBCHUNK)
-            oh_h = (hc[:, :, None] == h_bins[None, None, :]).astype(
-                jnp.bfloat16)
-            weight = jnp.where((sc & 1) == 1, HS_RADIX, 1.0).astype(
-                jnp.bfloat16)
-            packed_s = ((sc >> 1)[:, :, None] == sh_bins[None, None, :]
-                        ).astype(jnp.bfloat16) * weight[:, :, None]
-            # batched over sub-chunks: (nsub, 180, 128) f32, exact
-            packed = jax.lax.dot_general(
-                oh_h, packed_s, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            c_odd = jnp.floor(packed * (1.0 / HS_RADIX))
-            c_even = packed - c_odd * HS_RADIX
-            # keep separate even/odd accumulators across the scan — the
-            # field interleave happens ONCE at the end, not per chunk
-            # (measured: the per-chunk interleave costs ~0.15 ms/img)
-            ae, ao = acc
-            return (ae + c_even.sum(0), ao + c_odd.sum(0)), None
-
-        (acc_e, acc_o), _ = jax.lax.scan(
-            body, (jnp.zeros((180, 128), jnp.float32),
-                   jnp.zeros((180, 128), jnp.float32)), jnp.arange(nchunks))
-        hist2d = jnp.stack([acc_e, acc_o], axis=-1).reshape(180, 256)
-        prob = hist2d / jnp.sum(hist2d)
-        return -jnp.sum(jnp.where(prob > 0,
-                                  prob * jnp.log2(jnp.where(prob > 0, prob, 1.0)),
-                                  0.0))
-
-    entropy = jax.lax.map(per_image, (hp, sp))
+        entropy = hs_entropy_pallas_ilp(hp[:, ::hs_subsample],
+                                        sp[:, ::hs_subsample])
+    else:
+        entropy = hs_entropy_radix(hp, sp, pixel_subsample=hs_subsample)
 
     return (gray_hist, _split_sum(sat_tiles, 12), entropy,
             _split_sum(lap_tiles, 12), _split_sum(lapsq_tiles, 16),
             _split_sum(imm_tiles, 12))
 
 
-_batch_stats = jax.jit(_batch_stats_impl)
+_batch_stats = jax.jit(_batch_stats_impl,
+                       static_argnames=("hs_subsample", "entropy_impl"))
+
+
+def resolve_entropy_impl(impl="auto"):
+    """Pick the H-S entropy implementation for the current backend.
+
+    "auto" -> "pallas" on TPU (the packed ILP kernel measured 1.58 ->
+    0.45 ms/img of device time and +34% on the fused member, docs/PERF.md
+    round 4), "xla" on CPU (the pallas kernel would run interpreted).
+    FACET_ENTROPY_IMPL overrides for measurement/debugging.
+    """
+    import os
+
+    impl = os.environ.get("FACET_ENTROPY_IMPL", impl)
+    if impl != "auto":
+        return impl
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
 def _bucket_size(n):
@@ -298,13 +372,14 @@ def _bucket_size(n):
     return min(size, 256)
 
 
-def compute_batch_stats(images):
+def compute_batch_stats(images, hs_subsample=1, entropy_impl="auto"):
     """Compute device statistics for a list of RGB uint8 numpy arrays.
 
     Images are grouped by (H, W) so each distinct shape compiles once; the
     batch dimension is padded to powers of two. Returns a list of ImageStats
     aligned with the input order.
     """
+    entropy_impl = resolve_entropy_impl(entropy_impl)
     results = [None] * len(images)
     by_shape = {}
     for i, img in enumerate(images):
@@ -323,7 +398,8 @@ def compute_batch_stats(images):
             for j, idx in enumerate(chunk):
                 batch[j] = images[idx]
             gray_h, sat_t, entropy, lap_t, lapsq_t, imm_t = jax.device_get(
-                _batch_stats(jnp.asarray(batch)))
+                _batch_stats(jnp.asarray(batch), hs_subsample=hs_subsample,
+                             entropy_impl=entropy_impl))
             for j, idx in enumerate(chunk):
                 results[idx] = ImageStats(
                     height=h,

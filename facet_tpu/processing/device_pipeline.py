@@ -8,9 +8,12 @@ shape of the engine's hot path (vs the reference's per-stage host round
 trips).
 
 On a multi-chip slice the batch is sharded over a 1-D 'dp' mesh (params
-replicated): every op in the program is per-image, so XLA partitions it with
-zero collectives and each chip scores batch/n_devices images. Single-device
-backends (the 1-chip bench harness) take the unsharded path unchanged.
+replicated): every op in the program is per-image, so the whole program runs
+under shard_map over 'dp' with zero collectives and each chip scores
+batch/n_devices images (shard_map rather than sharding propagation because
+the TPU path embeds a pallas kernel — the ILP entropy — which has no GSPMD
+partitioning rule). Single-device backends (the 1-chip bench harness) take
+the unsharded path unchanged.
 """
 
 import functools
@@ -28,12 +31,38 @@ from facet_tpu.ops.stats import _batch_stats_impl
 
 
 def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
-                         src_h, src_w):
+                         src_h, src_w, hs_subsample=1, entropy_impl="auto",
+                         attn_impl="auto", mesh=None):
     """-> jitted fn(vision_params, head_params, uint8 batch) for one shape.
 
     Returns per image: aesthetic score, normalized embedding, phash bits,
     gray/sat histograms, HS entropy, Laplacian + Immerkaer histograms.
+
+    hs_subsample / entropy_impl select the H-S entropy path (see
+    ops/stats._batch_stats_impl); with entropy_impl="none" the dict's
+    "hs_entropy" entry is the (hue, sat) pixel-stream pair for a separate
+    entropy program instead of the reduced scalar. attn_impl selects the
+    ViT attention path (models/clip.resolve_attn_impl): "xla" everywhere
+    by default — flash measured slower at this sequence length and is
+    kept only as a probe path.
+
+    On a mesh the WHOLE program runs under shard_map over 'dp' — every op
+    is per-image, so each device runs the identical program on its batch
+    shard with zero collectives. This is load-bearing, not a style choice:
+    the production TPU path embeds a pallas kernel (the ILP entropy) and
+    a pallas_call has no GSPMD partitioning rule, so plain sharding
+    propagation would gather the batch onto one device at the kernel.
     """
+    from facet_tpu.models.clip import resolve_attn_impl
+    from facet_tpu.ops.stats import resolve_entropy_impl
+
+    entropy_impl = resolve_entropy_impl(entropy_impl)
+    attn_impl = resolve_attn_impl(attn_impl)
+    if attn_impl != vision_tower.attn_impl:
+        # same params, different attention schedule — attn_impl is not a
+        # parameter-bearing attribute, so the clone applies the checkpoint
+        # unchanged
+        vision_tower = vision_tower.clone(attn_impl=attn_impl)
     target = vision_tower.config.image_size
     rows, cols = clip_preprocess_matrices(src_h, src_w, target)
     rows = jnp.asarray(rows)
@@ -42,11 +71,11 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
     hash_cols = jnp.asarray(_area_weights(src_w, RESIZE))
     dct = jnp.asarray(_dct_matrix())
 
-    @jax.jit
     def pipeline(vision_params, head_params, batch_u8):
         # --- classical statistics (compare-reduce + tiled sums + MXU hist)
         (gray_hist, sat_tiles, entropy,
-         lap_tiles, lapsq_tiles, imm_tiles) = _batch_stats_impl(batch_u8)
+         lap_tiles, lapsq_tiles, imm_tiles) = _batch_stats_impl(
+             batch_u8, hs_subsample=hs_subsample, entropy_impl=entropy_impl)
 
         fbatch = batch_u8.astype(jnp.float32)
 
@@ -81,7 +110,16 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
             "imm_tiles": imm_tiles,
         }
 
-    return pipeline
+    if mesh is None:
+        return jax.jit(pipeline)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(shard_map(
+        pipeline, mesh=mesh,
+        in_specs=(P(), P(), P("dp")),       # params replicated, batch split
+        out_specs=P("dp"), check_rep=False))
 
 
 @functools.lru_cache(maxsize=32)
@@ -110,25 +148,30 @@ class FusedScorer:
     """
 
     def __init__(self, vision_tower, head, vision_params, head_params,
-                 mesh="auto"):
+                 mesh="auto", hs_subsample=1):
         self.vision_tower = vision_tower
         self.head = head
         self.vision_params = vision_params
         self.head_params = head_params
         self.mesh = default_mesh() if mesh == "auto" else mesh
+        # fast mode (processing.fast_color_harmony): stride the entropy's
+        # pixel stream; every other statistic stays exact
+        self.hs_subsample = hs_subsample
         self._mesh_params = None  # params replicated onto the mesh, lazily
         self._pipelines = {}
 
     @classmethod
-    def from_aesthetic_scorer(cls, scorer, mesh="auto"):
+    def from_aesthetic_scorer(cls, scorer, mesh="auto", hs_subsample=1):
         return cls(scorer.vision, scorer.head,
-                   scorer.vision_params, scorer.head_params, mesh=mesh)
+                   scorer.vision_params, scorer.head_params, mesh=mesh,
+                   hs_subsample=hs_subsample)
 
     def _pipeline(self, h, w):
         key = (h, w)
         if key not in self._pipelines:
             self._pipelines[key] = build_fused_pipeline(
-                self.vision_tower, self.head, h, w)
+                self.vision_tower, self.head, h, w,
+                hs_subsample=self.hs_subsample, mesh=self.mesh)
         return self._pipelines[key]
 
     def _placed_params(self):
@@ -152,9 +195,9 @@ class FusedScorer:
 
         sharded, _ = shard_batch(batch, self.mesh)
         vp, hp = self._placed_params()
-        # jit propagates the input shardings: per-image math partitions
-        # over 'dp' with no collectives; padding rows are sliced off by the
-        # caller (it indexes only the real images)
+        # the pipeline is shard_mapped over 'dp': per-image math partitions
+        # with no collectives; padding rows are sliced off by the caller
+        # (it indexes only the real images)
         return jax.device_get(self._pipeline(h, w)(vp, hp, sharded))
 
     def score_images(self, images):

@@ -170,7 +170,10 @@ class ChunkedMultiPassProcessor:
         from facet_tpu.ops.stats import compute_batch_stats
 
         t0 = time.time()
-        stats = compute_batch_stats(state["images"])
+        fast = bool(self.config.get_processing_settings().get(
+            "fast_color_harmony", False))
+        stats = compute_batch_stats(state["images"],
+                                    hs_subsample=4 if fast else 1)
         state["tech"] = [self.scorer.technical.metrics_from_stats(s) for s in stats]
         state["phash"] = phash_batch(state["images"])
         self.phase_times["inference"] += time.time() - t0

@@ -118,7 +118,10 @@ class Facet:
         if self._fused is None:
             from facet_tpu.processing.device_pipeline import FusedScorer
 
-            self._fused = FusedScorer.from_aesthetic_scorer(self.aesthetic_model)
+            fast = bool(self.config.get_processing_settings().get(
+                "fast_color_harmony", False))
+            self._fused = FusedScorer.from_aesthetic_scorer(
+                self.aesthetic_model, hs_subsample=4 if fast else 1)
         return self._fused
 
     # --------------------------------------------------------------- scoring

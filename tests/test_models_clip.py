@@ -164,6 +164,37 @@ class TestTagger:
         assert not tagger.is_artwork([("mountain", 0.5)])
 
 
+class TestFlashAttention:
+    """The pallas flash-attention wrapper (clip._flash_attention) must
+    agree with the materialized-softmax einsum formula it replaces — this
+    pins the wrapper's 128-multiple padding, segment-id masking of the
+    padded keys, and layout transposes. Runs in pallas interpret mode on
+    the CPU backend (the wrapper selects it automatically)."""
+
+    def test_wrapper_matches_einsum(self):
+        from facet_tpu.models.clip import _flash_attention
+
+        b, s, h, d = 2, 37, 4, 32          # 37 forces padding to 128
+        rng = np.random.default_rng(0)
+        q, k, v = (jnp.asarray(rng.standard_normal((b, s, h, d)),
+                               jnp.float32) for _ in range(3))
+        scale = d ** -0.5
+        got = np.asarray(_flash_attention(q, k, v, scale))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        weights = jax.nn.softmax(logits, axis=-1)
+        want = np.asarray(jnp.einsum("bhqk,bkhd->bqhd", weights, v))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    def test_resolver_defaults(self, monkeypatch):
+        from facet_tpu.models.clip import resolve_attn_impl
+
+        monkeypatch.delenv("FACET_ATTN_IMPL", raising=False)
+        assert resolve_attn_impl("auto") == "xla"   # measured winner (r4)
+        assert resolve_attn_impl("flash") == "flash"
+        monkeypatch.setenv("FACET_ATTN_IMPL", "flash")
+        assert resolve_attn_impl("auto") == "flash"
+
+
 class TestMeshSharding:
     def test_batch_shards_over_8_devices(self):
         from facet_tpu.parallel import get_mesh, shard_batch

@@ -279,3 +279,45 @@ class TestEntropyRadixPacking:
         stats = compute_batch_stats([red, mix])
         assert stats[0].hs_entropy == pytest.approx(0.0, abs=1e-6)
         assert stats[1].hs_entropy == pytest.approx(1.0, abs=1e-5)
+
+
+class TestFastColorHarmony:
+    """processing.fast_color_harmony: the entropy's stride-4 pixel
+    subsample. Every other statistic must remain exact, and the entropy
+    must equal the reference formula applied to the strided stream."""
+
+    def test_subsample_matches_strided_oracle(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+        full = compute_batch_stats([img])[0]
+        fast = compute_batch_stats([img], hs_subsample=4)[0]
+        # non-entropy statistics identical
+        np.testing.assert_array_equal(full.gray_hist, fast.gray_hist)
+        assert full.sat_sum == fast.sat_sum
+        assert full.lap_sum == fast.lap_sum
+        assert full.lap_sumsq == fast.lap_sumsq
+        assert full.imm_abs_sum == fast.imm_abs_sum
+        # entropy == numpy oracle on every 4th pixel of the stream
+        from tests.test_pallas_entropy import oracle_entropy
+        from facet_tpu.ops.colorspace import rgb_to_hsv
+        import jax.numpy as jnp
+
+        hh, ss, _ = rgb_to_hsv(jnp.asarray(img[None]))
+        hf = np.asarray(hh).reshape(1, -1)[:, ::4]
+        sf = np.asarray(ss).reshape(1, -1)[:, ::4]
+        want = oracle_entropy(hf, sf)[0]
+        assert fast.hs_entropy == pytest.approx(want, abs=1e-5)
+
+    def test_engine_reads_config_gate(self, tmp_path):
+        """fast_color_harmony=true must reach the FusedScorer subsample."""
+        import json
+
+        from facet_tpu.config.default_config import build_default_config
+        from facet_tpu.config.scoring_config import ScoringConfig
+
+        cfg = build_default_config()
+        cfg["processing"]["fast_color_harmony"] = True
+        path = tmp_path / "scoring_config.json"
+        path.write_text(json.dumps(cfg))
+        config = ScoringConfig(config_path=str(path))
+        assert config.get_processing_settings()["fast_color_harmony"] is True

@@ -188,3 +188,29 @@ class TestShardedSimilarity:
         got = find_duplicate_pairs(hashes, max_distance=4, mesh=mesh)
         assert sorted(got) == sorted(want)
         assert (2, 5) in got and (2, 9) in got
+
+
+class TestShardedPallasEntropy:
+    def test_shard_map_pallas_entropy_matches_xla(self, fused_pair,
+                                                  monkeypatch):
+        """The production TPU entropy path (pallas kernel under shard_map
+        over 'dp') must partition and agree with the single-device XLA
+        result — this is the multi-chip story for the pallas kernel, run
+        here via interpret mode on the 8-device CPU mesh."""
+        import jax.numpy as jnp
+
+        from facet_tpu.processing.device_pipeline import FusedScorer
+
+        sharded, single = fused_pair
+        monkeypatch.setenv("FACET_ENTROPY_IMPL", "pallas")
+        pallas_sharded = FusedScorer(sharded.vision_tower, sharded.head,
+                                     sharded.vision_params,
+                                     sharded.head_params)
+        assert pallas_sharded.mesh is not None
+        images = _images(8, seed=5)
+        a = pallas_sharded.score_images(images)
+        monkeypatch.delenv("FACET_ENTROPY_IMPL")
+        b = single.score_images(images)
+        for (sa, _, _, ta), (sb, _, _, tb) in zip(a, b):
+            assert ta.hs_entropy == pytest.approx(tb.hs_entropy, abs=1e-5)
+            assert sa == pytest.approx(sb, abs=1e-5)
