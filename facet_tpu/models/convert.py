@@ -595,7 +595,14 @@ def unflatten_tree(flat):
 
 
 def save_params(params, path):
-    np.savez_compressed(path, **flatten_tree(params))
+    flat = flatten_tree(params)
+    # zlib buys nothing on float weights (near-incompressible) and costs
+    # minutes at multi-GB scale (Qwen3-VL, RAM++); compress small trees only
+    total = sum(v.nbytes for v in flat.values())
+    if total > 256 * 1024 * 1024:
+        np.savez(path, **flat)
+    else:
+        np.savez_compressed(path, **flat)
 
 
 def load_params(path):
@@ -927,3 +934,164 @@ def synthetic_ram_plus_state_dict(rng=None, config=None):
         (1, cfg.num_class, cfg.hidden)).astype(np.float32) * 0.05
     sd["fc.b"] = np.zeros((1, cfg.num_class), np.float32)
     return sd, cfg
+
+
+# ------------------------------------------------------ HyperIQA and DBCNN
+
+
+def convert_hyperiqa(state_dict):
+    """Published HyperIQA checkpoint (official repo / pyiqa `hyperiqa.pth`,
+    the HyperNet(16, 112, 224, 112, 56, 28, 14, 7) state dict) -> our
+    HyperIQANet tree (models/iqa_extra.py). Key map in docs/CONVERTERS.md.
+
+    Returns (tree, unmapped_keys). Unconsumed source keys are reported, not
+    silently dropped, so a one-time run against the real checkpoint
+    surfaces any naming drift immediately.
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    res_sd = {k[len("res."):]: v for k, v in sd.items()
+              if k.startswith("res.") and "lda" not in k}
+    consumed.update("res." + k for k in res_sd)
+    params, stats = convert_torchvision_resnet50(res_sd)
+
+    p = {"res": params}
+    for i in (1, 2, 3):
+        p[f"lda{i}_conv"] = {"kernel": _conv_t(take(f"res.lda{i}_pool.0.weight"))}
+    for i in (1, 2, 3, 4):
+        p[f"lda{i}_fc"] = _dense(take(f"res.lda{i}_fc.weight"),
+                                 take(f"res.lda{i}_fc.bias"))
+    # hypernetwork trunk: the published Sequential conv1.{0,2,4}
+    for fi, ti in enumerate((0, 2, 4)):
+        p[f"hconv{fi}"] = {"kernel": _conv_t(take(f"conv1.{ti}.weight")),
+                           "bias": np.asarray(take(f"conv1.{ti}.bias"),
+                                              np.float32)}
+    for li in (1, 2, 3, 4):
+        p[f"fc{li}w_conv"] = {
+            "kernel": _conv_t(take(f"fc{li}w_conv.weight")),
+            "bias": np.asarray(take(f"fc{li}w_conv.bias"), np.float32)}
+        p[f"fc{li}b_fc"] = _dense(take(f"fc{li}b_fc.weight"),
+                                  take(f"fc{li}b_fc.bias"))
+    p["fc5w_fc"] = _dense(take("fc5w_fc.weight"), take("fc5w_fc.bias"))
+    p["fc5b_fc"] = _dense(take("fc5b_fc.weight"), take("fc5b_fc.bias"))
+
+    unmapped = sorted(k for k in sd
+                      if k not in consumed and "num_batches_tracked" not in k)
+    return {"params": p, "batch_stats": {"res": stats}}, unmapped
+
+
+def synthetic_hyperiqa_state_dict(rng=None):
+    """Published HyperNet key names + shapes (no egress needed). Verified
+    against an independent torch transcription with strict=True in
+    tests/test_convert_iqa_extra.py."""
+    rng = rng or np.random.default_rng(0)
+    sd = synthetic_resnet50_state_dict(rng, prefix="res.")
+
+    def conv(name, cout, cin, k, bias=True):
+        scale = 1.0 / np.sqrt(cin * k * k)
+        sd[name + ".weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32) * scale
+        if bias:
+            sd[name + ".bias"] = rng.standard_normal(cout).astype(
+                np.float32) * 0.01
+
+    def fc(name, dout, din):
+        sd[name + ".weight"] = rng.standard_normal(
+            (dout, din)).astype(np.float32) / np.sqrt(din)
+        sd[name + ".bias"] = rng.standard_normal(dout).astype(np.float32) * 0.01
+
+    conv("res.lda1_pool.0", 16, 256, 1, bias=False)
+    conv("res.lda2_pool.0", 32, 512, 1, bias=False)
+    conv("res.lda3_pool.0", 64, 1024, 1, bias=False)
+    fc("res.lda1_fc", 16, 16 * 64)
+    fc("res.lda2_fc", 16, 32 * 16)
+    fc("res.lda3_fc", 16, 64 * 4)
+    fc("res.lda4_fc", 176, 2048)
+    conv("conv1.0", 1024, 2048, 1)
+    conv("conv1.2", 512, 1024, 1)
+    conv("conv1.4", 112, 512, 1)
+    dims = (224, 112, 56, 28, 14)
+    for li in range(1, 5):
+        din, dout = dims[li - 1], dims[li]
+        conv(f"fc{li}w_conv", din * dout // 49, 112, 3)
+        fc(f"fc{li}b_fc", dout, 112)
+    fc("fc5w_fc", 14, 112)
+    fc("fc5b_fc", 1, 112)
+    return sd
+
+
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG16_CONV_DIMS = ((64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+                    (256, 256), (256, 256), (512, 256), (512, 512),
+                    (512, 512), (512, 512), (512, 512), (512, 512))
+_SCNN_CONV_IDX = (0, 3, 6, 9, 12, 15, 18, 21, 24)
+_SCNN_CONV_DIMS = ((48, 3), (48, 48), (64, 48), (64, 64), (64, 64),
+                   (64, 64), (128, 64), (128, 128), (128, 128))
+
+
+def convert_dbcnn(state_dict):
+    """Published DBCNN checkpoint (pyiqa `DBCNN.pth`: `features1.*` VGG-16
+    convs, `features2.*` S-CNN conv+bn stack, `fc.*` bilinear head) -> our
+    DBCNNNet tree (models/iqa_extra.py). Returns (tree, unmapped_keys)."""
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    vgg = {}
+    for idx in _VGG16_CONV_IDX:
+        vgg[f"conv{idx}"] = {
+            "kernel": _conv_t(take(f"features1.{idx}.weight")),
+            "bias": np.asarray(take(f"features1.{idx}.bias"), np.float32)}
+    scnn_p, scnn_s = {}, {}
+    for idx in _SCNN_CONV_IDX:
+        scnn_p[f"conv{idx}"] = {
+            "kernel": _conv_t(take(f"features2.{idx}.weight")),
+            "bias": np.asarray(take(f"features2.{idx}.bias"), np.float32)}
+        bn_p, bn_st = _bn_t(sd, f"features2.{idx + 1}")
+        consumed.update(f"features2.{idx + 1}.{f}" for f in
+                        ("weight", "bias", "running_mean", "running_var"))
+        scnn_p[f"bn{idx + 1}"], scnn_s[f"bn{idx + 1}"] = bn_p, bn_st
+    tree = {"params": {"features1": vgg, "features2": scnn_p,
+                       "fc": _dense(take("fc.weight"), take("fc.bias"))},
+            "batch_stats": {"features2": scnn_s}}
+    unmapped = sorted(k for k in sd
+                      if k not in consumed and "num_batches_tracked" not in k)
+    return tree, unmapped
+
+
+def synthetic_dbcnn_state_dict(rng=None):
+    """Published DBCNN key names + shapes (torchvision VGG-16 `features`
+    Sequential indices minus the final maxpool under `features1.`, the
+    S-CNN `features` Sequential under `features2.`, `fc`)."""
+    rng = rng or np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, cout, cin):
+        sd[name + ".weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) / np.sqrt(cin * 9)
+        sd[name + ".bias"] = rng.standard_normal(cout).astype(np.float32) * 0.01
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".bias"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.standard_normal(c).astype(
+            np.float32) * 0.1
+        sd[name + ".running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    for idx, (cout, cin) in zip(_VGG16_CONV_IDX, _VGG16_CONV_DIMS):
+        conv(f"features1.{idx}", cout, cin)
+    for idx, (cout, cin) in zip(_SCNN_CONV_IDX, _SCNN_CONV_DIMS):
+        conv(f"features2.{idx}", cout, cin)
+        bn(f"features2.{idx + 1}", cout)
+    sd["fc.weight"] = rng.standard_normal(
+        (1, 512 * 128)).astype(np.float32) * 0.01
+    sd["fc.bias"] = np.zeros(1, np.float32)
+    return sd

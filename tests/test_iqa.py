@@ -43,8 +43,10 @@ def test_clip_based_scorer(tiny_config, name):
 @pytest.mark.parametrize("name", ["hyperiqa", "dbcnn"])
 def test_deep_scorers(tiny_config, name):
     scorer = create_iqa_scorer(name, tiny_config)
-    # shrink the eval resolution so random-init CPU tests stay fast
-    scorer.input_size = 96
+    if name == "dbcnn":
+        # shrink the eval resolution so random-init CPU tests stay fast
+        # (hyperiqa's lda grid dims bake in its 224 input — no override)
+        scorer.input_size = 96
     rng = np.random.default_rng(1)
     scores = scorer.score_batch(
         [rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)])

@@ -483,6 +483,46 @@ def convert_ram_plus_ckpt(source_dir, out_dir):
     return False
 
 
+def convert_hyperiqa_ckpt(source_dir, out_dir):
+    """Official/pyiqa HyperIQA checkpoint (koniq_pretrained.pkl /
+    hyperiqa.pth — the HyperNet state dict) -> hyperiqa.npz."""
+    for name in ("hyperiqa.pth", "koniq_pretrained.pkl", "hyperiqa.pkl"):
+        path = os.path.join(source_dir, name)
+        if not os.path.exists(path):
+            continue
+        from facet_tpu.models.convert import convert_hyperiqa, save_params
+
+        tree, unmapped = convert_hyperiqa(_load_torch(path))
+        save_params(tree, os.path.join(out_dir, "hyperiqa.npz"))
+        print(f"converted hyperiqa from {name}")
+        if unmapped:
+            print(f"  WARNING {len(unmapped)} source keys unmapped: "
+                  f"{unmapped[:8]}...")
+        return True
+    print("skip: no hyperiqa checkpoint (hyperiqa.pth)")
+    return False
+
+
+def convert_dbcnn_ckpt(source_dir, out_dir):
+    """pyiqa DBCNN checkpoint (DBCNN.pth / dbcnn.pth: features1 VGG-16 +
+    features2 S-CNN + fc bilinear head) -> dbcnn.npz."""
+    for name in ("DBCNN.pth", "dbcnn.pth", "DBCNN_KonIQ.pth"):
+        path = os.path.join(source_dir, name)
+        if not os.path.exists(path):
+            continue
+        from facet_tpu.models.convert import convert_dbcnn, save_params
+
+        tree, unmapped = convert_dbcnn(_load_torch(path))
+        save_params(tree, os.path.join(out_dir, "dbcnn.npz"))
+        print(f"converted dbcnn from {name}")
+        if unmapped:
+            print(f"  WARNING {len(unmapped)} source keys unmapped: "
+                  f"{unmapped[:8]}...")
+        return True
+    print("skip: no dbcnn checkpoint (DBCNN.pth)")
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -497,6 +537,8 @@ def main():
     convert_samp(args.source, args.out)
     convert_arcface(args.source, args.out)
     convert_topiq_ckpt(args.source, args.out)
+    convert_hyperiqa_ckpt(args.source, args.out)
+    convert_dbcnn_ckpt(args.source, args.out)
     convert_ram_plus_ckpt(args.source, args.out)
     convert_qwen_vision_ckpt(args.source, args.out)
     convert_qwen_text_ckpt(args.source, args.out)
