@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(REPO, "tests", "fixtures"))
 
 ENGINE_FAMILIES = (
     "clip_vit_l14_vision", "aesthetic_head", "u2netp", "samp_net",
-    "arcface_iresnet50", "topiq",
+    "arcface_iresnet50", "topiq", "hyperiqa", "dbcnn",
 )
 
 
@@ -78,10 +78,17 @@ def converted(tmp_path_factory):
         torch.save({k: torch.tensor(v) for k, v in sd_np.items()},
                    source / name)
 
+    from facet_tpu.models.convert import (
+        synthetic_dbcnn_state_dict,
+        synthetic_hyperiqa_state_dict,
+    )
+
     save_pth("u2netp.pth", synthetic_u2netp_state_dict())
     save_pth("samp_net.pth", synthetic_samp_state_dict())
     save_pth("backbone.pth", synthetic_arcface_state_dict())
     save_pth("cfanet_nr_koniq_res50.pth", synthetic_topiq_state_dict())
+    save_pth("hyperiqa.pth", synthetic_hyperiqa_state_dict())
+    save_pth("DBCNN.pth", synthetic_dbcnn_state_dict())
 
     env = dict(os.environ, FACET_PLATFORM="cpu",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
