@@ -33,18 +33,26 @@ def main():
                              " the reference's client/dist auto-mount,"
                              " api/__init__.py:87)")
     parser.add_argument("--production", action="store_true",
-                        help="kept for CLI compatibility (threaded server"
-                             " is always used)")
+                        help="pre-fork --workers processes (reference:"
+                             " uvicorn --workers, run_api.py:23-49 there)")
     parser.add_argument("--workers", type=int, default=None,
-                        help="kept for CLI compatibility")
+                        help="worker process count for --production"
+                             " (SO_REUSEPORT pre-fork; each worker owns its"
+                             " own sqlite pool)")
     args = parser.parse_args()
 
     from facet_tpu.api import create_app
     from facet_tpu.web import serve
 
-    app = create_app(db_path=args.db, config_path=args.config,
-                     static_dir=resolve_static(args.static))
-    serve(app, host=args.host, port=args.port)
+    static = resolve_static(args.static)
+
+    def factory():
+        return create_app(db_path=args.db, config_path=args.config,
+                          static_dir=static)
+
+    workers = args.workers if args.production else None
+    serve(factory(), host=args.host, port=args.port, workers=workers,
+          app_factory=factory)
 
 
 if __name__ == "__main__":
