@@ -121,16 +121,82 @@ def resolve_attn_impl(impl="auto"):
     return "xla"
 
 
+class Int8Dense(nn.Module):
+    """Drop-in for ``nn.Dense`` with an int8 MXU matmul (w8a8) —
+    MEASURED AND REJECTED as a speed tier; kept as the measured record.
+
+    The parameter tree is IDENTICAL to nn.Dense (f32 kernel (in, out) +
+    bias), so checkpoints convert/load unchanged: per-output-channel
+    weight scales and per-token dynamic activation scales are derived
+    in-program, the product runs as an int8xint8->int32 ``dot_general``
+    on the MXU's double-rate int8 path, and the result dequantizes via
+    the outer product of the two scale vectors (per-token scales keep
+    images independent inside a batch; quantization error measured at
+    max 0.024 aesthetic-score points on the 0-10 scale).
+
+    Why rejected (round 4, fused member b256 on v5e, docs/PERF.md): raw
+    int8 chained matmuls DO run 1.59x bf16 (114.6 vs 72.2 TFLOP/s), but
+    in the real program the quant/dequant dataflow costs more than the
+    MXU saves — 274.8 img/s (this module) and 313.2 (a static
+    per-tensor activation scale with no abs-max pass) vs 349.6 exact
+    bf16. FACET_CLIP_INT8=1 re-enables it for probing.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0),
+                              1e-8) * (1.0 / 127.0)              # (out,)
+        wq = jnp.round(kernel * (1.0 / w_scale)).astype(jnp.int8)
+        flat = x.reshape(-1, in_dim).astype(jnp.float32)
+        x_scale = jnp.maximum(jnp.max(jnp.abs(flat), axis=1),
+                              1e-8) * (1.0 / 127.0)              # (rows,)
+        xq = jnp.clip(jnp.round(flat * (1.0 / x_scale)[:, None]),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * (x_scale[:, None] * w_scale[None, :])
+             + bias)
+        return y.reshape(*x.shape[:-1], self.features).astype(self.dtype)
+
+
+def resolve_quant_impl(impl="auto"):
+    """Pick the projection-matmul implementation for the ViT.
+
+    "auto" -> "none" (exact bf16 everywhere — the parity-tested default
+    AND the measured winner: the int8 tier ran SLOWER in the fused
+    program, see Int8Dense). "int8" (FACET_CLIP_INT8=1) runs the ViT's
+    qkv/out/mlp projections w8a8 on the MXU's double-rate int8 path for
+    re-probing; attention scores, softmax, layernorms and the patch
+    embed stay exact either way.
+    """
+    import os
+
+    env = os.environ.get("FACET_CLIP_INT8")
+    if env is not None:
+        return "int8" if env not in ("", "0", "false") else "none"
+    return "none" if impl == "auto" else impl
+
+
 class Attention(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask=None):
         head_dim = self.width // self.heads
-        dense = lambda name: nn.Dense(self.width, dtype=self.dtype, name=name)
+        dense_cls = Int8Dense if self.quant == "int8" else nn.Dense
+        dense = lambda name: dense_cls(self.width, dtype=self.dtype,
+                                       name=name)
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
@@ -154,19 +220,22 @@ class Attention(nn.Module):
             weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(*out.shape[:-2], self.width)
-        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+        dense_out = Int8Dense if self.quant == "int8" else nn.Dense
+        return dense_out(self.width, dtype=self.dtype, name="out_proj")(out)
 
 
 class MLP(nn.Module):
     width: int
     hidden: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        dense_cls = Int8Dense if self.quant == "int8" else nn.Dense
+        x = dense_cls(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.width, dtype=self.dtype, name="fc2")(x)
+        return dense_cls(self.width, dtype=self.dtype, name="fc2")(x)
 
 
 class Block(nn.Module):
@@ -175,15 +244,17 @@ class Block(nn.Module):
     mlp_ratio: float
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask=None):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + Attention(self.width, self.heads, self.dtype,
-                          attn_impl=self.attn_impl, name="attn")(y, mask)
+                          attn_impl=self.attn_impl, quant=self.quant,
+                          name="attn")(y, mask)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         return x + MLP(self.width, int(self.width * self.mlp_ratio),
-                       self.dtype, name="mlp")(y)
+                       self.dtype, quant=self.quant, name="mlp")(y)
 
 
 class CLIPVisionTower(nn.Module):
@@ -192,6 +263,7 @@ class CLIPVisionTower(nn.Module):
     config: CLIPVisionConfig = CLIPVisionConfig()
     dtype: jnp.dtype = jnp.bfloat16
     attn_impl: str = "xla"   # "flash" on TPU hot paths (same params)
+    quant: str = "none"      # "int8" = w8a8 projections (same params)
 
     @nn.compact
     def __call__(self, pixels):
@@ -216,7 +288,8 @@ class CLIPVisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         for i in range(cfg.layers):
             x = Block(cfg.width, cfg.heads, cfg.mlp_ratio, self.dtype,
-                      attn_impl=self.attn_impl, name=f"block_{i}")(x)
+                      attn_impl=self.attn_impl, quant=self.quant,
+                      name=f"block_{i}")(x)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0])
         proj = self.param("projection", nn.initializers.normal(cfg.width ** -0.5),
                           (cfg.width, cfg.projection_dim))

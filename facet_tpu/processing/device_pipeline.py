@@ -32,7 +32,7 @@ from facet_tpu.ops.stats import _batch_stats_impl
 
 def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
                          src_h, src_w, hs_subsample=1, entropy_impl="auto",
-                         attn_impl="auto", mesh=None):
+                         attn_impl="auto", quant="auto", mesh=None):
     """-> jitted fn(vision_params, head_params, uint8 batch) for one shape.
 
     Returns per image: aesthetic score, normalized embedding, phash bits,
@@ -53,16 +53,17 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
     a pallas_call has no GSPMD partitioning rule, so plain sharding
     propagation would gather the batch onto one device at the kernel.
     """
-    from facet_tpu.models.clip import resolve_attn_impl
+    from facet_tpu.models.clip import resolve_attn_impl, resolve_quant_impl
     from facet_tpu.ops.stats import resolve_entropy_impl
 
     entropy_impl = resolve_entropy_impl(entropy_impl)
     attn_impl = resolve_attn_impl(attn_impl)
-    if attn_impl != vision_tower.attn_impl:
-        # same params, different attention schedule — attn_impl is not a
-        # parameter-bearing attribute, so the clone applies the checkpoint
+    quant = resolve_quant_impl(quant)
+    if attn_impl != vision_tower.attn_impl or quant != vision_tower.quant:
+        # same params, different compute schedule — attn_impl/quant are not
+        # parameter-bearing attributes, so the clone applies the checkpoint
         # unchanged
-        vision_tower = vision_tower.clone(attn_impl=attn_impl)
+        vision_tower = vision_tower.clone(attn_impl=attn_impl, quant=quant)
     target = vision_tower.config.image_size
     rows, cols = clip_preprocess_matrices(src_h, src_w, target)
     rows = jnp.asarray(rows)

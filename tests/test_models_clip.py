@@ -223,3 +223,62 @@ class TestMeshSharding:
         # parity with unsharded execution
         ref = model.apply(params, jnp.asarray(batch))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestInt8Quant:
+    """The w8a8 int8 tier (clip.Int8Dense): identical param tree to
+    nn.Dense, bounded quantization error, env/config gating. The speed
+    claim is measured on-chip (docs/PERF.md round 4); these tests pin the
+    numerics and the drop-in contract."""
+
+    def test_param_tree_identical_to_dense(self):
+        import flax.linen as nn
+
+        from facet_tpu.models.clip import Int8Dense
+
+        x = jnp.zeros((3, 16), jnp.float32)
+        pd = nn.Dense(8).init(jax.random.PRNGKey(0), x)
+        pq = Int8Dense(8).init(jax.random.PRNGKey(0), x)
+        assert jax.tree.structure(pd) == jax.tree.structure(pq)
+        for a, b in zip(jax.tree.leaves(pd), jax.tree.leaves(pq)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+    def test_matches_dense_within_quant_error(self):
+        import flax.linen as nn
+
+        from facet_tpu.models.clip import Int8Dense
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((5, 7, 64)) * 0.5, jnp.float32)
+        d = nn.Dense(32, dtype=jnp.float32)
+        params = d.init(jax.random.PRNGKey(1), x)
+        want = np.asarray(d.apply(params, x))
+        got = np.asarray(Int8Dense(32, dtype=jnp.float32).apply(params, x))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.03, rel
+
+    def test_tower_int8_close_to_exact(self):
+        from facet_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+
+        cfg = CLIPVisionConfig(image_size=28, patch_size=14, width=64,
+                               layers=2, heads=2, projection_dim=16)
+        tower = CLIPVisionTower(cfg, dtype=jnp.float32)
+        params = tower.init(jax.random.PRNGKey(2), jnp.zeros((2, 28, 28, 3)))
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.standard_normal((2, 28, 28, 3)), jnp.float32)
+        exact = np.asarray(tower.apply(params, img))
+        q8 = np.asarray(tower.clone(quant="int8").apply(params, img))
+        cos = float((exact * q8).sum()
+                    / (np.linalg.norm(exact) * np.linalg.norm(q8)))
+        assert cos > 0.99, cos
+
+    def test_resolver_gates(self, monkeypatch):
+        from facet_tpu.models.clip import resolve_quant_impl
+
+        monkeypatch.delenv("FACET_CLIP_INT8", raising=False)
+        assert resolve_quant_impl("auto") == "none"   # exact is the default
+        assert resolve_quant_impl("int8") == "int8"
+        monkeypatch.setenv("FACET_CLIP_INT8", "1")
+        assert resolve_quant_impl("auto") == "int8"
+        monkeypatch.setenv("FACET_CLIP_INT8", "0")
+        assert resolve_quant_impl("auto") == "none"
