@@ -22,8 +22,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from facet_tpu.ops import pallas_attn
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def resolve_topiq_attn_impl(impl="auto"):
+    """Pick the cross-scale attention implementation for this backend.
+
+    "auto" -> "pallas" on TPU for the C2 level's 9216x2304 shape (the
+    one-pass VMEM kernel keeps ~1 GB/image of score traffic out of HBM —
+    measured decision, docs/PERF.md round 4), "xla" on CPU where the
+    kernel would run interpreted. The XLA ChunkedAttention path remains
+    the parity oracle and handles every shape the kernel gates out.
+    FACET_TOPIQ_ATTN overrides for measurement/debugging.
+    """
+    import os
+
+    impl = os.environ.get("FACET_TOPIQ_ATTN", impl)
+    if impl != "auto":
+        return impl
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
 class Bottleneck(nn.Module):
@@ -113,6 +133,15 @@ class ChunkedAttention(nn.Module):
         v = dense("value")(kv_in)
 
         nq = q.shape[1]
+        if (resolve_topiq_attn_impl() == "pallas"
+                and pallas_attn.supported_shape(nq, k.shape[1])):
+            out = pallas_attn.cross_attention_pallas(
+                q.astype(jnp.float32).swapaxes(1, 2),
+                k.astype(jnp.float32).swapaxes(1, 2),
+                v.astype(jnp.float32).swapaxes(1, 2),
+            ).swapaxes(1, 2).astype(self.dtype)
+            return nn.DenseGeneral(features=self.qkv_features, axis=(-2, -1),
+                                   dtype=self.dtype, name="out")(out)
         chunk = min(self.q_chunk, nq)
 
         def attend(q_blk):
