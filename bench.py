@@ -141,29 +141,35 @@ def build_members(args):
 
     if args.members != "clip":
         # --- topiq: bucketed 384px eval, like TOPIQScorer.score_batch
+        # (params are resolution-agnostic: one tree serves the fast tier too)
         tcfg = TOPIQConfig()
         tnet = TOPIQNet(tcfg)
         tparams = fallback_init(
             tnet, sds((1, tcfg.input_size, tcfg.input_size, 3)), seed=30)
-        t_rows = jnp.asarray(resample_matrix(h, tcfg.input_size, method="linear"))
-        t_cols = jnp.asarray(resample_matrix(w, tcfg.input_size, method="linear"))
         from facet_tpu.models.topiq import IMAGENET_MEAN as TM, IMAGENET_STD as TS
 
-        @jax.jit
-        def topiq_fwd(params, buf):
-            x = buf.astype(jnp.float32)
-            x = jnp.einsum("rh,bhwc->brwc", t_rows, x)
-            x = jnp.einsum("sw,brwc->brsc", t_cols, x) / 255.0
-            return tnet.apply(params, (x - TM) / TS)
+        def make_topiq_member(input_size):
+            t_rows = jnp.asarray(resample_matrix(h, input_size, method="linear"))
+            t_cols = jnp.asarray(resample_matrix(w, input_size, method="linear"))
 
-        # cross-attention activations cap the per-call batch (TOPIQConfig)
-        t_cap = min(args.batch, tcfg.max_device_batch)
+            @jax.jit
+            def topiq_fwd(params, buf):
+                x = buf.astype(jnp.float32)
+                x = jnp.einsum("rh,bhwc->brwc", t_rows, x)
+                x = jnp.einsum("sw,brwc->brsc", t_cols, x) / 255.0
+                return tnet.apply(params, (x - TM) / TS)
 
-        def run_topiq(buf):
-            return [topiq_fwd(tparams, buf[i:i + t_cap])
-                    for i in range(0, buf.shape[0], t_cap)]
+            # cross-attention activations cap the per-call batch (TOPIQConfig)
+            t_cap = min(args.batch, tcfg.max_device_batch)
 
-        members["topiq"] = run_topiq
+            def run_topiq(buf):
+                return [topiq_fwd(tparams, buf[i:i + t_cap])
+                        for i in range(0, buf.shape[0], t_cap)]
+
+            return run_topiq
+
+        build_members.make_topiq_member = make_topiq_member
+        members["topiq"] = make_topiq_member(tcfg.input_size)
 
         # --- samp: 224px resize + U2NetP saliency + SAMPNet heads
         samp = SAMPNet()
@@ -186,27 +192,32 @@ def build_members(args):
         members["samp"] = lambda buf: samp_fwd(sp, up, buf)
 
         # --- faces: device letterbox + exact SCRFD det_10g + top-k decode
+        # (fully convolutional: one param tree serves the fast tier's 448px)
         dcfg = SCRFD_10G
         det = SCRFD(dcfg)
         dp = fallback_init(
             det, sds((1, dcfg.input_size, dcfg.input_size, 3)), seed=10)
-        size = dcfg.input_size
-        scale = size / max(h, w)
-        nh, nw = round(h * scale), round(w * scale)
-        f_rows = jnp.asarray(resample_matrix(h, nh, method="linear"))
-        f_cols = jnp.asarray(resample_matrix(w, nw, method="linear"))
 
-        @jax.jit
-        def face_fwd(params, buf):
-            x = buf.astype(jnp.float32)
-            x = jnp.einsum("rh,bhwc->brwc", f_rows, x)
-            x = jnp.einsum("sw,brwc->brsc", f_cols, x)
-            canvas = jnp.pad(x, ((0, 0), (0, size - nh), (0, size - nw),
-                                 (0, 0)))
-            canvas = (canvas - 127.5) / 128.0
-            return decode_topk(det.apply(params, canvas))
+        def make_faces_member(size):
+            scale = size / max(h, w)
+            nh, nw = round(h * scale), round(w * scale)
+            f_rows = jnp.asarray(resample_matrix(h, nh, method="linear"))
+            f_cols = jnp.asarray(resample_matrix(w, nw, method="linear"))
 
-        members["faces"] = lambda buf: face_fwd(dp, buf)
+            @jax.jit
+            def face_fwd(params, buf):
+                x = buf.astype(jnp.float32)
+                x = jnp.einsum("rh,bhwc->brwc", f_rows, x)
+                x = jnp.einsum("sw,brwc->brsc", f_cols, x)
+                canvas = jnp.pad(x, ((0, 0), (0, size - nh), (0, size - nw),
+                                     (0, 0)))
+                canvas = (canvas - 127.5) / 128.0
+                return decode_topk(det.apply(params, canvas))
+
+            return lambda buf: face_fwd(dp, buf)
+
+        build_members.make_faces_member = make_faces_member
+        members["faces"] = make_faces_member(dcfg.input_size)
 
     return members
 
@@ -336,38 +347,58 @@ def main():
     _emit()          # the exact headline replaces the estimates
     enriched = False
 
-    # --- OPTIONAL: fast mode (processing.fast_color_harmony) — the H-S
-    # entropy from a stride-4 pixel subsample, everything else identical.
-    # One extra fused-program compile; the exact-mode headline above is the
-    # official metric, this documents the measured speed of the divergence.
-    if remaining() > 60:
+    # --- OPTIONAL: the fast speed tier (processing.speed_tier: "fast") —
+    # stride-4 H-S entropy + TOPIQ at 256px + SCRFD at 448px, the documented
+    # divergences of docs/SCORING.md. Built INCREMENTALLY (fused -> topiq ->
+    # faces), re-measuring the ensemble and emitting after each swap, so a
+    # timeout still leaves the best-known fast-tier number on record. The
+    # exact-mode headline above stays the official metric.
+    if args.members == "all" and remaining() > 60:
+        from facet_tpu.models.face_pipeline import FAST_TIER_DET_SIZE
+        from facet_tpu.models.topiq import FAST_TIER_INPUT_SIZE
         from facet_tpu.processing.device_pipeline import build_fused_pipeline
 
         fused_fast = build_fused_pipeline(
             build_members.vision, build_members.head, args.height,
             args.width, hs_subsample=4)
+        fast_swaps = [
+            ("clip_fused", "hs_subsample=4",
+             lambda: lambda buf: fused_fast(
+                 build_members.vp, build_members.hp, buf)),
+            ("topiq", f"eval {FAST_TIER_INPUT_SIZE}px",
+             lambda: build_members.make_topiq_member(FAST_TIER_INPUT_SIZE)),
+            ("faces", f"det {FAST_TIER_DET_SIZE}px",
+             lambda: build_members.make_faces_member(FAST_TIER_DET_SIZE)),
+        ]
         fast_members = dict(members)
-        fast_members["clip_fused"] = lambda buf: fused_fast(
-            build_members.vp, build_members.hp, buf)
-        t0 = time.perf_counter()
-        jax.device_get(fast_members["clip_fused"](buffers[0]))
-        fast_compile = round(time.perf_counter() - t0, 1)
-        best_fast = 0.0
-        for _ in range(args.repeats):
+        fast_compile = {}
+        fast_detail = {}
+        for name, detail, make in fast_swaps:
+            if remaining() < 45 and fast_detail:
+                break   # keep what's measured rather than risk the budget
+            fast_members[name] = make()
             t0 = time.perf_counter()
-            for i in range(args.steps):
-                buf = buffers[i % 2]
-                jax.device_get([fn(buf) for fn in fast_members.values()])
-            best_fast = max(best_fast,
-                            args.steps * args.batch / (time.perf_counter() - t0))
-        _RESULT["fast_mode"] = {
-            "images_per_second": round(best_fast, 2),
-            "hs_subsample": 4,
-            "compile_seconds": fast_compile,
-            "gate": "processing.fast_color_harmony",
-        }
-        _phase("fast mode measured")
-        _emit()
+            jax.device_get(fast_members[name](buffers[0]))
+            fast_compile[name] = round(time.perf_counter() - t0, 1)
+            fast_detail[name] = detail
+            best_fast = 0.0
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                for i in range(args.steps):
+                    buf = buffers[i % 2]
+                    jax.device_get([fn(buf) for fn in fast_members.values()])
+                best_fast = max(
+                    best_fast,
+                    args.steps * args.batch / (time.perf_counter() - t0))
+            _RESULT["fast_mode"] = {
+                "images_per_second": round(best_fast, 2),
+                "tier_members": dict(fast_detail),
+                "complete": len(fast_detail) == len(fast_swaps),
+                "compile_seconds": dict(fast_compile),
+                "gate": "processing.speed_tier",
+            }
+            _phase(f"fast tier measured through {name}")
+            _emit()
 
     # --- OPTIONAL: ingest-limited rate on this machine's host->device link.
     # Compile-free: copy a 64-image host batch over the link, zero-pad it to

@@ -358,6 +358,15 @@ def build_default_config():
             # score-delta distribution. The exact path is the parity-tested
             # default (reference formula: analyzers/technical.py:79-113).
             "fast_color_harmony": False,
+            # SPEED TIER (measured divergence, default exact): "fast" trades
+            # bounded accuracy for throughput the same way the reference's
+            # VRAM profiles trade model sets (models/model_manager.py:630-667)
+            # and pyiqa caps inference resolution (pyiqa_scorer.py:131-135):
+            # stride-4 color-harmony entropy (implies fast_color_harmony),
+            # TOPIQ evaluated at 256px instead of 384px, SCRFD face detection
+            # at 448px instead of 640px. docs/SCORING.md documents each
+            # divergence and its measured cost; the parity suite pins exact.
+            "speed_tier": "exact",
             "device_batch_size": 16,
             "gpu_batch_size": 16,          # reference-compatible alias
             "ram_chunk_size": 100,

@@ -257,6 +257,18 @@ class ScoringConfig:
         defaults = build_default_config()["processing"]
         return self._section("processing", defaults)
 
+    def speed_tier(self):
+        """processing.speed_tier: "exact" (default) or "fast".
+
+        Unknown values fall back to exact — the conservative tier — so a
+        typo never silently trades accuracy. "fast" implies
+        fast_color_harmony plus the member eval-size trades documented in
+        docs/SCORING.md.
+        """
+        tier = str(self.get_processing_settings().get(
+            "speed_tier", "exact")).lower()
+        return tier if tier in ("exact", "fast") else "exact"
+
     def get_scanning_settings(self):
         return self._section("scanning", {"skip_hidden_directories": True})
 

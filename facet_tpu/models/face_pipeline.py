@@ -35,6 +35,10 @@ from facet_tpu.models.face_models import (
 )
 from facet_tpu.models.scrfd import SCRFD, SCRFD_10G, decode_topk
 
+# fast speed tier (processing.speed_tier: "fast"): 448px detection canvas;
+# must stay a multiple of the largest anchor stride (32)
+FAST_TIER_DET_SIZE = 448
+
 LEFT_EYE = [35, 39, 37, 38, 41, 40]
 RIGHT_EYE = [89, 93, 91, 92, 95, 94]
 
@@ -108,9 +112,21 @@ class FacePipeline:
     def create(cls, config, cached=None):
         from facet_tpu.models.checkpoints import load_or_none
 
-        if cached is not None:
-            return cls(cached["det"], cached["landmark"], cached["embed"], config)
         det_config = SCRFD_10G
+        if config is not None and getattr(config, "speed_tier", None):
+            if config.speed_tier() == "fast":
+                # fast tier: 448px detection canvas instead of 640px — the
+                # standard insightface det_size trade (the params are fully
+                # convolutional, so the same checkpoint serves both tiers);
+                # small faces below ~20px at original scale may be missed.
+                # docs/SCORING.md documents the divergence.
+                from dataclasses import replace
+
+                det_config = replace(det_config,
+                                     input_size=FAST_TIER_DET_SIZE)
+        if cached is not None:
+            return cls(cached["det"], cached["landmark"], cached["embed"],
+                       config, det_config=det_config)
         det = load_or_none("scrfd_detector")
         lmk = load_or_none("landmark_106")
         emb = load_or_none("arcface_iresnet50")
@@ -125,7 +141,7 @@ class FacePipeline:
             lmk = fallback_init(LandmarkNet(), sds((1, 192, 192, 3)), seed=11)
         if emb is None:
             emb = fallback_init(IResNet(), sds((1, 112, 112, 3)), seed=12)
-        return cls(det, lmk, emb, config)
+        return cls(det, lmk, emb, config, det_config=det_config)
 
     def host_params(self):
         to_host = lambda t: jax.tree.map(np.asarray, t)

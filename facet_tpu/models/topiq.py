@@ -184,6 +184,13 @@ class CrossAttentionBlock(nn.Module):
         return x + y
 
 
+# fast speed tier (processing.speed_tier: "fast"): evaluate at 256px
+# instead of 384px — the same accuracy/speed resolution trade the
+# reference's pyiqa wrapper makes when it caps inference at 1024px long
+# edge (models/pyiqa_scorer.py:131-135). docs/SCORING.md documents it.
+FAST_TIER_INPUT_SIZE = 256
+
+
 @dataclass(frozen=True)
 class TOPIQConfig:
     width: int = 256
@@ -256,7 +263,13 @@ class TOPIQScorer:
     def _program(self, h, w):
         """One program per source shape: device resize + normalize +
         forward (one device call instead of resize/normalize/forward round
-        trips); batch-shardable over the dp mesh."""
+        trips). On a mesh the WHOLE program runs under shard_map over 'dp'
+        (params replicated, batch split, zero collectives) — shard_map
+        rather than sharding propagation because the TPU attention path is
+        a pallas_call (ops/pallas_attn.py), which has no GSPMD partitioning
+        rule; propagation would gather the batch at the kernel. Same
+        decision as the fused pipeline's entropy kernel
+        (processing/device_pipeline.py build_fused_pipeline)."""
         key = (h, w)
         if key not in self._programs:
             from facet_tpu.ops.resize import resample_matrix
@@ -265,14 +278,23 @@ class TOPIQScorer:
             rows = jnp.asarray(resample_matrix(h, size, method="linear"))
             cols = jnp.asarray(resample_matrix(w, size, method="linear"))
 
-            @jax.jit
             def run(params, batch_u8):
                 x = batch_u8.astype(jnp.float32)
                 x = jnp.einsum("rh,bhwc->brwc", rows, x)
                 x = jnp.einsum("sw,brwc->brsc", cols, x) / 255.0
                 return self.net.apply(params, (x - IMAGENET_MEAN) / IMAGENET_STD)
 
-            self._programs[key] = run
+            if self.mesh is None:
+                prog = jax.jit(run)
+            else:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                prog = jax.jit(shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(P(), P("dp")), out_specs=P("dp"),
+                    check_rep=False))
+            self._programs[key] = prog
         return self._programs[key]
 
     def _run(self, h, w, batch):
@@ -289,9 +311,17 @@ class TOPIQScorer:
 
     @classmethod
     def create(cls, config=None, cached=None):
+        from dataclasses import replace
+
         from facet_tpu.models.checkpoints import load_or_none, _warn_once
 
         tcfg = TOPIQConfig()
+        if config is not None and getattr(config, "speed_tier", None):
+            if config.speed_tier() == "fast":
+                # fast tier: 256px eval (docs/SCORING.md) — every parameter
+                # is resolution-agnostic (convs + DenseGenerals, no position
+                # embeddings), so the same checkpoint serves both tiers
+                tcfg = replace(tcfg, input_size=FAST_TIER_INPUT_SIZE)
         if cached is not None:
             return cls(cached["params"], tcfg)
         params = load_or_none("topiq")

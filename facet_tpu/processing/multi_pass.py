@@ -170,8 +170,9 @@ class ChunkedMultiPassProcessor:
         from facet_tpu.ops.stats import compute_batch_stats
 
         t0 = time.time()
-        fast = bool(self.config.get_processing_settings().get(
+        fast = (bool(self.config.get_processing_settings().get(
             "fast_color_harmony", False))
+            or self.config.speed_tier() == "fast")
         stats = compute_batch_stats(state["images"],
                                     hs_subsample=4 if fast else 1)
         state["tech"] = [self.scorer.technical.metrics_from_stats(s) for s in stats]

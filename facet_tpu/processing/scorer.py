@@ -118,8 +118,9 @@ class Facet:
         if self._fused is None:
             from facet_tpu.processing.device_pipeline import FusedScorer
 
-            fast = bool(self.config.get_processing_settings().get(
+            fast = (bool(self.config.get_processing_settings().get(
                 "fast_color_harmony", False))
+                or self.config.speed_tier() == "fast")
             self._fused = FusedScorer.from_aesthetic_scorer(
                 self.aesthetic_model, hs_subsample=4 if fast else 1)
         return self._fused
