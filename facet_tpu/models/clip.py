@@ -109,9 +109,12 @@ def resolve_attn_impl(impl="auto"):
     sequence length (round 4, fused program at batch 64 on v5e: xla
     306.3 img/s vs flash 247.1 at block 384 and 186.2 at block 128): the
     kernel pads 257 -> 384 tokens and its grid overhead exceeds the
-    ~0.9 ms/img of materialized-softmax traffic it eliminates. The flash
-    path stays implemented + parity-tested as the measured record;
-    FACET_ATTN_IMPL=flash re-enables it for probing.
+    ~0.9 ms/img of materialized-softmax traffic it eliminates. A
+    softmax-ONLY pallas kernel ("psoftmax", ops/pallas_softmax.py) was
+    ALSO measured and rejected (round 4, b256: 335.5 xla vs 311.2) —
+    the pallas boundary costs more than the reduce passes it saves.
+    Both stay implemented + parity-tested as the measured record;
+    FACET_ATTN_IMPL={flash,psoftmax} re-enables them for probing.
     """
     import os
 
@@ -217,7 +220,12 @@ class Attention(nn.Module):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
             if mask is not None:
                 logits = logits + mask.astype(logits.dtype)
-            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            if self.attn_impl == "psoftmax":
+                from facet_tpu.ops.pallas_softmax import softmax_pallas
+
+                weights = softmax_pallas(logits).astype(self.dtype)
+            else:
+                weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(*out.shape[:-2], self.width)
         dense_out = Int8Dense if self.quant == "int8" else nn.Dense
