@@ -33,6 +33,11 @@ def build_parser():
                       help="photos to score in --dry-run mode (default 10)")
     scan.add_argument("--batch-size", type=int, default=None)
     scan.add_argument("--workers", type=int, default=None)
+    scan.add_argument("--speed-tier", choices=["exact", "fast"], default=None,
+                      help="override processing.speed_tier for this run: "
+                           "'fast' trades bounded accuracy for throughput "
+                           "(stride-4 color entropy, TOPIQ at 256px, face "
+                           "detection at 448px — docs/SCORING.md)")
 
     rec = p.add_argument_group("recompute")
     rec.add_argument("--recompute-average", action="store_true",
@@ -142,6 +147,11 @@ def main(argv=None):
 
     db_path = resolve_db_path(args.db)
     config = ScoringConfig(args.config)
+    if args.speed_tier:
+        # in-memory override only: a one-run flag must not rewrite the
+        # on-disk config the way real settings edits do
+        config.config.setdefault("processing", {})["speed_tier"] = \
+            args.speed_tier
     # idempotent schema creation/migration up front, so DB-only modes
     # (--export, --optimize-weights, ...) work on a fresh database too
     from facet_tpu.db.schema import init_database

@@ -307,3 +307,44 @@ class TestTagExistingCli:
                                   "--dry-run", "--force"]) == 0
         out = capsys.readouterr().out
         assert "dry run:" in out
+
+
+class TestSpeedTierFlag:
+    def test_speed_tier_overrides_in_memory_only(self, tmp_path, tmp_config,
+                                                 monkeypatch, capsys):
+        import json
+
+        import facet_tpu.processing.scorer as scorer_mod
+
+        pics = tmp_path / "tier_pics"
+        pics.mkdir()
+        Image.new("RGB", (32, 24), (10, 90, 120)).save(pics / "a.jpg")
+
+        seen = {}
+
+        class StubFacet:
+            def __init__(self, db_path, config, **kw):
+                seen["tier"] = config.speed_tier()
+
+            def get_already_scanned_set(self):
+                return set()
+
+            def score_paths(self, paths):
+                return ([{"path": p, "aggregate": 5.0, "aesthetic": 6.0,
+                          "category": "default"} for p in paths], {})
+
+        monkeypatch.setattr(scorer_mod, "Facet", StubFacet)
+        db = str(tmp_path / "tier.db")
+        code, _ = run_cli(["--db", db, "--config", tmp_config, str(pics),
+                           "--dry-run", "--speed-tier", "fast"], capsys)
+        assert code == 0
+        assert seen["tier"] == "fast"
+        # one-run override: the on-disk config must NOT have been rewritten
+        on_disk = json.load(open(tmp_config))
+        assert on_disk.get("processing", {}).get("speed_tier", "exact") \
+            == "exact"
+        # and without the flag the default tier applies
+        code, _ = run_cli(["--db", db, "--config", tmp_config, str(pics),
+                           "--dry-run", "--force"], capsys)
+        assert code == 0
+        assert seen["tier"] == "exact"
