@@ -27,13 +27,36 @@ from facet_tpu.ops.resize import apply_separable_resize, clip_preprocess_matrice
 
 
 class AestheticHead(nn.Module):
+    """The reference's declared MLP (768 -> 256 -> relu -> 1).
+
+    ``normalize_input`` is set when the REAL improved-aesthetic-predictor
+    checkpoint is installed (its purely-affine stack is collapsed exactly
+    into this structure by models/convert.py convert_aesthetic_head; that
+    predictor scores L2-normalized embeddings). Normalizing an
+    already-normalized vector is the identity, so the recompute-from-
+    stored-embedding path agrees with the fused path in that mode.
+    """
+
     hidden: int = 256
+    normalize_input: bool = False
 
     @nn.compact
     def __call__(self, features):
+        if self.normalize_input:
+            features = features / jnp.linalg.norm(
+                features, axis=-1, keepdims=True)
         x = nn.Dense(self.hidden, dtype=jnp.float32, name="fc1")(features)
         x = nn.relu(x)
         return nn.Dense(1, dtype=jnp.float32, name="fc2")(x)
+
+
+def head_module_for(head_params):
+    """AestheticHead configured for a loaded head tree: the converter
+    marks real-checkpoint trees with a ``meta/normalize_input`` leaf."""
+    meta = head_params.get("meta", {}) if isinstance(head_params, dict) else {}
+    return AestheticHead(
+        normalize_input=bool(np.any(np.asarray(
+            meta.get("normalize_input", 0.0)))))
 
 
 class AestheticScorer:
@@ -43,7 +66,8 @@ class AestheticScorer:
                  config=CLIPVisionConfig(), dtype=jnp.bfloat16, rng_seed=0):
         self.config = config
         self.vision = CLIPVisionTower(config, dtype)
-        self.head = AestheticHead()
+        self.head = (AestheticHead() if head_params is None
+                     else head_module_for(head_params))
         from facet_tpu.models.checkpoints import fallback_init, sds
 
         if vision_params is None:
@@ -122,6 +146,9 @@ class AestheticScorer:
         Matches the reference quirk (scorer.py:622-633): the head was trained
         on unnormalized features but recompute feeds the stored normalized
         embedding — we keep that contract so --recompute-average agrees.
+        (With the REAL improved-aesthetic-predictor installed the quirk
+        vanishes: the head normalizes internally, normalization is
+        idempotent, and this path agrees exactly with the fused path.)
         """
         emb = np.frombuffer(embedding_bytes, dtype=np.float32).reshape(1, -1)
         return float(jax.device_get(self._head_only(self.head_params, jnp.asarray(emb)))[0])

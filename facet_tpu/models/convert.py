@@ -130,9 +130,56 @@ def convert_openclip_vision(state_dict, layers=24):
     return {"params": params}
 
 
-def convert_aesthetic_head(state_dict):
-    """torch Sequential(Linear(768,256), ReLU, Linear(256,1)) -> flax params."""
+def convert_aesthetic_head(state_dict, hidden=256):
+    """Aesthetic-head checkpoint -> flax AestheticHead params.
+
+    Two published vocabularies:
+
+    - ``0.weight``/``2.weight`` — the Sequential(Linear(768,256), ReLU,
+      Linear(256,1)) layout the reference DECLARES
+      (processing/scorer.py:579-585): a direct map.
+    - ``layers.{0,2,4,6,7}.weight`` — the REAL
+      improved-aesthetic-predictor MLP the reference's code actually
+      downloads (sac+logos+ava1-l14-linearMSE.pth: Linear(768,1024) ->
+      Dropout -> Linear(1024,128) -> Dropout -> Linear(128,64) ->
+      Dropout -> Linear(64,16) -> Linear(16,1), NO activations). The
+      reference loads it with strict=False into the mismatched
+      Sequential, so none of its weights ever take effect and its
+      aesthetic head silently stays random-init. Here the stack — purely
+      affine at inference (Dropout is identity) — is composed in float64
+      into one (1, 768) map and expressed EXACTLY in the fc1/relu/fc2
+      structure via relu(z) - relu(-z) = z. The published head scores
+      L2-NORMALIZED embeddings on a raw 0-10 scale, while the engine's
+      fused formula is ``clip((head(f_unnorm) + 1) * 5)``; the returned
+      tree carries ``meta/normalize_input`` (AestheticHead normalizes
+      inside the module) and the composed map is rescaled by (/5, -1) so
+      the engine's unchanged outer formula reproduces the predictor's
+      own 0-10 score.
+
+    Returns the flax variables tree (with the extra ``meta`` collection
+    only for the real vocabulary).
+    """
     sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    if "layers.0.weight" in sd:
+        idxs = sorted(int(k.split(".")[1]) for k in sd
+                      if k.startswith("layers.") and k.endswith(".weight"))
+        w, b = None, None
+        for i in idxs:
+            wi = np.asarray(sd[f"layers.{i}.weight"], np.float64)
+            bi = np.asarray(sd[f"layers.{i}.bias"], np.float64)
+            w = wi if w is None else wi @ w
+            b = bi if b is None else wi @ b + bi
+        w, b = w / 5.0, b / 5.0 - 1.0          # fold the (raw+1)*5 formula
+        fc1_k = np.zeros((w.shape[1], hidden), np.float32)
+        fc1_k[:, 0], fc1_k[:, 1] = w[0], -w[0]
+        fc1_b = np.zeros(hidden, np.float32)
+        fc1_b[0], fc1_b[1] = b[0], -b[0]
+        fc2_k = np.zeros((hidden, 1), np.float32)
+        fc2_k[0, 0], fc2_k[1, 0] = 1.0, -1.0
+        return {"params": {
+            "fc1": {"kernel": fc1_k, "bias": fc1_b},
+            "fc2": {"kernel": fc2_k, "bias": np.zeros(1, np.float32)},
+        }, "meta": {"normalize_input": np.ones((), np.float32)}}
     return {"params": {
         "fc1": _dense(sd["0.weight"], sd["0.bias"]),
         "fc2": _dense(sd["2.weight"], sd["2.bias"]),
@@ -1094,4 +1141,133 @@ def synthetic_dbcnn_state_dict(rng=None):
     sd["fc.weight"] = rng.standard_normal(
         (1, 512 * 128)).astype(np.float32) * 0.01
     sd["fc.bias"] = np.zeros(1, np.float32)
+    return sd
+
+
+def convert_musiq(state_dict, layers=14, heads=6):
+    """Published MUSIQ torch checkpoint (pyiqa `musiq_koniq_ckpt.pth`
+    vocabulary as transcribed in tests/test_convert_musiq.py) -> our
+    MUSIQNet tree (models/musiq.py). Key map in docs/CONVERTERS.md.
+
+    Accepts split q/k/v ("...attn.query.weight") and fused
+    ("...attn.qkv.weight" with "attn.proj" output) attention vocabularies.
+    Returns (tree, unmapped_keys) like convert_hyperiqa.
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    root_kernel = np.asarray(take("conv_root.weight"), np.float32)
+    cout = root_kernel.shape[0]
+    emb_w = np.asarray(take("embedding.weight"), np.float32)
+    hidden = emb_w.shape[0]
+    side = int(round(np.sqrt(emb_w.shape[1] / cout)))
+    # torch flattens the (C, h, w) root feature CHW; the flax module
+    # flattens HWC — permute the embedding's input columns
+    emb_w = emb_w.reshape(hidden, cout, side, side).transpose(
+        0, 2, 3, 1).reshape(hidden, cout * side * side)
+
+    p = {
+        "patch_encoder": {
+            "conv_root_kernel": _conv_t(root_kernel),
+            "gn_root": _ln(take("gn_root.weight"), take("gn_root.bias")),
+            "embedding": {"kernel": emb_w.T,
+                          "bias": np.asarray(take("embedding.bias"),
+                                             np.float32)},
+        },
+        "cls": np.asarray(take("cls_token"), np.float32).reshape(
+            1, 1, hidden),
+        "pos_embedding": np.asarray(
+            take("pos_embedding"), np.float32).reshape(-1, hidden),
+        "scale_embedding": np.asarray(
+            take("scale_embedding"), np.float32).reshape(-1, hidden),
+        "encoder_norm": _ln(take("transformer.norm.weight"),
+                            take("transformer.norm.bias")),
+        "head": _dense(take("head.weight"), take("head.bias")),
+    }
+
+    head_dim = hidden // heads
+    proj = lambda w: np.asarray(w, np.float32).T.reshape(
+        hidden, heads, head_dim)
+    for i in range(layers):
+        bp = f"transformer.blocks.{i}"
+        if f"{bp}.attn.qkv.weight" in sd:
+            qkv_w = np.split(np.asarray(take(f"{bp}.attn.qkv.weight"),
+                                        np.float32), 3, axis=0)
+            qkv_b = np.split(np.asarray(take(f"{bp}.attn.qkv.bias"),
+                                        np.float32), 3, axis=0)
+            ow = take(f"{bp}.attn.proj.weight")
+            ob = take(f"{bp}.attn.proj.bias")
+        else:
+            qkv_w = [take(f"{bp}.attn.{n}.weight")
+                     for n in ("query", "key", "value")]
+            qkv_b = [take(f"{bp}.attn.{n}.bias")
+                     for n in ("query", "key", "value")]
+            ow = take(f"{bp}.attn.out.weight")
+            ob = take(f"{bp}.attn.out.bias")
+        attn = {
+            name: {"kernel": proj(w),
+                   "bias": np.asarray(b, np.float32).reshape(heads,
+                                                             head_dim)}
+            for name, w, b in zip(("query", "key", "value"), qkv_w, qkv_b)
+        }
+        attn["out"] = {
+            "kernel": np.asarray(ow, np.float32).T.reshape(
+                heads, head_dim, hidden),
+            "bias": np.asarray(ob, np.float32)}
+        p[f"encoderblock_{i}"] = {
+            "ln1": _ln(take(f"{bp}.norm1.weight"), take(f"{bp}.norm1.bias")),
+            "attn": attn,
+            "ln2": _ln(take(f"{bp}.norm2.weight"), take(f"{bp}.norm2.bias")),
+            "mlp_dense1": _dense(take(f"{bp}.mlp.fc1.weight"),
+                                 take(f"{bp}.mlp.fc1.bias")),
+            "mlp_dense2": _dense(take(f"{bp}.mlp.fc2.weight"),
+                                 take(f"{bp}.mlp.fc2.bias")),
+        }
+
+    unmapped = sorted(k for k in sd if k not in consumed)
+    return {"params": p}, unmapped
+
+
+def synthetic_musiq_state_dict(rng=None, layers=14, hidden=384,
+                               mlp_dim=1152, grid=10, num_scales=3):
+    """Published MUSIQ key names + shapes (no egress needed). Verified
+    against an independent torch transcription with strict=True in
+    tests/test_convert_musiq.py."""
+    rng = rng or np.random.default_rng(0)
+    sd = {}
+
+    def fc(name, dout, din):
+        sd[name + ".weight"] = rng.standard_normal(
+            (dout, din)).astype(np.float32) / np.sqrt(din)
+        sd[name + ".bias"] = rng.standard_normal(dout).astype(
+            np.float32) * 0.01
+
+    def ln(name, d):
+        sd[name + ".weight"] = rng.uniform(0.5, 1.5, d).astype(np.float32)
+        sd[name + ".bias"] = rng.standard_normal(d).astype(np.float32) * 0.1
+
+    sd["conv_root.weight"] = rng.standard_normal(
+        (64, 3, 7, 7)).astype(np.float32) / np.sqrt(3 * 49)
+    ln("gn_root", 64)
+    fc("embedding", hidden, 64 * 8 * 8)
+    sd["cls_token"] = rng.standard_normal(
+        (1, 1, hidden)).astype(np.float32) * 0.02
+    sd["pos_embedding"] = rng.standard_normal(
+        (grid * grid, hidden)).astype(np.float32) * 0.02
+    sd["scale_embedding"] = rng.standard_normal(
+        (num_scales, hidden)).astype(np.float32) * 0.02
+    for i in range(layers):
+        bp = f"transformer.blocks.{i}"
+        ln(f"{bp}.norm1", hidden)
+        for n in ("query", "key", "value", "out"):
+            fc(f"{bp}.attn.{n}", hidden, hidden)
+        ln(f"{bp}.norm2", hidden)
+        fc(f"{bp}.mlp.fc1", mlp_dim, hidden)
+        fc(f"{bp}.mlp.fc2", hidden, mlp_dim)
+    ln("transformer.norm", hidden)
+    fc("head", 1, hidden)
     return sd

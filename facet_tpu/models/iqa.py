@@ -6,9 +6,9 @@ published KonIQ-10k SRCC, mirroring the reference's table
 
 - topiq     (0.93) — native flax CFANet, facet_tpu.models.topiq;
 - clipiqa+  (0.86) — antonym-prompt CLIP scoring on our CLIP towers;
-- hyperiqa  (0.90), dbcnn (0.90), musiq (0.87) — registered, pending native
-  ports (create() raises with a clear message until their checkpoints are
-  converted).
+- hyperiqa  (0.90), dbcnn (0.90) — native flax ports, iqa_extra.py;
+- musiq     (0.87) — native flax multi-scale transformer, musiq.py (raw
+  scores on the published 0-100 KonIQ MOS scale).
 
 All scorers expose score_batch(images_u8) -> [0-10 scores] and normalize via
 their declared range like the reference (pyiqa_scorer.py:166-195); inputs are
@@ -132,7 +132,7 @@ IQA_REGISTRY = {
     "clipiqa+": {"srcc": 0.86, "range": (0.0, 1.0), "factory": lambda: CLIPIQAScorer},
     "hyperiqa": {"srcc": 0.90, "range": (0.0, 1.0), "factory": _hyperiqa_factory},
     "dbcnn": {"srcc": 0.90, "range": (0.0, 1.0), "factory": _dbcnn_factory},
-    "musiq": {"srcc": 0.87, "range": (0.0, 1.0), "factory": _musiq_factory},
+    "musiq": {"srcc": 0.87, "range": (0.0, 100.0), "factory": _musiq_factory},
 }
 
 

@@ -60,7 +60,9 @@ def test_deep_scorers(tiny_config, name):
 def test_musiq(tiny_config):
     from facet_tpu.models.musiq import MUSIQConfig, MUSIQScorer
 
-    tiny = MUSIQConfig(scales=(64, 48), patch=16, width=32, layers=1, heads=2)
+    tiny = MUSIQConfig(hidden=48, mlp_dim=96, layers=1, heads=2,
+                       root_width=32, longer_side_lengths=(64,),
+                       max_native_side=96)
     scorer = MUSIQScorer.create(tiny_config, musiq_config=tiny)
     rng = np.random.default_rng(2)
     scores = scorer.score_batch(

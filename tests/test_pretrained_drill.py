@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(REPO, "tests", "fixtures"))
 
 ENGINE_FAMILIES = (
     "clip_vit_l14_vision", "aesthetic_head", "u2netp", "samp_net",
-    "arcface_iresnet50", "topiq", "hyperiqa", "dbcnn",
+    "arcface_iresnet50", "topiq", "hyperiqa", "dbcnn", "musiq",
 )
 
 
@@ -55,16 +55,20 @@ def converted(tmp_path_factory):
     torch.save(sd, source / "pytorch_model.bin")
     del vision, text, sd
 
-    # --- aesthetic head (Linear(768,256) -> ReLU -> Linear(256,1))
+    # --- aesthetic head: the REAL improved-aesthetic-predictor format
+    # (layers.* purely-affine MLP) under the reference's own download
+    # filename — the layout the reference itself silently fails to load
+    # (strict=False; tests/test_convert_aesthetic.py)
     rng = np.random.default_rng(0)
-    torch.save({
-        "0.weight": torch.tensor(rng.standard_normal((256, 768)),
-                                 dtype=torch.float32),
-        "0.bias": torch.zeros(256),
-        "2.weight": torch.tensor(rng.standard_normal((1, 256)),
-                                 dtype=torch.float32) * 0.1,
-        "2.bias": torch.zeros(1),
-    }, source / "aesthetic_predictor_weights.pth")
+    aes = {}
+    for i, (dout, din) in zip((0, 2, 4, 6, 7),
+                              ((1024, 768), (128, 1024), (64, 128),
+                               (16, 64), (1, 16))):
+        aes[f"layers.{i}.weight"] = torch.tensor(
+            rng.standard_normal((dout, din)).astype(np.float32)
+            / np.sqrt(din))
+        aes[f"layers.{i}.bias"] = torch.zeros(dout)
+    torch.save(aes, source / "sac+logos+ava1-l14-linearMSE.pth")
 
     # --- published-layout synthetic dicts for the conv families
     from facet_tpu.models.convert import (
@@ -81,6 +85,7 @@ def converted(tmp_path_factory):
     from facet_tpu.models.convert import (
         synthetic_dbcnn_state_dict,
         synthetic_hyperiqa_state_dict,
+        synthetic_musiq_state_dict,
     )
 
     save_pth("u2netp.pth", synthetic_u2netp_state_dict())
@@ -89,6 +94,7 @@ def converted(tmp_path_factory):
     save_pth("cfanet_nr_koniq_res50.pth", synthetic_topiq_state_dict())
     save_pth("hyperiqa.pth", synthetic_hyperiqa_state_dict())
     save_pth("DBCNN.pth", synthetic_dbcnn_state_dict())
+    save_pth("musiq_koniq_ckpt.pth", synthetic_musiq_state_dict())
 
     env = dict(os.environ, FACET_PLATFORM="cpu",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))

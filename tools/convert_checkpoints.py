@@ -78,17 +78,25 @@ def convert_aesthetic(source_dir, out_dir):
         print("skip: no aesthetic head checkpoint")
         return False
     sd = _load_torch(path)
-    # The public head is 768->1024->128->64->16->1; our engine's contract is
-    # the reference's declared 768->256->1. When the full head is present we
-    # distill the first+last layers is NOT meaningful — instead store the
-    # full head only if it matches, else warn.
+    if "layers.0.weight" in sd:
+        # the REAL improved-aesthetic-predictor MLP (the reference's own
+        # download URL) — collapsed exactly into the fc1/relu/fc2 head
+        # with normalize-input semantics (see convert_aesthetic_head)
+        save_params(convert_aesthetic_head(sd),
+                    os.path.join(out_dir, "aesthetic_head.npz"))
+        print("converted aesthetic head (improved-aesthetic-predictor "
+              "full MLP, collapsed exact; the reference silently fails "
+              "to load this file — strict=False into a mismatched "
+              "Sequential)")
+        return True
     if "0.weight" in sd and sd["0.weight"].shape == (256, 768):
         save_params(convert_aesthetic_head(sd),
                     os.path.join(out_dir, "aesthetic_head.npz"))
         print("converted aesthetic head")
         return True
-    print("note: aesthetic checkpoint layout differs from Linear(768,256,1); "
-          "fit or export a matching head, then re-run")
+    print("note: aesthetic checkpoint layout matches neither "
+          "improved-aesthetic-predictor (layers.*) nor the declared "
+          "Linear(768,256,1); fit or export a matching head, then re-run")
     return False
 
 
@@ -523,6 +531,27 @@ def convert_dbcnn_ckpt(source_dir, out_dir):
     return False
 
 
+def convert_musiq_ckpt(source_dir, out_dir):
+    """pyiqa MUSIQ checkpoint (musiq_koniq_ckpt.pth: per-patch conv root +
+    multi-scale hash-embedded transformer) -> musiq.npz."""
+    for name in ("musiq_koniq_ckpt.pth", "musiq.pth",
+                 "musiq_koniq_ckpt-e95806b9.pth"):
+        path = os.path.join(source_dir, name)
+        if not os.path.exists(path):
+            continue
+        from facet_tpu.models.convert import convert_musiq, save_params
+
+        tree, unmapped = convert_musiq(_load_torch(path))
+        save_params(tree, os.path.join(out_dir, "musiq.npz"))
+        print(f"converted musiq from {name}")
+        if unmapped:
+            print(f"  WARNING {len(unmapped)} source keys unmapped: "
+                  f"{unmapped[:8]}...")
+        return True
+    print("skip: no musiq checkpoint (musiq_koniq_ckpt.pth)")
+    return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="checkpoints",
@@ -539,6 +568,7 @@ def main():
     convert_topiq_ckpt(args.source, args.out)
     convert_hyperiqa_ckpt(args.source, args.out)
     convert_dbcnn_ckpt(args.source, args.out)
+    convert_musiq_ckpt(args.source, args.out)
     convert_ram_plus_ckpt(args.source, args.out)
     convert_qwen_vision_ckpt(args.source, args.out)
     convert_qwen_text_ckpt(args.source, args.out)
