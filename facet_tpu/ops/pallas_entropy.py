@@ -47,7 +47,9 @@ PAD_HUE = 255    # padding marker: matches no hue row
 
 
 def _make_kernel(n_valid):
-    """n_valid is static (H*W): no scalar prefetch needed."""
+    """n_valid is static (H*W); 0 means self-normalize by the histogram
+    total (padding pixels carry out-of-range hue so they hit no bin —
+    the ILP kernel's convention, immune to pre-padded callers)."""
 
     def _entropy_kernel(h_ref, s_ref, out_ref, acc_ref):
         """Grid (B, nblocks); h_ref/s_ref blocks are (ROWS, CHUNK) int32 and
@@ -75,7 +77,10 @@ def _make_kernel(n_valid):
 
         @pl.when(ci == nblocks - 1)
         def _():
-            p = acc_ref[:] * (1.0 / float(n_valid))
+            if n_valid:
+                p = acc_ref[:] * (1.0 / float(n_valid))
+            else:
+                p = acc_ref[:] / jnp.sum(acc_ref[:])
             logp = jnp.where(p > 0.0,
                              jnp.log2(jnp.where(p > 0.0, p, 1.0)), 0.0)
             out_ref[bi, 0] = -jnp.sum(p * logp)
@@ -111,11 +116,14 @@ def _entropy_call(hh, ss, n_valid, interpret=False):
 def hs_entropy_pallas(hh, ss, n_valid=None, interpret=False):
     """(B, N) int32 hue bins / saturations -> (B,) joint entropy in bits.
 
-    Pads N to the block size with out-of-range hue markers; n_valid
-    defaults to N (pass it when the caller already padded)."""
+    Pads N to the block size with out-of-range hue markers. By default the
+    entropy self-normalizes by the in-range pixel count (the ILP kernel's
+    convention), so callers that pre-padded with out-of-range markers get
+    the exact answer without plumbing a count; pass n_valid to force a
+    specific denominator."""
     b, n = hh.shape
     if n_valid is None:
-        n_valid = n
+        n_valid = 0
     block = ROWS * CHUNK
     n_pad = -(-n // block) * block
     if n_pad != n:

@@ -16,7 +16,6 @@ partitioning rule). Single-device backends (the 1-chip bench harness) take
 the unsharded path unchanged.
 """
 
-import functools
 import os
 
 import jax
@@ -25,6 +24,7 @@ import numpy as np
 
 from facet_tpu.models.aesthetic import AestheticHead
 from facet_tpu.models.clip import CLIP_MEAN, CLIP_STD, CLIPVisionTower
+from facet_tpu.ops.colorspace import rgb_to_gray
 from facet_tpu.ops.phash import HASH_SIZE, RESIZE, _area_weights, _dct_matrix
 from facet_tpu.ops.resize import clip_preprocess_matrices
 from facet_tpu.ops.stats import _batch_stats_impl
@@ -80,9 +80,9 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
 
         fbatch = batch_u8.astype(jnp.float32)
 
-        # --- pHash: area resize + DCT as matmuls
-        gray = (fbatch[..., 0] * 9798 + fbatch[..., 1] * 19235 +
-                fbatch[..., 2] * 3735 + 16384) // 32768
+        # --- pHash: area resize + DCT as matmuls (canonical exact-cv2
+        # gray, the same op ops/phash.py uses — one source of truth)
+        gray = rgb_to_gray(batch_u8).astype(jnp.float32)
         small = jnp.einsum("rh,bhw,cw->brc", hash_rows, gray, hash_cols)
         freq = dct @ small @ dct.T
         low = freq[:, :HASH_SIZE, :HASH_SIZE].reshape(-1, HASH_SIZE * HASH_SIZE)
@@ -121,11 +121,6 @@ def build_fused_pipeline(vision_tower: CLIPVisionTower, head: AestheticHead,
         pipeline, mesh=mesh,
         in_specs=(P(), P(), P("dp")),       # params replicated, batch split
         out_specs=P("dp"), check_rep=False))
-
-
-@functools.lru_cache(maxsize=32)
-def _cached_matrices(src_h, src_w, target):
-    return clip_preprocess_matrices(src_h, src_w, target)
 
 
 def default_mesh():
@@ -203,31 +198,48 @@ class FusedScorer:
 
     def score_images(self, images):
         """List of RGB uint8 arrays -> aligned list of
-        (aesthetic, embedding_bytes, phash_hex, ImageStats)."""
+        (aesthetic, embedding_bytes, phash_hex, ImageStats).
+
+        Shape groups are chunked at 256 and each chunk zero-pads to a
+        power-of-two bucket (the compute_batch_stats discipline,
+        ops/stats.py _bucket_size) so a mixed-size library produces at
+        most ~9 compiled batch lengths per image shape instead of one
+        full fused-program recompile per distinct (shape, count) pair.
+        """
         from facet_tpu.ops.phash import _bits_to_hex
-        from facet_tpu.ops.stats import ImageStats, split_total
+        from facet_tpu.ops.stats import ImageStats, _bucket_size, split_total
 
         results = [None] * len(images)
         by_shape = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape[:2], []).append(i)
-        for (h, w), idxs in by_shape.items():
-            batch = np.stack([images[i] for i in idxs])
-            out = self._run(h, w, batch)
-            for j, idx in enumerate(idxs):
-                stats = ImageStats(
-                    height=h, width=w,
-                    gray_hist=np.asarray(out["gray_hist"][j]),
-                    sat_sum=split_total(out["sat_tiles"][j], 12),
-                    hs_entropy=float(out["hs_entropy"][j]),
-                    lap_sum=split_total(out["lap_tiles"][j], 12),
-                    lap_sumsq=split_total(out["lapsq_tiles"][j], 16),
-                    imm_abs_sum=split_total(out["imm_tiles"][j], 12),
-                )
-                results[idx] = (
-                    float(out["aesthetic"][j]),
-                    np.asarray(out["embedding"][j], np.float32).tobytes(),
-                    _bits_to_hex(np.asarray(out["hash_bits"][j])),
-                    stats,
-                )
+        for (h, w), all_idxs in by_shape.items():
+            for start in range(0, len(all_idxs), 256):
+                idxs = all_idxs[start:start + 256]
+                batch = np.zeros((_bucket_size(len(idxs)), h, w, 3), np.uint8)
+                for j, idx in enumerate(idxs):
+                    batch[j] = images[idx]
+                out = self._run(h, w, batch)
+                self._collect(out, idxs, h, w, results,
+                              ImageStats, split_total, _bits_to_hex)
         return results
+
+    @staticmethod
+    def _collect(out, idxs, h, w, results, ImageStats, split_total,
+                 _bits_to_hex):
+        for j, idx in enumerate(idxs):
+            stats = ImageStats(
+                height=h, width=w,
+                gray_hist=np.asarray(out["gray_hist"][j]),
+                sat_sum=split_total(out["sat_tiles"][j], 12),
+                hs_entropy=float(out["hs_entropy"][j]),
+                lap_sum=split_total(out["lap_tiles"][j], 12),
+                lap_sumsq=split_total(out["lapsq_tiles"][j], 16),
+                imm_abs_sum=split_total(out["imm_tiles"][j], 12),
+            )
+            results[idx] = (
+                float(out["aesthetic"][j]),
+                np.asarray(out["embedding"][j], np.float32).tobytes(),
+                _bits_to_hex(np.asarray(out["hash_bits"][j])),
+                stats,
+            )

@@ -109,3 +109,26 @@ class TestPallasEntropyILP:
         got = np.asarray(jax.device_get(
             _batch_stats_impl(jnp.asarray(rgb), entropy_impl="pallas")[2]))
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_prepadded_caller_without_n_valid():
+    """Round-4 review regression: a caller that already padded with
+    out-of-range hue markers and passes NO n_valid must get the exact
+    entropy — the round-2 kernel now self-normalizes by the in-range
+    count (the ILP kernel's convention) instead of defaulting the
+    denominator to the padded length."""
+    import jax.numpy as jnp
+
+    from facet_tpu.ops.pallas_entropy import hs_entropy_pallas
+
+    rng = np.random.default_rng(9)
+    hh = (rng.gamma(2.0, 12.0, (1, 3000)).astype(np.int32)) % 180
+    ss = rng.integers(0, 256, (1, 3000)).astype(np.int32)
+    hp = np.full((1, 4096), -1, np.int32)
+    hp[:, :3000] = hh
+    sp = np.zeros((1, 4096), np.int32)
+    sp[:, :3000] = ss
+    got = np.asarray(hs_entropy_pallas(
+        jnp.asarray(hp), jnp.asarray(sp), interpret=True))
+    np.testing.assert_allclose(got, oracle_entropy(hh, ss),
+                               atol=1e-5, rtol=1e-5)

@@ -214,3 +214,41 @@ class TestShardedPallasEntropy:
         for (sa, _, _, ta), (sb, _, _, tb) in zip(a, b):
             assert ta.hs_entropy == pytest.approx(tb.hs_entropy, abs=1e-5)
             assert sa == pytest.approx(sb, abs=1e-5)
+
+
+class TestBatchLengthBucketing:
+    def test_group_counts_reuse_pow2_buckets(self, fused_pair):
+        """score_images pads each shape group to a power-of-two batch
+        (ops/stats.py _bucket_size discipline) so a mixed-size library
+        compiles one fused program per bucket, not per distinct count
+        (round-4 review finding)."""
+        _, single = fused_pair
+        seen = []
+        orig = single._run
+
+        def spy(h, w, batch):
+            seen.append(batch.shape[0])
+            return orig(h, w, batch)
+
+        single._run = spy
+        try:
+            for n in (3, 5, 6, 7):
+                res = single.score_images(_images(n, seed=10 + n))
+                assert len(res) == n and all(r is not None for r in res)
+        finally:
+            single._run = orig
+        assert seen == [4, 8, 8, 8]
+
+    def test_bucket_padding_matches_exact_batch(self, fused_pair):
+        """The zero rows a bucket adds must not change any real image's
+        outputs (per-image math; also pins the pHash/stats epilogues
+        index only real rows)."""
+        _, single = fused_pair
+        images = _images(3, seed=42)
+        got = single.score_images(images)          # runs at bucket 4
+        want = [single.score_images([img])[0] for img in images]
+        for (sa, ea, ha, ta), (sb, eb, hb, tb) in zip(got, want):
+            assert sa == pytest.approx(sb, abs=1e-5)
+            assert ha == hb
+            np.testing.assert_array_equal(ta.gray_hist, tb.gray_hist)
+            assert ta.hs_entropy == pytest.approx(tb.hs_entropy, abs=1e-5)
