@@ -14,6 +14,7 @@ Phase timings (io / model_load / inference / unload / save) and the model
 RAM-cache hit rate are reported at the end, same vocabulary as the reference.
 """
 
+import os
 import time
 
 import numpy as np
@@ -47,6 +48,40 @@ FALLBACK_CHAINS = {
 
 QUALITY_PASS_MODELS = ("topiq", "hyperiqa", "dbcnn", "musiq", "clipiqa")
 
+# Column ownership for --pass partial updates: a single pass only
+# overwrites the columns of the models it actually ran plus the
+# always-recomputed prepass columns; everything else on an EXISTING row is
+# preserved, and the aggregate/category recompute afterwards from the
+# MERGED row (scorer.update_all_aggregates(paths=...)). The reference's
+# run_single_pass REPLACEs full rows with 5.0/0 defaults for the models it
+# skipped (multi_pass.py:764-861) — a deliberate data-preserving
+# divergence, documented in docs/MIGRATION.md.
+PREPASS_COLUMNS = (
+    "filename", "date_taken", "camera_model", "lens_model", "iso", "f_stop",
+    "shutter_speed", "focal_length", "focal_length_35mm", "image_width",
+    "image_height", "tech_sharpness", "color_score", "exposure_score",
+    "raw_sharpness_variance", "histogram_data", "histogram_spread",
+    "mean_luminance", "histogram_bimodality", "raw_color_entropy",
+    "shadow_clipped", "highlight_clipped", "dynamic_range_stops",
+    "noise_sigma", "contrast_score", "mean_saturation", "is_monochrome",
+    "is_silhouette", "thumbnail", "phash",
+)
+MODEL_COLUMNS = {
+    "clip": ("aesthetic", "clip_embedding", "tags", "scoring_model"),
+    "samp_net": ("comp_score", "composition_pattern",
+                 "composition_explanation", "power_point_score",
+                 "leading_lines_score"),
+    "insightface": ("face_count", "face_quality", "eye_sharpness",
+                    "face_sharpness", "face_ratio", "is_blink",
+                    "is_group_portrait", "face_confidence",
+                    "raw_eye_sharpness", "isolation_bonus"),
+}
+for _q in QUALITY_PASS_MODELS:
+    MODEL_COLUMNS[_q] = ("quality_score", "topiq_score", "aesthetic",
+                         "scoring_model")
+for _t in ("vlm_tagger", "qwen3_vl_tagger", "ram_tagger"):
+    MODEL_COLUMNS[_t] = ("tags",)
+
 
 class ChunkedMultiPassProcessor:
     def __init__(self, scorer, model_manager=None, config=None):
@@ -67,6 +102,9 @@ class ChunkedMultiPassProcessor:
                             "unload": 0.0, "aggregate": 0.0, "save": 0.0}
         self.selected_models = None
         self.passes = None
+        self._resolved = {}       # requested model name -> loaded name/None
+        self._update_only = None  # single-pass: columns allowed to overwrite
+        self.load_errors = {}     # path -> decode failure reason
 
     # -------------------------------------------------------------- planning
 
@@ -108,9 +146,14 @@ class ChunkedMultiPassProcessor:
             else:
                 pil = load_image(path)
                 if pil is None:
+                    self.load_errors[path] = "failed to decode"
+                    print(f"  skip {os.path.basename(path)}: failed to decode")
                     continue
                 arr = np.asarray(pil, dtype=np.uint8)
             if arr.ndim != 3 or arr.shape[2] != 3 or min(arr.shape[:2]) < 3:
+                self.load_errors[path] = f"unsupported shape {arr.shape}"
+                print(f"  skip {os.path.basename(path)}: "
+                      f"unsupported shape {arr.shape}")
                 continue
             ok.append(path)
             images.append(arr)
@@ -122,15 +165,29 @@ class ChunkedMultiPassProcessor:
     # ---------------------------------------------------------------- passes
 
     def _load_with_fallback(self, name):
-        """Load a model, walking its unavailability fallback chain."""
+        """Load a model, walking its unavailability fallback chain.
+
+        The requested->actual resolution is cached so an unavailable
+        model's chain (and its warnings) only walks once per run, and so
+        _unload_pass_group can unload the model that ACTUALLY loaded —
+        unloading by requested name leaves a fallback resident in HBM
+        across later bin-packed passes (round-4 review finding)."""
+        if name in self._resolved:
+            actual = self._resolved[name]
+            if actual is None:
+                return None, None
+            return actual, self.models.load_model(actual)
         chain = [name] + FALLBACK_CHAINS.get(name, [])
         for candidate in chain:
             try:
-                return candidate, self.models.load_model(candidate)
+                model = self.models.load_model(candidate)
+                self._resolved[name] = candidate
+                return candidate, model
             except Exception as exc:
                 tail = FALLBACK_CHAINS.get(candidate, [])
                 nxt = f"; trying {tail[0]}" if tail else "; skipping"
                 print(f"  pass {candidate}: unavailable ({exc}){nxt}")
+        self._resolved[name] = None
         return None, None
 
     def _run_pass_group(self, group, state):
@@ -160,7 +217,11 @@ class ChunkedMultiPassProcessor:
     def _unload_pass_group(self, group):
         t0 = time.time()
         for name in group:
-            self.models.unload_model(name)
+            self.models.unload_model(self._resolved.get(name) or name)
+            if name == "clip":
+                # the fused scorer holds its own device references to the
+                # CLIP params — drop them or the unload frees nothing
+                self.scorer.release_fused()
         self.phase_times["unload"] += time.time() - t0
 
     # ----------------------------------------------------------- chunk logic
@@ -285,12 +346,18 @@ class ChunkedMultiPassProcessor:
         self.phase_times["aggregate"] += time.time() - t0
 
         t0 = time.time()
-        self.scorer.save_photos_batch(rows)
+        self.scorer.save_photos_batch(rows, update_only=self._update_only)
         self.phase_times["save"] += time.time() - t0
         return n
 
     def run_single_pass(self, paths, pass_name, verbose=True):
-        """--pass quality|tags|composition|faces|embeddings over paths."""
+        """--pass quality|tags|composition|faces|embeddings over paths.
+
+        Existing rows only have the pass's own columns (plus the
+        always-recomputed prepass columns) overwritten; aggregates and
+        categories then recompute from the MERGED rows so the written
+        aggregate reflects stored scores from other passes rather than
+        defaults (see MODEL_COLUMNS above for the reference divergence)."""
         if pass_name not in PASS_NAMES:
             raise ValueError(f"unknown pass '{pass_name}' "
                              f"(choose from {sorted(PASS_NAMES)})")
@@ -299,7 +366,21 @@ class ChunkedMultiPassProcessor:
         self.passes = self.models.group_passes(self.selected_models)
         if verbose:
             print(f"single pass '{pass_name}': models {self.selected_models}")
-        return self.process_directory(paths, verbose=verbose)
+        allowed = set(PREPASS_COLUMNS)
+        for m in self.selected_models:
+            allowed.update(MODEL_COLUMNS.get(m, ()))
+            for fb in FALLBACK_CHAINS.get(m, ()):
+                allowed.update(MODEL_COLUMNS.get(fb, ()))
+        self._update_only = allowed
+        try:
+            done = self.process_directory(paths, verbose=verbose)
+        finally:
+            self._update_only = None
+        if done:
+            self.scorer.update_all_aggregates(
+                rescore_embeddings=False, verbose=verbose,
+                paths=[os.path.abspath(p) for p in paths])
+        return done
 
     @staticmethod
     def list_available_models():

@@ -125,6 +125,13 @@ class Facet:
                 self.aesthetic_model, hs_subsample=4 if fast else 1)
         return self._fused
 
+    def release_fused(self):
+        """Drop the fused scorer's device references (CLIP params, compiled
+        pipelines, mesh-placed copies) so unloading the 'clip' model
+        actually frees its HBM — without this, the multi-pass HBM budget
+        is violated while later passes load (round-4 review finding)."""
+        self._fused = None
+
     # --------------------------------------------------------------- scoring
 
     def score_paths(self, paths, with_faces=True, with_aesthetic=True,
@@ -330,18 +337,40 @@ class Facet:
 
     # ------------------------------------------------------------ persistence
 
-    def save_photos_batch(self, rows):
-        """Single-transaction batch insert incl. face rows + tag sync."""
+    def save_photos_batch(self, rows, update_only=None):
+        """Single-transaction batch insert incl. face rows + tag sync.
+
+        Uses an UPSERT, NOT the reference's INSERT OR REPLACE
+        (processing/scorer.py:1621): REPLACE deletes the conflicting row
+        first, and with PRAGMA foreign_keys=ON that delete CASCADES —
+        silently destroying the photo's comparison votes, duplicate pairs,
+        recommendation history, and face person assignments on every
+        --force rescan (the reference has exactly this data-loss bug; a
+        deliberate divergence, pinned in tests/test_db.py). Column values
+        written are identical to REPLACE semantics.
+
+        update_only: optional iterable of column names — an EXISTING row
+        then only has those columns overwritten (single-pass semantics:
+        models that did not run must not clobber stored scores); new rows
+        still insert in full.
+        """
         if not rows:
             return 0
         cols = ", ".join(ROW_COLUMNS)
         placeholders = ", ".join("?" for _ in ROW_COLUMNS)
+        writable = [c for c in ROW_COLUMNS if c != "path"]
+        if update_only is not None:
+            keep = set(update_only)
+            writable = [c for c in writable if c in keep]
+        sets = ", ".join(f"{c} = excluded.{c}" for c in writable)
+        sql = (f"INSERT INTO photos ({cols}) VALUES ({placeholders}) "
+               f"ON CONFLICT(path) DO UPDATE SET {sets}")
+        sync_tags = update_only is None or "tags" in set(update_only)
         with get_connection(self.db_path) as conn:
             for row in rows:
-                conn.execute(
-                    f"INSERT OR REPLACE INTO photos ({cols}) VALUES ({placeholders})",
-                    [row.get(c) for c in ROW_COLUMNS])
-                sync_photo_tags(conn, row["path"], row.get("tags"))
+                conn.execute(sql, [row.get(c) for c in ROW_COLUMNS])
+                if sync_tags:
+                    sync_photo_tags(conn, row["path"], row.get("tags"))
                 faces = row.get("_faces") or []
                 if faces:
                     conn.execute("DELETE FROM faces WHERE photo_path = ?", (row["path"],))
@@ -393,14 +422,32 @@ class Facet:
 
     # ------------------------------------------------------------- recompute
 
-    def update_all_aggregates(self, rescore_embeddings=True, verbose=False):
-        """Re-score the whole library from stored raw data (no image IO).
+    def update_all_aggregates(self, rescore_embeddings=True, verbose=False,
+                              paths=None):
+        """Re-score the library from stored raw data (no image IO).
 
         Vectorized path: one device call for aesthetic-from-embedding, one
-        for the aggregate math over all rows.
+        for the aggregate math over all rows. `paths` restricts the
+        recompute to those rows (single-pass post-merge); percentile
+        normalization still derives its scales from the WHOLE library
+        (PercentileNormalizer reads the DB itself). Thumbnails are
+        excluded from the load — the recompute never reads them and at
+        library scale they dominate the SELECT * memory cost.
         """
+        cols = ", ".join(c for c in ROW_COLUMNS if c != "thumbnail")
         with get_connection(self.db_path) as conn:
-            rows = [dict(r) for r in conn.execute("SELECT * FROM photos")]
+            if paths is None:
+                rows = [dict(r) for r in conn.execute(
+                    f"SELECT {cols} FROM photos")]
+            else:
+                rows = []
+                chunk = sorted(paths)
+                for start in range(0, len(chunk), 500):
+                    part = chunk[start:start + 500]
+                    marks = ", ".join("?" for _ in part)
+                    rows.extend(dict(r) for r in conn.execute(
+                        f"SELECT {cols} FROM photos WHERE path IN ({marks})",
+                        part))
         if not rows:
             return 0
 
@@ -486,7 +533,11 @@ class Facet:
                 " WHERE path = ?",
                 [(round(float(scores[i]), 2), self.config.version_hash,
                   categories[i], rows[i].get("is_group_portrait"),
-                  round(float(rows[i].get("exposure_score", 5.0) or 5.0), 4),
+                  # a recomputed 0.0 is a legitimate worst-exposure value —
+                  # `or 5.0` would silently bump it (reference keeps 0.0:
+                  # scorer.py:1276)
+                  round(5.0 if rows[i].get("exposure_score") is None
+                        else float(rows[i]["exposure_score"]), 4),
                   rows[i]["path"])
                  for i in range(len(rows))])
         if verbose:
@@ -556,9 +607,10 @@ class Facet:
 
     def recompute_categories(self, verbose=True):
         """Re-run category routing + aggregates only (no normalization)."""
+        cols = ", ".join(c for c in ROW_COLUMNS if c != "thumbnail")
         with get_connection(self.db_path) as conn:
             rows = [dict(r) for r in conn.execute(
-                "SELECT * FROM photos WHERE aggregate IS NOT NULL")]
+                f"SELECT {cols} FROM photos WHERE aggregate IS NOT NULL")]
         if not rows:
             return 0
         scores, categories = self.aggregate_scorer.score_rows(rows)

@@ -230,16 +230,6 @@ def _pil_exif(path):
     return exif
 
 
-def _format_shutter(seconds):
-    """Store shutter speed in the photographic '1/N' text form under 1s."""
-    seconds = _to_float(seconds)
-    if seconds is None or seconds <= 0:
-        return None
-    if seconds >= 1:
-        return str(round(seconds, 4))
-    return f"1/{round(1.0 / seconds)}"
-
-
 def _to_float(v):
     try:
         if v is None:

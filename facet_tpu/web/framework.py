@@ -19,6 +19,15 @@ import json
 import re
 import traceback
 from http import HTTPStatus
+
+
+def _status_phrase(code):
+    """Reason phrase for a status code; non-standard codes (499, 599, ...)
+    must not crash response serialization (HTTPStatus raises ValueError)."""
+    try:
+        return HTTPStatus(code).phrase
+    except ValueError:
+        return "Unknown"
 from urllib.parse import parse_qs
 
 
@@ -41,9 +50,8 @@ class Request:
             self.path = raw_path.encode("latin-1").decode("utf-8")
         except (UnicodeEncodeError, UnicodeDecodeError):
             self.path = raw_path
-        self.query = {k: v[-1] for k, v in
-                      parse_qs(environ.get("QUERY_STRING", "")).items()}
         self.query_all = parse_qs(environ.get("QUERY_STRING", ""))
+        self.query = {k: v[-1] for k, v in self.query_all.items()}
         self.headers = {
             k[5:].replace("_", "-").lower(): v
             for k, v in environ.items() if k.startswith("HTTP_")
@@ -199,13 +207,13 @@ class App:
             response = self._coerce(self._dispatch(request))
         except HTTPError as exc:
             response = JSONResponse({"detail": exc.detail or
-                                     HTTPStatus(exc.status).phrase},
+                                     _status_phrase(exc.status)},
                                     status=exc.status)
         except Exception:
             traceback.print_exc()
             response = JSONResponse({"detail": "internal server error"}, status=500)
 
-        status_line = f"{response.status} {HTTPStatus(response.status).phrase}"
+        status_line = f"{response.status} {_status_phrase(response.status)}"
         body = response.body
         headers = dict(response.headers)
         headers.setdefault("Content-Length", str(len(body)))

@@ -349,3 +349,138 @@ class TestModelManager:
         again = model2.score_from_embeddings_batch(np.eye(768, dtype=np.float32)[:2])
         np.testing.assert_allclose(ref_scores, again, atol=1e-6)
         assert mm.cache_hits == 1
+
+
+class TestDataPreservation:
+    """Round-4 review fixes: rescans and single passes must not destroy
+    user curation. The reference's INSERT OR REPLACE + foreign_keys=ON
+    cascade-deletes a photo's faces (person assignments), comparison
+    votes, and duplicate records on every --force rescan
+    (processing/scorer.py:1621 + db/connection.py:47) — our save uses an
+    UPSERT instead (deliberate divergence, docs/MIGRATION.md)."""
+
+    def _paths(self, photo_dir, n=2):
+        from facet_tpu.utils.image_loading import gather_image_files
+
+        return sorted(os.path.abspath(p)
+                      for p in gather_image_files(photo_dir)
+                      if "broken" not in p)[:n]
+
+    def test_force_rescan_preserves_linked_rows(self, engine, photo_dir):
+        from facet_tpu.db.connection import get_connection
+
+        files = self._paths(photo_dir)
+        rows, errors = engine.score_paths(files)
+        assert not errors
+        engine.save_photos_batch(rows)
+        a, b = rows[0]["path"], rows[1]["path"]
+        with get_connection(engine.db_path) as conn:
+            conn.execute(
+                "INSERT INTO faces (photo_path, face_index, embedding,"
+                " person_id) VALUES (?, 99, ?, 7)", (a, b"\x00" * 2048))
+            conn.execute(
+                "INSERT INTO comparisons (photo_a_path, photo_b_path,"
+                " winner) VALUES (?, ?, 'a')", (a, b))
+
+        rows2, _ = engine.score_paths(files)
+        for r in rows2:
+            r["_faces"] = []          # face model produced nothing this pass
+        engine.save_photos_batch(rows2)
+
+        with get_connection(engine.db_path) as conn:
+            face = conn.execute(
+                "SELECT person_id FROM faces WHERE photo_path = ?"
+                " AND face_index = 99", (a,)).fetchone()
+            assert face is not None and face[0] == 7
+            assert conn.execute(
+                "SELECT COUNT(*) FROM comparisons").fetchone()[0] == 1
+            # and the photo row itself WAS overwritten (same semantics)
+            agg = conn.execute("SELECT aggregate FROM photos WHERE path = ?",
+                               (a,)).fetchone()[0]
+            assert agg == pytest.approx(rows2[0]["aggregate"], abs=1e-6)
+
+    def test_single_pass_preserves_other_pass_columns(self, engine,
+                                                      photo_dir):
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        files = self._paths(photo_dir, n=3)
+        proc = ChunkedMultiPassProcessor(engine)
+        proc.detect_and_configure(verbose=False)
+        proc.process_directory(files, verbose=False)
+
+        p0 = files[0]
+        with get_connection(engine.db_path) as conn:
+            conn.execute(
+                "UPDATE photos SET quality_score = 8.5, topiq_score = 8.5,"
+                " scoring_model = 'topiq', tags = 'sunset' WHERE path = ?",
+                (p0,))
+
+        proc2 = ChunkedMultiPassProcessor(engine)
+        done = proc2.run_single_pass(files, "composition", verbose=False)
+        assert done == len(files)
+
+        with get_connection(engine.db_path) as conn:
+            row = dict(conn.execute(
+                "SELECT * FROM photos WHERE path = ?", (p0,)).fetchone())
+        assert row["quality_score"] == 8.5        # other pass: preserved
+        assert row["topiq_score"] == 8.5
+        assert row["tags"] == "sunset"
+        assert row["comp_score"] is not None      # this pass: recomputed
+        assert row["aggregate"] is not None       # recomputed from merge
+        assert row["config_version"] == engine.config.version_hash
+
+    def test_zero_exposure_survives_recompute(self, engine, photo_dir):
+        """exposure_score 0.0 is a legitimate worst-case value; the old
+        `or 5.0` write-back silently bumped it (reference keeps 0.0)."""
+        from facet_tpu.db.connection import get_connection
+
+        files = self._paths(photo_dir, n=1)
+        rows, _ = engine.score_paths(files)
+        engine.save_photos_batch(rows)
+        with get_connection(engine.db_path) as conn:
+            conn.execute("UPDATE photos SET exposure_score = 0.0,"
+                         " histogram_data = NULL")
+        engine.update_all_aggregates(rescore_embeddings=False)
+        with get_connection(engine.db_path) as conn:
+            val = conn.execute(
+                "SELECT exposure_score FROM photos").fetchone()[0]
+        assert val == 0.0
+
+    def test_unload_uses_actual_loaded_name(self, engine):
+        """A fallback-loaded model must be unloaded under ITS name, and a
+        failed chain must only be walked once per run."""
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        proc = ChunkedMultiPassProcessor(engine)
+        calls = {"loaded": [], "unloaded": []}
+
+        class StubMM:
+            hbm_gb = 0.0
+
+            def load_model(self, name):
+                calls["loaded"].append(name)
+                if name == "topiq":
+                    raise RuntimeError("no checkpoint")
+                return object()
+
+            def unload_model(self, name):
+                calls["unloaded"].append(name)
+
+        proc.models = StubMM()
+        name, model = proc._load_with_fallback("topiq")
+        assert name == "clipiqa" and model is not None
+        proc._unload_pass_group(["topiq"])
+        assert calls["unloaded"] == ["clipiqa"]
+        proc._load_with_fallback("topiq")
+        assert calls["loaded"].count("topiq") == 1   # chain cached
+
+    def test_load_chunk_records_decode_failures(self, engine, photo_dir):
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+
+        proc = ChunkedMultiPassProcessor(engine)
+        broken = os.path.join(photo_dir, "broken.jpg")
+        ok, images, pils, exif = proc._load_chunk(
+            self._paths(photo_dir, n=1) + [broken])
+        assert len(ok) == 1
+        assert broken in proc.load_errors

@@ -108,13 +108,6 @@ class TestExifFallback:
         assert out["image_width"] == 320
         assert out["date_taken"].startswith("2026:05:01")
 
-    def test_shutter_format(self):
-        from facet_tpu.utils.exif import _format_shutter
-
-        assert _format_shutter(0.002) == "1/500"
-        assert _format_shutter(2.5) == "2.5"
-        assert _format_shutter(None) is None
-
     def test_pil_rational_tags(self, tmp_path):
         """PIL hands EXIF rationals through as (num, den) tuples in some
         versions — exposure/aperture/focal must still parse, and the

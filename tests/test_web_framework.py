@@ -107,3 +107,23 @@ def test_live_server_roundtrip(app):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_nonstandard_status_codes_serialize():
+    """HTTPStatus has no 499/599 — response serialization must not crash
+    on codes outside the IANA registry (round-4 review finding)."""
+    app = App()
+
+    @app.get("/closed")
+    def closed(request):
+        raise HTTPError(499, "client closed request")
+
+    @app.get("/odd")
+    def odd(request):
+        return Response(b"x", status=599)
+
+    client = TestClient(app)
+    r = client.get("/closed")
+    assert r.status_code == 499
+    assert r.json() == {"detail": "client closed request"}
+    assert client.get("/odd").status_code == 599
