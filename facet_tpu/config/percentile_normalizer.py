@@ -200,9 +200,10 @@ class PercentileNormalizer:
         "face_quality": "face_quality",
     }
 
-    def analyze_scoring_issues(self):
-        """-> list of issue dicts with proposed, damped config changes."""
-        rows = self._load_rows()
+    def analyze_scoring_issues(self, rows=None):
+        """-> list of issue dicts with proposed, damped config changes.
+        `rows` lets health_report reuse its already-loaded row set."""
+        rows = rows if rows is not None else self._load_rows()
         analysis = self.config.get_analysis_settings()
         issues = []
         if len(rows) < 10:
@@ -416,7 +417,7 @@ class PercentileNormalizer:
 
     def health_report(self):
         rows = self._load_rows()
-        issues = self.analyze_scoring_issues()
+        issues = self.analyze_scoring_issues(rows=rows)
         if not rows:
             return {"photos": 0, "health_score": None, "issues": []}
         aggregates = [r["aggregate"] for r in rows]
@@ -489,11 +490,14 @@ class PercentileNormalizer:
 
         issues = issues if issues is not None else self.analyze_scoring_issues()
         weight_changes = [i for i in issues
-                          if i.get("target_key", "").endswith("_percent")
+                          if (i.get("target_key") or "").endswith("_percent")
                           and i.get("target_category")]
+        from facet_tpu.processing.scorer import ROW_COLUMNS
+
+        cols = ", ".join(c for c in ROW_COLUMNS if c != "thumbnail")
         with get_connection(self.db_path) as conn:
             rows = [dict(r) for r in conn.execute(
-                "SELECT * FROM photos WHERE aggregate IS NOT NULL")]
+                f"SELECT {cols} FROM photos WHERE aggregate IS NOT NULL")]
         if not rows:
             return {"photos": 0}
 

@@ -74,6 +74,34 @@ class FaceClusterer:
             # HDBSCAN tree labels a lone cluster as all-noise, so retry
             # permitting the root cluster
             labels = fit(True)
+        return self._reject_loose_clusters(labels, distances)
+
+    def _reject_loose_clusters(self, labels, distances):
+        """Demote clusters that are not plausibly one identity to noise.
+
+        Density-based clustering on the near-uniform distance matrix many
+        distinct one-off identities produce can group unrelated people
+        (most visibly via the allow_single_cluster retry, whose root
+        cluster would merge the whole library into one person). Guard with
+        the system's own identity bar: merge_threshold is the
+        member-to-CENTROID cosine bar, and for a noise-sigma^2*d spread s,
+        member-centroid cos ~ 1/sqrt(1+s) while member-member cos ~
+        1/(1+s) — so the member-member equivalent of the bar is
+        merge_threshold^2. Distances are over normalized embeddings:
+        sim = 1 - d^2/2.
+        """
+        floor = self.merge_threshold ** 2
+        for cluster in np.unique(labels):
+            if cluster == -1:
+                continue
+            members = np.flatnonzero(labels == cluster)
+            if len(members) < 2:
+                continue
+            d = distances[np.ix_(members, members)]
+            iu = np.triu_indices(len(members), 1)
+            mean_sim = float(np.mean(1.0 - d[iu] ** 2 / 2.0))
+            if mean_sim < floor:
+                labels[members] = -1
         return labels
 
     # --------------------------------------------------------------- persons

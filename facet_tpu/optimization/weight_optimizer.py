@@ -24,11 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from facet_tpu.config.category_filter import VALID_WEIGHT_COLUMNS
 from facet_tpu.db.connection import get_connection
 from facet_tpu.scoring.brain import METRIC_KEYS
 from facet_tpu.scoring.vectorized import AggregateScorer
 
 SCORE_COMPONENTS = list(METRIC_KEYS)
+# The config's weight vocabulary is the 12 VALID_WEIGHT_COLUMNS; training is
+# RESTRICTED to that simplex so the reported accuracy describes exactly the
+# weight vector apply_optimized_weights can persist. The reference trains
+# over all 16 SCORE_COMPONENTS and then its own config validation strips the
+# extra four on the next load (weight_optimizer.py:1309-1332 +
+# scoring_config.py:212-229), so its advertised accuracy gain is
+# unreproducible by the saved config — a deliberate fix, not a parity break.
+APPLICABLE_MASK = np.array(
+    [1.0 if k in VALID_WEIGHT_COLUMNS else 0.0 for k in SCORE_COMPONENTS],
+    np.float32)
 WEIGHT_CAP = 0.60
 TEMPERATURE = 1.0      # score scale -> logit scale
 TIE_NU = 0.3
@@ -38,11 +49,14 @@ LEARNING_RATE = 0.05
 MIN_IMPROVEMENT = 0.02
 
 
-def project_capped_simplex(w, cap=WEIGHT_CAP, iters=50):
+def project_capped_simplex(w, cap=WEIGHT_CAP, iters=50, mask=None):
     """Euclidean projection onto {w : sum w = 1, 0 <= w <= cap} via
-    bisection on the shift parameter (jit-safe)."""
-    lo = jnp.min(w) - 1.0
-    hi = jnp.max(w)
+    bisection on the shift parameter (jit-safe). With a mask, the simplex
+    lives on the masked support (other coordinates project to 0)."""
+    if mask is not None:
+        w = jnp.where(mask > 0, w, -jnp.inf)
+    lo = jnp.min(jnp.where(jnp.isfinite(w), w, jnp.inf)) - 1.0
+    hi = jnp.max(jnp.where(jnp.isfinite(w), w, -jnp.inf))
 
     def body(_, bounds):
         lo, hi = bounds
@@ -88,6 +102,10 @@ class WeightOptimizer:
         usable = [(a, b, w) for a, b, w in pairs if a in rows and b in rows]
         if not usable:
             return None
+        # orphaned votes (photo deleted / DB migrated with FKs off) are
+        # filtered by `usable` — restrict the metric batch the same way or
+        # rows[p] raises KeyError on the missing photo
+        paths = [p for p in paths if p in rows]
         ordered = [rows[p] for p in paths]
         values = self.scorer.metric_values(ordered)
         index = {p: i for i, p in enumerate(paths)}
@@ -193,12 +211,14 @@ class WeightOptimizer:
         def train_one(w_start, sw):
             state = optimizer.init(w_start)
 
+            mask = jnp.asarray(APPLICABLE_MASK)
+
             def step(carry, _):
                 w, state = carry
                 loss, grads = jax.value_and_grad(self._loss_fn)(
                     w, va, vb, outcome, w0, sw)
                 updates, state = optimizer.update(grads, state)
-                w = project_capped_simplex(w + updates)
+                w = project_capped_simplex(w + updates, mask=mask)
                 return (w, state), loss
 
             (w, _), _ = jax.lax.scan(step, (w_start, state),
@@ -229,25 +249,34 @@ class WeightOptimizer:
 
     def current_weights(self, category):
         w = self.config.get_weights(category or "default")
-        vec = np.array([w.get(k, 0.0) for k in SCORE_COMPONENTS], np.float32)
+        vec = np.array([w.get(k, 0.0) for k in SCORE_COMPONENTS],
+                       np.float32) * APPLICABLE_MASK
         total = vec.sum()
-        return vec / total if total > 0 else np.full(len(SCORE_COMPONENTS),
-                                                     1 / len(SCORE_COMPONENTS),
-                                                     np.float32)
+        return (vec / total if total > 0
+                else APPLICABLE_MASK / APPLICABLE_MASK.sum())
 
     def optimize(self, category=None, min_comparisons=20, seed=42,
-                 include_ties=True):
-        """-> result dict or None when there is not enough data."""
-        data = self.load_training_data(category, include_ties=include_ties)
+                 include_ties=True, _data=None):
+        """-> result dict or None when there is not enough data.
+
+        _data: pre-loaded (va, vb, outcome) so optimize_cv does not pay
+        the DB queries + device metric pass twice."""
+        data = (_data if _data is not None
+                else self.load_training_data(category,
+                                             include_ties=include_ties))
         if data is None or len(data[2]) < min_comparisons:
             return None
         va, vb, outcome = data
         w0 = self.current_weights(category)
 
         rng = np.random.default_rng(seed)
-        starts = [w0, np.full_like(w0, 1 / len(w0))]
+        n_applicable = int(APPLICABLE_MASK.sum())
+        starts = [w0, APPLICABLE_MASK / n_applicable]
         for _ in range(3):
-            starts.append(rng.dirichlet(np.ones(len(w0))).astype(np.float32))
+            start = np.zeros_like(w0)
+            start[APPLICABLE_MASK > 0] = rng.dirichlet(
+                np.ones(n_applicable)).astype(np.float32)
+            starts.append(start)
 
         # all 5 restarts train concurrently in one vmapped program
         ones = np.ones((len(starts), len(outcome)), np.float32)
@@ -303,7 +332,8 @@ class WeightOptimizer:
             fold_results.append({"fold": f, "holdout_accuracy": round(acc, 4),
                                  "holdout_size": int(hold.sum())})
         result = self.optimize(category, min_comparisons=min_comparisons,
-                               seed=seed, include_ties=include_ties)
+                               seed=seed, include_ties=include_ties,
+                               _data=data)
         if result is None:
             return None
         result.update({

@@ -47,7 +47,7 @@ class IncrementalBurstProcessor:
         if date is None or not phash:
             return False
         for member in self.open_burst:
-            if member["date"] is None:
+            if member["date"] is None or not member["phash"]:
                 continue
             dt = abs((date - member["date"]).total_seconds())
             if dt <= self.rapid_seconds and hamming_distance(
@@ -89,10 +89,20 @@ def process_bursts(db_path, config):
     max_distance = int(64 * (1 - similarity / 100))
 
     with get_connection(db_path) as conn:
-        photos = conn.execute(
+        photos = [dict(r) for r in conn.execute(
             "SELECT path, date_taken, aggregate, phash FROM photos"
-            " WHERE phash IS NOT NULL ORDER BY date_taken"
-        ).fetchall()
+            " WHERE phash IS NOT NULL ORDER BY date_taken")]
+        # parse each date ONCE (joins_burst compares every member pair —
+        # per-comparison strptime dominated large-burst runtime) and sort
+        # chronologically by the PARSED date: the reference's lexicographic
+        # ORDER BY (scorer.py:1898) mis-orders mixed EXIF/ISO date formats
+        # ('-' < ':'), splitting bursts; identical order for single-format
+        # libraries, which the parity suite pins.
+        for p in photos:
+            p["_date"] = _parse_date(p["date_taken"])
+        epoch = datetime(1970, 1, 1)
+        photos.sort(key=lambda p: (p["_date"] or epoch,
+                                   p["date_taken"] or "", p["path"]))
 
         # photo -> set of identified persons (for rapid-burst consistency)
         persons = {}
@@ -114,11 +124,11 @@ def process_bursts(db_path, config):
             return bool(pa & pb)
 
         def joins_burst(photo, burst):
-            pdate = _parse_date(photo["date_taken"])
+            pdate = photo["_date"]
             if pdate is None:
                 return False
             for member in burst:
-                mdate = _parse_date(member["date_taken"])
+                mdate = member["_date"]
                 if mdate is None:
                     continue
                 dt = abs((pdate - mdate).total_seconds())

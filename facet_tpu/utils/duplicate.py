@@ -68,9 +68,7 @@ def find_duplicate_pairs(hex_hashes, max_distance, chunk=2048, mesh=None):
         return []
     signs_np = _hashes_to_signs(hex_hashes)
     if mesh is not None:
-        hits_all = _match_all_sharded(signs_np, max_distance, mesh)
-        jj_i, jj_j = np.nonzero(hits_all)
-        return [(int(j), int(i)) for i, j in zip(jj_i, jj_j) if int(j) < int(i)]
+        return _match_pairs_sharded(signs_np, max_distance, mesh, chunk)
     signs = jnp.asarray(signs_np)
     pairs = []
     for start in range(0, n, chunk):
@@ -84,26 +82,41 @@ def find_duplicate_pairs(hex_hashes, max_distance, chunk=2048, mesh=None):
     return pairs
 
 
-def _match_all_sharded(signs_np, max_distance, mesh):
+def _match_pairs_sharded(signs_np, max_distance, mesh, chunk=2048):
+    """Row blocks of dp*chunk shard over 'dp'; the match matrix streams
+    back block by block, like the single-device path — materializing the
+    full (N, N) bool matrix would cost O(N^2) host+device memory
+    (~40 GB at 200k photos; round-4 review finding)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from facet_tpu.parallel.mesh import pad_to_multiple
 
     n = signs_np.shape[0]
     dp = mesh.shape["dp"]
-    padded = pad_to_multiple(n, dp)
-    rows_np = signs_np if padded == n else np.pad(
-        signs_np, ((0, padded - n), (0, 0)))
-    rows = jax.device_put(rows_np, NamedSharding(mesh, P("dp", None)))
-    full = jax.device_put(signs_np, NamedSharding(mesh, P()))
+    block = chunk * dp
+    full = jax.device_put(jnp.asarray(signs_np), NamedSharding(mesh, P()))
+    row_sharding = NamedSharding(mesh, P("dp", None))
 
+    @functools.partial(jax.jit,
+                       out_shardings=NamedSharding(mesh, P("dp", None)))
     def match(r, f):
         hamming = (64.0 - r @ f.T) * 0.5
         return hamming <= max_distance
 
-    out = jax.jit(match, out_shardings=NamedSharding(mesh, P("dp", None)))(
-        rows, full)
-    return np.asarray(jax.device_get(out))[:n]
+    pairs = []
+    for start in range(0, n, block):
+        rows_np = signs_np[start:start + block]
+        m = rows_np.shape[0]
+        padded = -(-m // dp) * dp
+        if padded != m:
+            # zero rows match nothing: hamming 32 > any real threshold
+            rows_np = np.pad(rows_np, ((0, padded - m), (0, 0)))
+        rows = jax.device_put(rows_np, row_sharding)
+        hits = np.asarray(jax.device_get(match(rows, full)))[:m]
+        ii, jj = np.nonzero(hits)
+        for ci, j in zip(ii, jj):
+            i = start + int(ci)
+            if int(j) < i:
+                pairs.append((int(j), i))
+    return pairs
 
 
 def detect_duplicates(db_path, config, verbose=True):

@@ -235,3 +235,67 @@ class TestFacePipelineMachinery:
         assert len(out["rows"][0]["embedding"]) == 512 * 4
         assert len(out["rows"][0]["landmarks"]) == 106 * 2 * 4
         assert out["rows"][0]["thumbnail"][:2] == b"\xff\xd8"
+
+
+class TestSingleClusterRetryGuard:
+    def test_distinct_oneoff_identities_stay_noise(self, tmp_db,
+                                                   scoring_config):
+        """Many different one-face people also produce an all-noise first
+        HDBSCAN pass; the allow_single_cluster retry must NOT merge them
+        into one mega-person (round-4 review finding). The retry only
+        sticks when the root cluster is actually one identity."""
+        from facet_tpu.faces.clusterer import FaceClusterer
+
+        rng = np.random.default_rng(3)
+        with get_connection(tmp_db) as conn:
+            for i in range(24):
+                # 24 far-apart identities: random unit vectors are nearly
+                # orthogonal at 512-d (cos ~ 0 << merge_threshold)
+                emb = rng.standard_normal(512).astype(np.float32)
+                emb /= np.linalg.norm(emb)
+                path = f"/solo_{i}.jpg"
+                conn.execute("INSERT INTO photos (path) VALUES (?)", (path,))
+                conn.execute(
+                    "INSERT INTO faces (photo_path, face_index, embedding,"
+                    " confidence, face_thumbnail) VALUES (?, 0, ?, 0.9,"
+                    " x'FF')", (path, emb.tobytes()))
+        clusterer = FaceClusterer(tmp_db, scoring_config)
+        stats = clusterer.cluster_faces(mode="force", verbose=False)
+        with get_connection(tmp_db) as conn:
+            max_members = conn.execute(
+                "SELECT COALESCE(MAX(c), 0) FROM (SELECT COUNT(*) c FROM"
+                " faces WHERE person_id IS NOT NULL GROUP BY person_id)"
+            ).fetchone()[0]
+        # near-orthogonal embeddings (cos ~ 0) can never pass the identity
+        # bar, whatever grouping HDBSCAN's degenerate-distance tree invents
+        assert max_members == 0, (stats, max_members)
+
+    def test_single_identity_still_clusters(self, tmp_db, scoring_config):
+        """The retry's legitimate case keeps working: one identity's faces
+        (tight cloud) cluster into one person."""
+        from facet_tpu.faces.clusterer import FaceClusterer
+
+        rng = np.random.default_rng(4)
+        center = rng.standard_normal(512).astype(np.float32)
+        center /= np.linalg.norm(center)
+        with get_connection(tmp_db) as conn:
+            for i in range(6):
+                emb = center + rng.standard_normal(512).astype(
+                    np.float32) * 0.05
+                emb /= np.linalg.norm(emb)
+                path = f"/same_{i}.jpg"
+                conn.execute("INSERT INTO photos (path) VALUES (?)", (path,))
+                conn.execute(
+                    "INSERT INTO faces (photo_path, face_index, embedding,"
+                    " confidence, face_thumbnail) VALUES (?, 0, ?, 0.9,"
+                    " x'FF')", (path, emb.tobytes()))
+        clusterer = FaceClusterer(tmp_db, scoring_config)
+        clusterer.cluster_faces(mode="force", verbose=False)
+        with get_connection(tmp_db) as conn:
+            counts = [r[0] for r in conn.execute(
+                "SELECT COUNT(*) FROM faces WHERE person_id IS NOT NULL"
+                " GROUP BY person_id")]
+        # the allow_single_cluster retry still assigns this identity (the
+        # root-cluster membership HDBSCAN returns is its own call; the
+        # guard must not reject it)
+        assert counts and max(counts) >= 2

@@ -303,3 +303,100 @@ class TestWeightOptimizer:
         assert snaps == 1 and runs == 1
         w = scoring_config.get_category_config("default")["weights"]
         assert sum(v for k, v in w.items() if k.endswith("_percent")) == 100
+
+
+class TestRound4ReviewFixes:
+    def test_orphaned_comparison_does_not_crash(self, tmp_db, scoring_config):
+        """A vote whose photo row was deleted (migrated DB / FKs off) must
+        be skipped, not KeyError the whole optimization."""
+        from facet_tpu.optimization.weight_optimizer import WeightOptimizer
+
+        rng = np.random.default_rng(5)
+        with get_connection(tmp_db) as conn:
+            conn.execute("PRAGMA foreign_keys=OFF")
+            paths = []
+            for i in range(30):
+                path = f"/o2/p{i}.jpg"
+                paths.append(path)
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, aesthetic,"
+                    " comp_score, exposure_score, tech_sharpness,"
+                    " color_score, contrast_score, category,"
+                    " mean_luminance) VALUES (?, 5.0, ?, 5.0, 5.0, 5.0,"
+                    " 5.0, 5.0, 'default', 0.5)",
+                    (path, float(rng.uniform(1, 9))))
+            for i in range(25):
+                conn.execute(
+                    "INSERT OR IGNORE INTO comparisons (photo_a_path,"
+                    " photo_b_path, winner) VALUES (?, ?, 'a')",
+                    (paths[i], paths[i + 1]))
+            # the orphan: references a photo that is not in the table
+            conn.execute(
+                "INSERT INTO comparisons (photo_a_path, photo_b_path,"
+                " winner) VALUES (?, '/o2/deleted.jpg', 'a')", (paths[0],))
+
+        optimizer = WeightOptimizer(tmp_db, scoring_config)
+        result = optimizer.optimize(min_comparisons=10)
+        assert result is not None
+        assert result["comparisons_used"] == 25   # orphan skipped
+
+    def test_learned_weights_restricted_to_config_vocabulary(
+            self, tmp_db, scoring_config):
+        """Training is masked to the 12 VALID_WEIGHT_COLUMNS so the
+        reported accuracy describes the vector apply can persist (the
+        reference trains 16 and its config validation then strips 4)."""
+        from facet_tpu.config.category_filter import VALID_WEIGHT_COLUMNS
+        from facet_tpu.optimization.weight_optimizer import WeightOptimizer
+
+        rng = np.random.default_rng(6)
+        with get_connection(tmp_db) as conn:
+            paths = []
+            for i in range(30):
+                path = f"/o3/p{i}.jpg"
+                paths.append((path, float(rng.uniform(1, 9))))
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, aesthetic,"
+                    " comp_score, exposure_score, tech_sharpness,"
+                    " color_score, contrast_score, category,"
+                    " mean_luminance, face_sharpness, power_point_score,"
+                    " mean_saturation, noise_sigma) VALUES (?, 5.0, ?, 5.0,"
+                    " 5.0, 5.0, 5.0, 5.0, 'default', 0.5, ?, ?, ?, ?)",
+                    (path, paths[-1][1], float(rng.uniform(1, 9)),
+                     float(rng.uniform(1, 9)), float(rng.uniform(0, 1)),
+                     float(rng.uniform(0, 10))))
+            for _ in range(40):
+                a, b = rng.choice(len(paths), 2, replace=False)
+                winner = "a" if paths[a][1] > paths[b][1] else "b"
+                conn.execute(
+                    "INSERT OR IGNORE INTO comparisons (photo_a_path,"
+                    " photo_b_path, winner) VALUES (?, ?, ?)",
+                    (paths[a][0], paths[b][0], winner))
+
+        optimizer = WeightOptimizer(tmp_db, scoring_config)
+        result = optimizer.optimize(min_comparisons=10)
+        assert result is not None
+        for key, val in result["new_weights"].items():
+            if key not in VALID_WEIGHT_COLUMNS:
+                assert val == 0.0, (key, val)
+        applicable = sum(v for k, v in result["new_weights"].items()
+                         if k in VALID_WEIGHT_COLUMNS)
+        assert applicable == pytest.approx(1.0, abs=0.01)
+
+    def test_simulate_survives_target_key_none(self, tmp_db, scoring_config):
+        """category_imbalance issues carry target_key=None; simulate must
+        filter them out, not AttributeError."""
+        from facet_tpu.config.percentile_normalizer import PercentileNormalizer
+
+        with get_connection(tmp_db) as conn:
+            for i in range(12):
+                conn.execute(
+                    "INSERT INTO photos (path, aggregate, aesthetic,"
+                    " category, mean_luminance) VALUES (?, 5.0, 5.0,"
+                    " 'default', 0.5)", (f"/s/p{i}.jpg",))
+        norm = PercentileNormalizer(tmp_db, scoring_config)
+        out = norm.simulate_recommendations(issues=[{
+            "issue_type": "category_imbalance", "target_category": None,
+            "target_key": None, "old_value": None, "proposed_value": None,
+            "priority": 4}])
+        assert isinstance(out, dict)   # no AttributeError; shape is pinned
+        assert not out.get("changes", [])  # the None-key issue is filtered

@@ -224,3 +224,45 @@ class TestPersistentExifTool:
             assert tool._proc is None  # hung process was torn down
         finally:
             tool.close()
+
+
+class TestBurstReviewFixes:
+    def test_phashless_seed_does_not_crash_stream(self, scoring_config):
+        """A phash-less photo seeding the open burst must not TypeError
+        the next hashed photo (round-4 review finding)."""
+        from facet_tpu.utils.burst import IncrementalBurstProcessor
+
+        proc = IncrementalBurstProcessor(scoring_config)
+        assert proc.add("/b/a.jpg", "2024:06:01 12:00:00", None, 5.0) is None
+        out = proc.add("/b/b.jpg", "2024:06:01 12:00:03",
+                       "a1b2c3d4e5f60718", 6.0)
+        # the hashed photo cannot join a phash-less member: previous burst
+        # closes with the seed alone
+        assert out is not None and out["members"] == ["/b/a.jpg"]
+
+    def test_mixed_date_formats_group_chronologically(self, tmp_db,
+                                                      scoring_config):
+        """EXIF ':' and ISO '-' dates of one burst must sort adjacent —
+        lexicographic ORDER BY splits them ('-' < ':')."""
+        from facet_tpu.db.connection import get_connection
+        from facet_tpu.utils.burst import process_bursts
+
+        with get_connection(tmp_db) as conn:
+            for path, date in (
+                    ("/m/x1.jpg", "2024:06:01 12:00:01"),
+                    ("/m/x2.jpg", "2024-06-01T12:00:02"),
+                    ("/m/x3.jpg", "2024:06:01 12:00:03"),
+                    ("/m/far.jpg", "2024:06-01 18:00:00".replace("-", ":"))):
+                conn.execute(
+                    "INSERT INTO photos (path, date_taken, aggregate,"
+                    " phash) VALUES (?, ?, 5.0, ?)",
+                    (path, date, "a1b2c3d4e5f60718"))
+        process_bursts(tmp_db, scoring_config)
+        with get_connection(tmp_db) as conn:
+            leads = {r[0]: r[1] for r in conn.execute(
+                "SELECT path, is_burst_lead FROM photos")}
+        # the three same-second-window frames form ONE burst (one lead);
+        # the far photo is its own burst
+        assert sum(leads[p] for p in
+                   ("/m/x1.jpg", "/m/x2.jpg", "/m/x3.jpg")) == 1
+        assert leads["/m/far.jpg"] == 1
