@@ -89,7 +89,12 @@ class AuthManager:
                 role = "user" if cfg.edition_password else "admin"
                 return "viewer", role
             raise HTTPError(401, "invalid password")
-        return "anonymous", "admin"  # open instance
+        if cfg.edition_password:
+            # edition-only mode: a wrong password must NOT fall through to
+            # the open-instance branch (that handed out admin tokens for
+            # any password — round-4 review finding)
+            raise HTTPError(401, "invalid password")
+        return "anonymous", "admin"  # open instance: no gate configured
 
     def issue_token(self, user_id, role):
         return encode_jwt({"sub": user_id, "role": role,

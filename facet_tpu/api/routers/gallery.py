@@ -229,21 +229,32 @@ def build_where(request, conn, ctx):
             params.append(val)
 
     defaults = ctx.config.viewer_defaults()
-    if request.param("hide_blinks", default=defaults.get("hide_blinks", True),
-                     type=bool):
+
+    def hide_flag(name, contradicted):
+        """A config-DEFAULT hide flag yields to an explicitly selected
+        type view (type=blinks with default hide_blinks returned zero
+        rows — round-4 review finding); an EXPLICIT query param keeps
+        its contradiction, like the reference (which defaults these
+        flags off server-side and lets the client send them)."""
+        if contradicted and name not in request.query:
+            return False
+        return request.param(name, default=defaults.get(name, True),
+                             type=bool)
+
+    if hide_flag("hide_blinks", photo_type == "blinks"):
         clauses.append("(p.is_blink = 0 OR p.is_blink IS NULL)")
-    if request.param("hide_bursts", default=defaults.get("hide_bursts", True),
-                     type=bool):
+    if hide_flag("hide_bursts", photo_type == "bursts"):
         clauses.append("(p.is_burst_lead = 1 OR p.is_burst_lead IS NULL)")
-    if request.param("hide_duplicates",
-                     default=defaults.get("hide_duplicates", True), type=bool):
+    if hide_flag("hide_duplicates", photo_type == "duplicates"):
         # exactly the reference's HIDE_DUPLICATES_SQL (db_helpers.py:21):
         # a grouped row with a NULL lead flag stays visible
         clauses.append("(p.is_duplicate_lead = 1 OR p.is_duplicate_lead"
                        " IS NULL OR p.duplicate_group_id IS NULL)")
-    if request.param("hide_rejected",
-                     default=defaults.get("hide_rejected", True), type=bool) \
-            and not request.param("show_rejected", default=False, type=bool):
+    wants_rejected = (photo_type == "rejected"
+                      or request.param("show_rejected", default=False,
+                                       type=bool))
+    if hide_flag("hide_rejected", photo_type == "rejected") \
+            and not wants_rejected:
         # show_rejected wins over the hide default (reference's elif,
         # gallery.py:155-158)
         clauses.append(f"{_pref_expr(request, 'is_rejected')} = 0")
@@ -252,7 +263,10 @@ def build_where(request, conn, ctx):
     if request.param("monochrome_only", default=False, type=bool):
         clauses.append("p.is_monochrome = 1")
 
-    vis_sql, vis_params = visibility_clause(request)
+    # the multi-user visibility exclusion must not fight an explicit
+    # request FOR rejected photos — it made them permanently unviewable
+    vis_sql, vis_params = ("", []) if wants_rejected \
+        else visibility_clause(request)
     where = " AND ".join(clauses) + vis_sql
     return where, params + vis_params
 

@@ -33,9 +33,16 @@ def register(app, ctx):
                 " FROM faces f JOIN photos p ON p.path = f.photo_path"
                 " WHERE f.person_id = ? ORDER BY p.aggregate DESC",
                 (person_id,)).fetchall()
-        return {"person": dict(person),
-                "photos": [dict(r) for r in photos],
-                "share_token": make_share_token(person_id, ctx.config.share_secret)}
+        out = {"person": dict(person),
+               "photos": [dict(r) for r in photos]}
+        # the token mints a public URL — only edition/admin gets it (the
+        # dedicated share-token endpoint enforces the same; handing it to
+        # read-only viewers made that gate dead code)
+        role = request.state.get("role")
+        if role in ("admin", "superadmin") or not _auth_gated():
+            out["share_token"] = make_share_token(person_id,
+                                                  ctx.config.share_secret)
+        return out
 
     @app.post("/api/persons/{person_id:int}/rename")
     def rename_person(request, person_id):
@@ -106,9 +113,12 @@ def register(app, ctx):
             from facet_tpu.faces.clusterer import FaceClusterer
 
             FaceClusterer.refresh_person_stats(conn)
-            new_count = conn.execute(
+            # refresh_person_stats deletes persons left without valid
+            # embeddings — a vanished target must not 500 + roll back
+            row = conn.execute(
                 "SELECT face_count FROM persons WHERE id = ?",
-                (target,)).fetchone()[0]
+                (target,)).fetchone()
+            new_count = row[0] if row else 0
             conn.commit()
         return {"status": "ok", "target_id": target,
                 "merged_count": len(sources), "new_count": new_count}
@@ -180,6 +190,9 @@ def register(app, ctx):
         if not path or not person_id:
             raise HTTPError(400, "path and person_id required")
         with ctx.connection() as conn:
+            if conn.execute("SELECT 1 FROM persons WHERE id = ?",
+                            (person_id,)).fetchone() is None:
+                raise HTTPError(404, "person not found")
             cur = conn.execute(
                 "UPDATE faces SET person_id = ?"
                 " WHERE photo_path = ? AND person_id IS NULL",
@@ -237,7 +250,14 @@ def register(app, ctx):
     def assign_face(request, face_id):
         require_role(request, "admin")
         person_id = request.json().get("person_id")
+        if person_id is None:
+            # explicit unassign goes through /api/photos/unassign_person;
+            # a missing id must not silently NULL the assignment
+            raise HTTPError(400, "person_id required")
         with ctx.connection() as conn:
+            if conn.execute("SELECT 1 FROM persons WHERE id = ?",
+                            (person_id,)).fetchone() is None:
+                raise HTTPError(404, "person not found")
             cur = conn.execute("UPDATE faces SET person_id = ? WHERE id = ?",
                                (person_id, face_id))
             if cur.rowcount == 0:
@@ -284,7 +304,25 @@ def register(app, ctx):
 
     # ------------------------------------------------------- user ratings
 
+    def _auth_gated():
+        cfg = ctx.config
+        return bool(cfg.multi_user or cfg.viewer_password
+                    or cfg.edition_password)
+
+    def _require_edit_rights(request):
+        """Reference require_auth semantics (api/auth.py:141-155):
+        multi-user -> any logged-in user may write their own preferences;
+        single-user -> edition (admin) required — a read-only viewer was
+        mutating the GLOBAL photos columns (round-4 review finding);
+        open instance (no gate configured) -> allowed."""
+        if ctx.config.multi_user:
+            if not request.state.get("user"):
+                raise HTTPError(401, "authentication required")
+        elif _auth_gated():
+            require_role(request, "admin")
+
     def _set_preference(request, column, value):
+        _require_edit_rights(request)
         path = request.json().get("path")
         if not path:
             raise HTTPError(400, "path required")

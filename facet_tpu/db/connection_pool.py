@@ -40,8 +40,8 @@ class ConnectionPool:
                 try:
                     return self._new_connection()
                 except Exception:
-                    with self._lock:
-                        pass
+                    # still holding self._lock (non-reentrant!) — just undo
+                    # the count and surface the connect error
                     self._created -= 1
                     raise
         return self._idle.get(timeout=timeout)
@@ -97,11 +97,20 @@ _global_lock = threading.Lock()
 
 
 def get_pool(db_path=None, max_connections=8):
-    """Process-wide singleton pool (used by the API server)."""
+    """Process-wide singleton pool (used by the API server).
+
+    A second caller naming a DIFFERENT database gets an error, not a
+    silently wrong pool (round-4 review finding); db_path=None means
+    'the existing pool'."""
     global _global_pool
     with _global_lock:
         if _global_pool is None:
             _global_pool = ConnectionPool(db_path, max_connections)
+        elif (db_path is not None
+              and resolve_db_path(db_path) != _global_pool.db_path):
+            raise ValueError(
+                f"pool already bound to {_global_pool.db_path!r}; call "
+                f"reset_pool() before rebinding to {db_path!r}")
         return _global_pool
 
 

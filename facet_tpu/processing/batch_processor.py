@@ -77,6 +77,15 @@ class BatchProcessor:
             if calibration_done or processed < 2 * self.batch_size:
                 return
             calibration_done = True
+            # end-to-end throughput alone cannot distinguish device-bound
+            # from IO-bound (it includes scoring time); queue stalls during
+            # the window are the IO-bound signal — the consumer actually
+            # waited on the decoders. Without stalls, adding loader threads
+            # just blocks on a full queue (round-4 review finding).
+            if self.stalls == 0:
+                if verbose:
+                    print("  calibration: device-bound, workers unchanged")
+                return
             elapsed = max(time.time() - calibration_start, 1e-6)
             host_rate = processed / elapsed
             from facet_tpu.config.percentile_normalizer import (

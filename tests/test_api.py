@@ -1340,3 +1340,126 @@ class TestGalleryErrorPaths:
                            json={"name": "x"}).status_code in (200, 404)
         assert client.post("/api/persons/424242/avatar",
                            json={"face_id": 1}).status_code == 404
+
+
+class TestRound4SecurityFixes:
+    def _app(self, seeded_db, tmp_config, viewer=None, edition=None):
+        import json as jsonlib
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        if viewer:
+            raw["viewer"]["password"] = viewer
+        if edition:
+            raw["viewer"]["edition_password"] = edition
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        return TestClient(create_app(db_path=seeded_db,
+                                     config_path=tmp_config))
+
+    def test_edition_only_mode_rejects_wrong_password(self, seeded_db,
+                                                      tmp_config):
+        """edition_password set with no viewer password: a wrong or empty
+        password must 401, not fall through to an ADMIN token (round-4
+        review finding — full auth bypass)."""
+        client = self._app(seeded_db, tmp_config, edition="editpass")
+        assert client.post("/api/auth/login",
+                           json={"password": "wrong"}).status_code == 401
+        assert client.post("/api/auth/login",
+                           json={"password": ""}).status_code == 401
+        ok = client.post("/api/auth/login", json={"password": "editpass"})
+        assert ok.status_code == 200
+
+    def test_readonly_viewer_cannot_write_preferences(self, seeded_db,
+                                                      tmp_config):
+        """Single-user edition mode: the read-only viewer role must not
+        mutate the global photos table via rating/favorite/rejected
+        (reference require_auth semantics, api/auth.py:141-155)."""
+        client = self._app(seeded_db, tmp_config, viewer="viewpass",
+                           edition="editpass")
+        vtok = client.post("/api/auth/login",
+                           json={"password": "viewpass"}).json()["token"]
+        vauth = {"Authorization": f"Bearer {vtok}"}
+        photo = client.get("/api/photos", headers=vauth).json()["photos"][0]
+        for ep, body in (("/api/photos/rating",
+                          {"path": photo["path"], "rating": 3}),
+                         ("/api/photos/favorite",
+                          {"path": photo["path"], "favorite": True}),
+                         ("/api/photos/rejected",
+                          {"path": photo["path"], "rejected": True})):
+            assert client.post(ep, json=body,
+                               headers=vauth).status_code == 403, ep
+        # the editor (admin) still can
+        etok = client.post("/api/auth/login",
+                           json={"password": "editpass"}).json()["token"]
+        eauth = {"Authorization": f"Bearer {etok}"}
+        assert client.post("/api/photos/rating",
+                           json={"path": photo["path"], "rating": 3},
+                           headers=eauth).status_code == 200
+
+    def test_share_token_hidden_from_readonly_viewer(self, seeded_db,
+                                                     tmp_config):
+        from facet_tpu.db.connection import get_connection
+
+        with get_connection(seeded_db) as conn:
+            conn.execute("INSERT INTO persons (id, name) VALUES (71, 'p')")
+        client = self._app(seeded_db, tmp_config, viewer="viewpass",
+                           edition="editpass")
+        vtok = client.post("/api/auth/login",
+                           json={"password": "viewpass"}).json()["token"]
+        got = client.get("/api/persons/71",
+                         headers={"Authorization": f"Bearer {vtok}"}).json()
+        assert "share_token" not in got
+        etok = client.post("/api/auth/login",
+                           json={"password": "editpass"}).json()["token"]
+        got = client.get("/api/persons/71",
+                         headers={"Authorization": f"Bearer {etok}"}).json()
+        assert "share_token" in got
+
+    def test_assign_face_validates_person(self, client, seeded_db):
+        from facet_tpu.db.connection import get_connection
+
+        with get_connection(seeded_db) as conn:
+            conn.execute(
+                "INSERT INTO faces (id, photo_path, face_index, embedding)"
+                " SELECT 903, path, 77, x'00' FROM photos LIMIT 1")
+        assert client.post("/api/faces/903/assign",
+                           json={}).status_code == 400
+        assert client.post("/api/faces/903/assign",
+                           json={"person_id": 99999}).status_code == 404
+
+
+class TestTypeViewsNotSelfContradictory:
+    def test_type_views_yield_rows_despite_hide_defaults(self, client,
+                                                         seeded_db):
+        """type=blinks/bursts/rejected/duplicates must not be nulled by
+        the config-default hide flags (round-4 review finding: the badge
+        said N, the view showed none)."""
+        from facet_tpu.db.connection import get_connection
+
+        with get_connection(seeded_db) as conn:
+            # img03 is seeded as a blink and img05 as monochrome; pick
+            # rows whose OTHER flags don't interact with the hide filters
+            paths = [r[0] for r in conn.execute(
+                "SELECT path FROM photos WHERE is_blink = 0"
+                " ORDER BY path LIMIT 4")]
+            conn.execute("UPDATE photos SET is_blink = 1 WHERE path = ?",
+                         (paths[0],))
+            conn.execute("UPDATE photos SET is_burst_lead = 0 WHERE path = ?",
+                         (paths[1],))
+            conn.execute("UPDATE photos SET is_rejected = 1 WHERE path = ?",
+                         (paths[2],))
+            conn.execute(
+                "UPDATE photos SET duplicate_group_id = 5,"
+                " is_duplicate_lead = 0 WHERE path = ?", (paths[3],))
+        for ptype, path in (("blinks", paths[0]), ("bursts", paths[1]),
+                            ("rejected", paths[2]), ("duplicates", paths[3])):
+            got = client.get(f"/api/photos?type={ptype}").json()
+            assert any(p["path"] == path for p in got["photos"]), ptype
+        # an EXPLICIT contradicting hide flag still wins (reference
+        # applies both clauses)
+        got = client.get("/api/photos?type=blinks&hide_blinks=1").json()
+        assert not any(p["path"] == paths[0] for p in got["photos"])

@@ -147,3 +147,34 @@ def test_tag_lookup_sync(tmp_db):
             "SELECT tag FROM photo_tags WHERE photo_path='/a.jpg' ORDER BY tag"
         ).fetchall()
     assert [r[0] for r in rows] == ["beach", "sunset"]
+
+
+def test_pool_rejects_rebinding_to_other_db(tmp_db, tmp_path):
+    """get_pool silently returning a pool bound to a DIFFERENT database
+    reads/writes the wrong file (round-4 review finding)."""
+    from facet_tpu.db.connection_pool import get_pool, reset_pool
+
+    reset_pool()
+    try:
+        pool = get_pool(tmp_db)
+        assert get_pool(tmp_db) is pool          # same path: fine
+        assert get_pool() is pool                # None means 'the pool'
+        with pytest.raises(ValueError):
+            get_pool(str(tmp_path / "other.db"))
+    finally:
+        reset_pool()
+
+
+def test_pool_surfaces_connect_errors_without_deadlock(tmp_path):
+    """A failing sqlite3.connect must raise out of acquire() promptly —
+    the old error path re-acquired the held non-reentrant lock and hung
+    the whole server (round-4 review finding)."""
+    from facet_tpu.db.connection_pool import ConnectionPool
+
+    pool = ConnectionPool(str(tmp_path / "nodir" / "x.db"))
+    with pytest.raises(Exception):
+        pool.acquire(timeout=0.5)
+    # the slot was released: a second attempt raises again (not a hang on
+    # an exhausted counter)
+    with pytest.raises(Exception):
+        pool.acquire(timeout=0.5)
