@@ -395,8 +395,16 @@ def register(app, ctx):
         if not cat:
             raise HTTPError(404, f"unknown category '{category}'")
         for key, val in weights.items():
-            if key.endswith("_percent"):
-                cat.setdefault("weights", {})[key] = val
+            if not key.endswith("_percent"):
+                continue
+            # a persisted non-numeric value (e.g. a JSON string from a
+            # form) slips past validate_weights' isinstance filter and
+            # then TypeErrors every get_weights() call — reject here
+            try:
+                val = float(val)
+            except (TypeError, ValueError):
+                raise HTTPError(400, f"weight '{key}' must be a number")
+            cat.setdefault("weights", {})[key] = val
         ctx.config.scoring.validate_weights(verbose=False)
         ctx.config.scoring.save_config()
         return {"status": "ok", "category": category,

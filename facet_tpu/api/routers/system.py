@@ -118,7 +118,10 @@ def register(app, ctx):
         body = request.json()
         directory = body.get("directory")
         allowed = ctx.config.viewer.get("scan_directories", [])
-        if not directory or (allowed and directory not in allowed):
+        # an empty allowlist REJECTS everything, like the reference
+        # (api/routers/scan.py:68-73) — treating it as allow-any let any
+        # admin-role client scan arbitrary filesystem paths into the DB
+        if not directory or directory not in allowed:
             raise HTTPError(400, "directory missing or not in scan_directories")
         with _scan_lock:
             if _scan_state["process"] is not None \
@@ -143,6 +146,10 @@ def register(app, ctx):
 
     @app.get("/api/scan/status")
     def scan_status(request):
+        # the log leaks filesystem layout + every scanned path; same gate
+        # as scan_start (reference requires superadmin: scan.py:115-118)
+        require_role(request, "superadmin" if ctx.config.multi_user
+                     else "admin")
         proc = _scan_state["process"]
         if proc is None:
             return {"running": False, "log": []}

@@ -16,14 +16,29 @@ class ComparisonManager:
                user_id=None):
         if winner not in WINNERS:
             raise ValueError(f"winner must be one of {WINNERS}")
+        import sqlite3
+
         with get_connection(self.db_path) as conn:
-            conn.execute(
-                "INSERT INTO comparisons (photo_a_path, photo_b_path, winner,"
-                " category, session_id, user_id) VALUES (?, ?, ?, ?, ?, ?)"
-                " ON CONFLICT(photo_a_path, photo_b_path) DO UPDATE SET"
-                " winner = excluded.winner, session_id = excluded.session_id,"
-                " user_id = excluded.user_id",
-                (photo_a, photo_b, winner, category, session_id, user_id))
+            try:
+                # a re-vote replaces the WHOLE row like the reference's
+                # INSERT OR REPLACE — keeping the first vote's category and
+                # timestamp misattributed the vote to the wrong category's
+                # optimizer and buried the re-vote in history
+                conn.execute(
+                    "INSERT INTO comparisons (photo_a_path, photo_b_path,"
+                    " winner, category, session_id, user_id)"
+                    " VALUES (?, ?, ?, ?, ?, ?)"
+                    " ON CONFLICT(photo_a_path, photo_b_path) DO UPDATE SET"
+                    " winner = excluded.winner,"
+                    " category = excluded.category,"
+                    " session_id = excluded.session_id,"
+                    " user_id = excluded.user_id,"
+                    " timestamp = datetime('now')",
+                    (photo_a, photo_b, winner, category, session_id, user_id))
+            except sqlite3.IntegrityError:
+                # FK violation: the photo was deleted between pair
+                # selection and the vote — a client error, not a 500
+                raise ValueError("unknown photo in comparison pair")
             return conn.execute(
                 "SELECT id FROM comparisons WHERE photo_a_path = ?"
                 " AND photo_b_path = ?", (photo_a, photo_b)).fetchone()[0]

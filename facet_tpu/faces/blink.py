@@ -24,6 +24,11 @@ def recompute_blinks(db_path, config, update_aggregates=True, verbose=True):
             landmarks = np.frombuffer(blob, np.float32).reshape(106, 2)
             is_blink = average_ear(landmarks) < threshold
             blink_by_photo[path] = blink_by_photo.get(path, False) or is_blink
+        # reset first, exactly like the reference (scorer.py:1430): a stale
+        # is_blink=1 on a photo whose faces carry no (valid) landmarks
+        # would otherwise survive every recompute and keep depressing its
+        # aggregate via the blink penalty
+        conn.execute("UPDATE photos SET is_blink = 0 WHERE face_count >= 1")
         conn.executemany(
             "UPDATE photos SET is_blink = ? WHERE path = ?",
             [(1 if blink else 0, path) for path, blink in blink_by_photo.items()])

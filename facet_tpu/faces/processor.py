@@ -117,18 +117,30 @@ class FaceProcessor:
         min_px = 0
         refreshed = 0
         with get_connection(self.db_path) as conn:
+            # metadata only — the per-photo thumbnail blob loads lazily and
+            # only when the original file is gone (a 100k-face backlog
+            # would otherwise pull GBs of blobs into one fetchall), and
+            # each photo's image decodes ONCE for all of its faces
             faces = conn.execute(
                 "SELECT f.id, f.photo_path, f.bbox_x1, f.bbox_y1, f.bbox_x2,"
-                " f.bbox_y2, p.thumbnail, p.image_width"
+                " f.bbox_y2, p.image_width"
                 " FROM faces f JOIN photos p ON p.path = f.photo_path"
-                " WHERE f.face_thumbnail IS NULL").fetchall()
-            for fid, path, x1, y1, x2, y2, thumb_blob, full_w in faces:
-                img = load_image_rgb(path)
-                scale = 1.0
-                if img is None and thumb_blob:
-                    img = decode_thumbnail(thumb_blob)
-                    if img is not None and full_w:
-                        scale = img.shape[1] / full_w
+                " WHERE f.face_thumbnail IS NULL"
+                " ORDER BY f.photo_path").fetchall()
+            img, scale, img_path, pending = None, 1.0, None, 0
+            for fid, path, x1, y1, x2, y2, full_w in faces:
+                if path != img_path:
+                    img_path = path
+                    img = load_image_rgb(path)
+                    scale = 1.0
+                    if img is None and self.use_db_thumbnails:
+                        row = conn.execute(
+                            "SELECT thumbnail FROM photos WHERE path = ?",
+                            (path,)).fetchone()
+                        if row and row[0]:
+                            img = decode_thumbnail(row[0])
+                            if img is not None and full_w:
+                                scale = img.shape[1] / full_w
                 if img is None or None in (x1, y1, x2, y2):
                     continue
                 blob = crop_face_jpeg(
@@ -139,6 +151,10 @@ class FaceProcessor:
                 conn.execute("UPDATE faces SET face_thumbnail = ? WHERE id = ?",
                              (blob, fid))
                 refreshed += 1
+                pending += 1
+                if pending >= self.refill_batch:
+                    conn.commit()
+                    pending = 0
         if verbose:
             print(f"refilled {refreshed} face thumbnails")
         return refreshed

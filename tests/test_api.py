@@ -1463,3 +1463,93 @@ class TestTypeViewsNotSelfContradictory:
         # applies both clauses)
         got = client.get("/api/photos?type=blinks&hide_blinks=1").json()
         assert not any(p["path"] == paths[0] for p in got["photos"])
+
+
+class TestRound4ScanAndWeightsHardening:
+    def test_update_weights_rejects_non_numeric(self, client):
+        res = client.post("/api/stats/update_weights", json={
+            "category": "portrait",
+            "weights": {"aesthetic_percent": "fifty"}})
+        assert res.status_code == 400
+        # numeric strings coerce (form-encoded clients)
+        res = client.post("/api/stats/update_weights", json={
+            "category": "portrait",
+            "weights": {"aesthetic_percent": "50"}})
+        assert res.status_code == 200
+        # and the config still loads cleanly afterwards
+        assert client.get("/api/stats/category_weights").status_code == 200
+
+    def test_scan_rejects_unlisted_directory(self, seeded_db, tmp_config):
+        """An EMPTY scan_directories allowlist rejects every directory
+        (reference scan.py:68-73) — it used to mean allow-any."""
+        import json as jsonlib
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw.setdefault("viewer", {})["features"] = {"scan": True}
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        client = TestClient(create_app(db_path=seeded_db,
+                                       config_path=tmp_config))
+        assert client.post("/api/scan/start",
+                           json={"directory": "/etc"}).status_code == 400
+
+    def test_scan_status_requires_role_in_multi_user(self, seeded_db,
+                                                     tmp_config):
+        import json as jsonlib
+
+        from facet_tpu.api.config import APIConfig
+
+        with open(tmp_config) as fh:
+            raw = jsonlib.load(fh)
+        raw["users"] = {
+            "eve": {"password_hash": APIConfig.hash_password("pw"),
+                    "role": "user"}}
+        with open(tmp_config, "w") as fh:
+            jsonlib.dump(raw, fh)
+        from facet_tpu.api import create_app
+        from facet_tpu.web import TestClient
+
+        client = TestClient(create_app(db_path=seeded_db,
+                                       config_path=tmp_config))
+        tok = client.post("/api/auth/login", json={
+            "username": "eve", "password": "pw"}).json()["token"]
+        res = client.get("/api/scan/status",
+                         headers={"Authorization": f"Bearer {tok}"})
+        assert res.status_code == 403   # log leaks paths; superadmin only
+
+
+class TestComparisonRevote:
+    def test_revote_replaces_category_and_timestamp(self, seeded_db):
+        from facet_tpu.comparison.manager import ComparisonManager
+        from facet_tpu.db.connection import get_connection
+
+        with get_connection(seeded_db) as conn:
+            a, b = [r[0] for r in conn.execute(
+                "SELECT path FROM photos LIMIT 2")]
+        mgr = ComparisonManager(seeded_db)
+        cid = mgr.submit(a, b, "a", category="portrait")
+        with get_connection(seeded_db) as conn:
+            conn.execute("UPDATE comparisons SET timestamp ="
+                         " '2020-01-01 00:00:00' WHERE id = ?", (cid,))
+        cid2 = mgr.submit(a, b, "b", category="landscape")
+        assert cid2 == cid
+        with get_connection(seeded_db) as conn:
+            row = dict(conn.execute(
+                "SELECT winner, category, timestamp FROM comparisons"
+                " WHERE id = ?", (cid,)).fetchone())
+        assert row["winner"] == "b"
+        assert row["category"] == "landscape"      # re-vote wins
+        assert row["timestamp"] != "2020-01-01 00:00:00"
+
+    def test_unknown_photo_is_client_error(self, client, seeded_db):
+        from facet_tpu.db.connection import get_connection
+
+        with get_connection(seeded_db) as conn:
+            a = conn.execute("SELECT path FROM photos LIMIT 1").fetchone()[0]
+        res = client.post("/api/comparison/submit", json={
+            "photo_a": a, "photo_b": "/gone/deleted.jpg", "winner": "a"})
+        assert res.status_code == 400

@@ -299,3 +299,22 @@ class TestSingleClusterRetryGuard:
         # root-cluster membership HDBSCAN returns is its own call; the
         # guard must not reject it)
         assert counts and max(counts) >= 2
+
+
+def test_blink_recompute_resets_stale_flags(tmp_db, scoring_config):
+    """A stale is_blink=1 on a photo whose faces lack valid landmarks must
+    clear on recompute (reference scorer.py:1430 resets first)."""
+    from facet_tpu.faces.blink import recompute_blinks
+
+    with get_connection(tmp_db) as conn:
+        conn.execute("INSERT INTO photos (path, face_count, is_blink,"
+                     " aggregate) VALUES ('/stale.jpg', 1, 1, 5.0)")
+        conn.execute("INSERT INTO faces (photo_path, face_index, embedding,"
+                     " landmark_2d_106) VALUES ('/stale.jpg', 0, x'00',"
+                     " NULL)")
+    recompute_blinks(tmp_db, scoring_config, update_aggregates=False,
+                     verbose=False)
+    with get_connection(tmp_db) as conn:
+        val = conn.execute("SELECT is_blink FROM photos WHERE path ="
+                           " '/stale.jpg'").fetchone()[0]
+    assert val == 0
