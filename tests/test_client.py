@@ -149,6 +149,9 @@ def test_store_filter_params_match_server_vocabulary():
         encoding="utf-8").read()
     consumed = set(re.findall(r'request\.param\("([a-z_]+)"', gallery_src))
     consumed |= set(re.findall(r'\("([a-z_]+)", "[@p]', gallery_src))
+    # hide-flags flow through the hide_flag(name, ...) helper, which
+    # reads request.param(name) with the name as a variable
+    consumed |= set(re.findall(r'hide_flag\("([a-z_]+)"', gallery_src))
 
     unknown = emitted - consumed
     assert not unknown, f"store emits params the server ignores: {unknown}"
