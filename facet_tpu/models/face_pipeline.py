@@ -74,6 +74,9 @@ class FacePipeline:
         settings = config.get_face_detection_settings() if config else {}
         self.min_confidence = settings.get("min_confidence_percent", 70) / 100
         self.min_face_size = settings.get("min_face_size", 30)
+        # detector candidate threshold before NMS (insightface det_thresh);
+        # photo-level min_confidence filters again after
+        self.score_threshold = 0.5
         self.blink_threshold = settings.get("blink_ear_threshold", 0.21)
         self.group_min = settings.get("min_faces_for_group", 4)
         fp = config.get_face_processing_settings() if config else {}
@@ -178,18 +181,46 @@ class FacePipeline:
             self._detect_programs[key] = (run, scale)
         return self._detect_programs[key]
 
+    def det_params_for(self, mesh):
+        """Detector params placed for `mesh` (replicated; cached). The
+        replicated placement covers every mesh over the same devices, so
+        the cache is mesh-shape-agnostic."""
+        if mesh is None:
+            return self.det_params
+        if self._det_placed is None:
+            from facet_tpu.parallel.mesh import replicated_sharding
+
+            self._det_placed = jax.device_put(
+                self.det_params, replicated_sharding(mesh))
+        return self._det_placed
+
     def _run_detect(self, h, w, batch):
         run, scale = self._detect_program(h, w)
         if self._mesh is None:
             return jax.device_get(run(self.det_params,
                                       jnp.asarray(batch))), scale
-        from facet_tpu.parallel.mesh import replicated_sharding, shard_batch
+        from facet_tpu.parallel.mesh import shard_batch
 
-        if self._det_placed is None:
-            self._det_placed = jax.device_put(
-                self.det_params, replicated_sharding(self._mesh))
         sharded, _ = shard_batch(batch, self._mesh)
-        return jax.device_get(run(self._det_placed, sharded)), scale
+        return jax.device_get(run(self.det_params_for(self._mesh),
+                                  sharded)), scale
+
+    def decode_detections(self, det_out, scale, n):
+        """Fetched (top, boxes, kps5) device results for the first `n`
+        rows -> per image: list of dicts {score, bbox, kps} in image
+        coords (threshold + NMS on host, like insightface)."""
+        top, boxes, kps5 = det_out
+        decoded = topk_to_detections(np.asarray(top)[:n],
+                                     np.asarray(boxes)[:n],
+                                     np.asarray(kps5)[:n],
+                                     score_threshold=self.score_threshold)
+        out = []
+        for dets in decoded:
+            kept = nms(dets)
+            out.append([{"score": score, "bbox": bbox / scale,
+                         "kps": kps / scale}
+                        for score, bbox, kps in kept])
+        return out
 
     def detect_batch(self, images):
         """-> per image: list of dicts {score, bbox, kps5} in image coords."""
@@ -199,22 +230,24 @@ class FacePipeline:
             by_shape.setdefault(img.shape[:2], []).append(i)
         for (h, w), idxs in by_shape.items():
             batch = np.stack([images[i] for i in idxs])
-            (top, boxes, kps5), scale = self._run_detect(h, w, batch)
-            decoded = topk_to_detections(top[:len(idxs)], boxes[:len(idxs)],
-                                         kps5[:len(idxs)],
-                                         score_threshold=0.5)
-            for i, dets in zip(idxs, decoded):
-                kept = nms(dets)
-                boxes_out[i] = [{"score": score, "bbox": bbox / scale,
-                                 "kps": kps / scale}
-                                for score, bbox, kps in kept]
+            det_out, scale = self._run_detect(h, w, batch)
+            for i, dets in zip(idxs, self.decode_detections(
+                    det_out, scale, len(idxs))):
+                boxes_out[i] = dets
         return boxes_out
 
     # ------------------------------------------------------------- analysis
 
-    def analyze_batch(self, images):
-        """RGB uint8 arrays -> list of photo-level face dicts (contract above)."""
-        detections = self.detect_batch(images)
+    def analyze_batch(self, images, detections=None):
+        """RGB uint8 arrays -> list of photo-level face dicts (contract above).
+
+        `detections` short-circuits the detection stage when the caller
+        already dispatched it — the engine's joint path runs the detector
+        on the SAME resident device batch as the fused scoring program
+        (device_pipeline.FusedScorer.score_images) so the image batch
+        crosses the host->device link once, not twice."""
+        if detections is None:
+            detections = self.detect_batch(images)
 
         # gather all surviving faces across the batch for batched crops
         jobs = []  # (img_idx, face_idx, det)

@@ -182,21 +182,25 @@ class FusedScorer:
             )
         return self._mesh_params
 
-    def _run(self, h, w, batch):
-        """One fused program call; batch-sharded over 'dp' on a mesh."""
+    def _place_batch(self, batch):
+        """Host batch -> device array (sharded over 'dp' on a mesh) plus
+        the fused-program params to call with."""
         if self.mesh is None:
-            return jax.device_get(self._pipeline(h, w)(
-                self.vision_params, self.head_params, jnp.asarray(batch)))
+            return jnp.asarray(batch), (self.vision_params, self.head_params)
         from facet_tpu.parallel.mesh import shard_batch
 
         sharded, _ = shard_batch(batch, self.mesh)
-        vp, hp = self._placed_params()
+        return sharded, self._placed_params()
+
+    def _run(self, h, w, batch):
+        """One fused program call; batch-sharded over 'dp' on a mesh."""
+        dev, (vp, hp) = self._place_batch(batch)
         # the pipeline is shard_mapped over 'dp': per-image math partitions
         # with no collectives; padding rows are sliced off by the caller
         # (it indexes only the real images)
-        return jax.device_get(self._pipeline(h, w)(vp, hp, sharded))
+        return jax.device_get(self._pipeline(h, w)(vp, hp, dev))
 
-    def score_images(self, images):
+    def score_images(self, images, face_pipeline=None):
         """List of RGB uint8 arrays -> aligned list of
         (aesthetic, embedding_bytes, phash_hex, ImageStats).
 
@@ -205,23 +209,49 @@ class FusedScorer:
         ops/stats.py _bucket_size) so a mixed-size library produces at
         most ~9 compiled batch lengths per image shape instead of one
         full fused-program recompile per distinct (shape, count) pair.
+
+        With `face_pipeline`, the SCRFD detection program is dispatched on
+        the SAME resident device batch, back-to-back with the fused
+        program, and both are fetched in one device_get — the engine's
+        steady state then matches the dispatch discipline bench.py
+        measures (serialized fetch-per-program ran 83.8 vs 123.0 img/s
+        pipelined at b64, docs/PERF.md), and the image batch crosses the
+        host->device link once instead of twice. Returns
+        (results, detections) in that case, detections in
+        FacePipeline.detect_batch's format.
         """
         from facet_tpu.ops.phash import _bits_to_hex
         from facet_tpu.ops.stats import ImageStats, _bucket_size, split_total
 
         results = [None] * len(images)
+        detections = [None] * len(images) if face_pipeline is not None else None
         by_shape = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape[:2], []).append(i)
         for (h, w), all_idxs in by_shape.items():
+            det_run = det_scale = det_params = None
+            if face_pipeline is not None:
+                det_run, det_scale = face_pipeline._detect_program(h, w)
+                det_params = face_pipeline.det_params_for(self.mesh)
             for start in range(0, len(all_idxs), 256):
                 idxs = all_idxs[start:start + 256]
                 batch = np.zeros((_bucket_size(len(idxs)), h, w, 3), np.uint8)
                 for j, idx in enumerate(idxs):
                     batch[j] = images[idx]
-                out = self._run(h, w, batch)
+                if det_run is not None:
+                    dev, (vp, hp) = self._place_batch(batch)
+                    out = self._pipeline(h, w)(vp, hp, dev)
+                    det_out = det_run(det_params, dev)
+                    out, det_out = jax.device_get((out, det_out))
+                    for idx, dets in zip(idxs, face_pipeline.decode_detections(
+                            det_out, det_scale, len(idxs))):
+                        detections[idx] = dets
+                else:
+                    out = self._run(h, w, batch)
                 self._collect(out, idxs, h, w, results,
                               ImageStats, split_total, _bits_to_hex)
+        if face_pipeline is not None:
+            return results, detections
         return results
 
     @staticmethod

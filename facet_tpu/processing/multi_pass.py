@@ -209,7 +209,9 @@ class ChunkedMultiPassProcessor:
             elif name == "samp_net":
                 state["samp"] = model.score_batch(state["images"])
             elif name in ("insightface",):
-                state["faces"] = model.analyze_batch(state["images"])
+                state["faces"] = model.analyze_batch(
+                    state["images"],
+                    detections=state.pop("face_detections", None))
             elif name in ("vlm_tagger", "qwen3_vl_tagger", "ram_tagger"):
                 state["vlm_tags"] = model.tag_batch(state["pils"])
             self.phase_times["inference"] += time.time() - t0
@@ -298,10 +300,25 @@ class ChunkedMultiPassProcessor:
         uses_clip = any("clip" in group for group in self.passes)
         if uses_clip:
             # the clip pass runs the FUSED program: aesthetic + embedding +
-            # pHash + technical statistics in one device call per shape
+            # pHash + technical statistics in one device call per shape.
+            # When the pass plan co-residents insightface with clip, the
+            # SCRFD detection program rides the same resident batch (one
+            # transfer, back-to-back dispatch, one fetch) and the faces
+            # pass below reuses the prefetched detections.
+            face_model = None
+            if any("clip" in g and "insightface" in g for g in self.passes):
+                t0 = time.time()
+                name, face_model = self._load_with_fallback("insightface")
+                if name != "insightface":
+                    face_model = None
+                self.phase_times["model_load"] += time.time() - t0
             t0 = time.time()
             fused = self.scorer._fused_scorer()
-            outputs = fused.score_images(images)
+            if face_model is not None:
+                outputs, state["face_detections"] = fused.score_images(
+                    images, face_pipeline=face_model)
+            else:
+                outputs = fused.score_images(images)
             state["tech"] = [self.scorer.technical.metrics_from_stats(o[3])
                              for o in outputs]
             state["phash"] = [o[2] for o in outputs]

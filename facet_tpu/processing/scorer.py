@@ -169,11 +169,20 @@ class Facet:
                      with_aesthetic=True, with_composition=True, with_tags=True):
         """Score pre-decoded images (the multi-pass chunk path)."""
         n = len(paths)
+        pipeline = (self.face_pipeline
+                    if with_faces and not self.lightweight else None)
+        detections = None
         if with_aesthetic and not self.lightweight:
             # fused path: ONE device program per shape computes aesthetic +
-            # embedding + pHash + every technical statistic
+            # embedding + pHash + every technical statistic; with faces on,
+            # the SCRFD detection program rides the same resident batch
+            # (one transfer, back-to-back dispatch, one fetch)
             fused = self._fused_scorer()
-            outputs = fused.score_images(images)
+            if pipeline is not None:
+                outputs, detections = fused.score_images(
+                    images, face_pipeline=pipeline)
+            else:
+                outputs = fused.score_images(images)
             tech = [self.technical.metrics_from_stats(o[3]) for o in outputs]
             hashes = [o[2] for o in outputs]
             aesthetics = [(o[0], o[1]) for o in outputs]
@@ -183,10 +192,9 @@ class Facet:
             aesthetics = [(None, None)] * n
 
         face_results = [None] * n
-        if with_faces and not self.lightweight:
-            pipeline = self.face_pipeline
-            if pipeline is not None:
-                face_results = pipeline.analyze_batch(images)
+        if pipeline is not None:
+            face_results = pipeline.analyze_batch(images,
+                                                  detections=detections)
 
         tag_lists = [[] for _ in range(n)]
         if with_tags and with_aesthetic and not self.lightweight \
