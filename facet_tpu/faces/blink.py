@@ -28,11 +28,21 @@ def recompute_blinks(db_path, config, update_aggregates=True, verbose=True):
         # is_blink=1 on a photo whose faces carry no (valid) landmarks
         # would otherwise survive every recompute and keep depressing its
         # aggregate via the blink penalty
+        prev_flagged = {path for (path,) in conn.execute(
+            "SELECT path FROM photos WHERE is_blink = 1")}
         conn.execute("UPDATE photos SET is_blink = 0 WHERE face_count >= 1")
         conn.executemany(
             "UPDATE photos SET is_blink = ? WHERE path = ?",
             [(1 if blink else 0, path) for path, blink in blink_by_photo.items()])
-    if update_aggregates and blink_by_photo:
+    # the aggregate refresh must fire whenever ANY flag changed — including
+    # stale 1 -> 0 clears on photos with no (valid) landmarks left, where
+    # blink_by_photo is empty but the blink penalty is still baked into the
+    # aggregate (sixth-review-pass finding)
+    flags_changed = (
+        any(not blink_by_photo.get(path, False) for path in prev_flagged)
+        or any(blink and path not in prev_flagged
+               for path, blink in blink_by_photo.items()))
+    if update_aggregates and flags_changed:
         from facet_tpu.processing.scorer import Facet
 
         Facet(db_path, config, lightweight=True).update_all_aggregates(

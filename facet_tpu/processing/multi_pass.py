@@ -216,6 +216,34 @@ class ChunkedMultiPassProcessor:
                 state["vlm_tags"] = model.tag_batch(state["pils"])
             self.phase_times["inference"] += time.time() - t0
 
+    def _run_fused_clip_pass(self, group, state):
+        """The clip slot of one pass group: the FUSED program — aesthetic +
+        embedding + pHash + technical statistics in one device call per
+        shape. When insightface is bin-packed into the SAME group (the
+        co-residency the HBM budget actually guarantees), the SCRFD
+        detection program rides the same resident batch (one transfer,
+        back-to-back dispatch, one fetch) and the faces step reuses the
+        prefetched detections via state["face_detections"]."""
+        face_model = None
+        if "insightface" in group:
+            t0 = time.time()
+            name, face_model = self._load_with_fallback("insightface")
+            if name != "insightface":
+                face_model = None
+            self.phase_times["model_load"] += time.time() - t0
+        t0 = time.time()
+        fused = self.scorer._fused_scorer()
+        if face_model is not None:
+            outputs, state["face_detections"] = fused.score_images(
+                state["images"], face_pipeline=face_model)
+        else:
+            outputs = fused.score_images(state["images"])
+        state["tech"] = [self.scorer.technical.metrics_from_stats(o[3])
+                         for o in outputs]
+        state["phash"] = [o[2] for o in outputs]
+        state["aesthetics"] = [(o[0], o[1]) for o in outputs]
+        self.phase_times["inference"] += time.time() - t0
+
     def _unload_pass_group(self, group):
         t0 = time.time()
         for name in group:
@@ -298,37 +326,19 @@ class ChunkedMultiPassProcessor:
                  "topiq": None, "samp": None, "vlm_tags": None}
 
         uses_clip = any("clip" in group for group in self.passes)
-        if uses_clip:
-            # the clip pass runs the FUSED program: aesthetic + embedding +
-            # pHash + technical statistics in one device call per shape.
-            # When the pass plan co-residents insightface with clip, the
-            # SCRFD detection program rides the same resident batch (one
-            # transfer, back-to-back dispatch, one fetch) and the faces
-            # pass below reuses the prefetched detections.
-            face_model = None
-            if any("clip" in g and "insightface" in g for g in self.passes):
-                t0 = time.time()
-                name, face_model = self._load_with_fallback("insightface")
-                if name != "insightface":
-                    face_model = None
-                self.phase_times["model_load"] += time.time() - t0
-            t0 = time.time()
-            fused = self.scorer._fused_scorer()
-            if face_model is not None:
-                outputs, state["face_detections"] = fused.score_images(
-                    images, face_pipeline=face_model)
-            else:
-                outputs = fused.score_images(images)
-            state["tech"] = [self.scorer.technical.metrics_from_stats(o[3])
-                             for o in outputs]
-            state["phash"] = [o[2] for o in outputs]
-            state["aesthetics"] = [(o[0], o[1]) for o in outputs]
-            self.phase_times["inference"] += time.time() - t0
-        else:
+        if not uses_clip:
             self._device_prepass(state)
 
         multiple_passes = len(self.passes) > 1
         for group in self.passes:
+            if uses_clip and "clip" in group:
+                # the clip pass runs INSIDE its bin-packed group (not as a
+                # chunk-level prepass) so the fused program's HBM share is
+                # resident only while its group runs — running it earlier
+                # would co-residence it with group 0's models, which the
+                # first-fit-decreasing budget never allowed for
+                # (sixth-review-pass finding)
+                self._run_fused_clip_pass(group, state)
             self._run_pass_group(
                 [m for m in group if not (uses_clip and m == "clip")], state)
             if multiple_passes:

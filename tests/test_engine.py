@@ -204,6 +204,47 @@ class TestMultiPass:
         assert passes  # at least one pass with at least clip
         assert any("clip" in group for group in passes)
 
+    def test_clip_group_runs_at_its_bin_packed_position(self, engine,
+                                                        photo_dir):
+        """The fused CLIP program (and a co-resident insightface) must run
+        INSIDE their bin-packed pass group, not as a chunk-level prepass:
+        running them before group 0 co-residents them with group 0's
+        models, which the first-fit-decreasing HBM budget never allowed
+        for (sixth-review-pass finding)."""
+        from facet_tpu.processing.multi_pass import ChunkedMultiPassProcessor
+        from facet_tpu.utils.image_loading import gather_image_files, load_image
+
+        proc = ChunkedMultiPassProcessor(engine)
+        proc.detect_and_configure(verbose=False)
+        # simulate a plan where a big model owns group 0 (e.g. a 7B VLM on
+        # a 16 GB chip) and clip+insightface share group 1
+        proc.passes = [["vlm_tagger"], ["clip", "insightface"]]
+
+        events = []
+        orig_run = proc._run_pass_group
+        orig_fused = proc._run_fused_clip_pass
+
+        def run_spy(group, state):
+            events.append(("group", tuple(group)))
+            return orig_run(group, state)
+
+        def fused_spy(group, state):
+            events.append(("fused", tuple(group)))
+            return orig_fused(group, state)
+
+        proc._run_pass_group = run_spy
+        proc._run_fused_clip_pass = fused_spy
+        files = [p for p in gather_image_files(photo_dir)
+                 if "img" in p][:2]
+        images = [np.asarray(load_image(p), dtype=np.uint8) for p in files]
+        pils = [Image.fromarray(a) for a in images]
+        n = proc._process_loaded_chunk(files, images, pils,
+                                       {p: {} for p in files})
+        assert n == 2
+        fused_at = events.index(("fused", ("clip", "insightface")))
+        group0_at = events.index(("group", ("vlm_tagger",)))
+        assert group0_at < fused_at, events
+
 
 class _FakeQuality:
     """Stand-in NR-IQA scorer returning a constant score."""

@@ -318,3 +318,38 @@ def test_blink_recompute_resets_stale_flags(tmp_db, scoring_config):
         val = conn.execute("SELECT is_blink FROM photos WHERE path ="
                            " '/stale.jpg'").fetchone()[0]
     assert val == 0
+
+
+def test_blink_stale_clear_refreshes_aggregates(tmp_db, scoring_config,
+                                                monkeypatch):
+    """When the recompute only CLEARS stale flags (no face has valid
+    landmarks, so blink_by_photo is empty) the aggregate refresh must
+    still run — the blink penalty is baked into the stored aggregate
+    (sixth-review-pass finding)."""
+    from facet_tpu.faces.blink import recompute_blinks
+
+    calls = []
+
+    class FakeFacet:
+        def __init__(self, db_path, config, lightweight=True):
+            pass
+
+        def update_all_aggregates(self, rescore_embeddings=False):
+            calls.append(rescore_embeddings)
+
+    monkeypatch.setattr("facet_tpu.processing.scorer.Facet", FakeFacet)
+    with get_connection(tmp_db) as conn:
+        conn.execute("INSERT INTO photos (path, face_count, is_blink,"
+                     " aggregate) VALUES ('/stale.jpg', 1, 1, 5.0)")
+        conn.execute("INSERT INTO faces (photo_path, face_index, embedding,"
+                     " landmark_2d_106) VALUES ('/stale.jpg', 0, x'00',"
+                     " NULL)")
+    recompute_blinks(tmp_db, scoring_config, update_aggregates=True,
+                     verbose=False)
+    assert calls == [False]
+
+    # and with nothing to change, the refresh must NOT run again
+    calls.clear()
+    recompute_blinks(tmp_db, scoring_config, update_aggregates=True,
+                     verbose=False)
+    assert calls == []
