@@ -291,6 +291,34 @@ class SAMPComposition:
         saliency = self._u2.apply(u2_params, norm)
         return self._samp.apply(samp_params, norm, saliency)
 
+    def rider(self, h, w):
+        """(run, finish) for joint dispatch on a resident device batch —
+        the SAMP+U2NetP program rides the fused clip pass's buffer when
+        bin-packed into the same group (processing/device_pipeline.py
+        score_images), saving one full-batch host->device transfer."""
+        prog = self._program(h, w)
+        if self._mesh is None:
+            params = (self.samp_params, self.u2_params)
+        else:
+            from facet_tpu.parallel.mesh import replicated_sharding
+
+            if self._placed is None:
+                sharding = replicated_sharding(self._mesh)
+                self._placed = (jax.device_put(self.samp_params, sharding),
+                                jax.device_put(self.u2_params, sharding))
+            params = self._placed
+
+        def run(dev):
+            return prog(*params, dev)
+
+        def finish(fetched, n):
+            pw_o, at_o, di_o = fetched
+            return self._to_results(np.asarray(pw_o)[:n],
+                                    np.asarray(at_o)[:n],
+                                    np.asarray(di_o)[:n])
+
+        return run, finish
+
     def score_batch(self, images):
         """RGB uint8 arrays (any sizes) -> list of score dicts. One device
         call per source shape, batch-sharded over the chip mesh."""
@@ -309,8 +337,13 @@ class SAMPComposition:
             pw[idxs] = np.asarray(pw_o)[:len(idxs)]
             attrs[idxs] = np.asarray(at_o)[:len(idxs)]
             dist[idxs] = np.asarray(di_o)[:len(idxs)]
+        return self._to_results(pw, attrs, dist)
+
+    def _to_results(self, pw, attrs, dist):
+        """Raw head outputs -> engine score dicts (shared by score_batch
+        and the joint-dispatch rider)."""
         results = []
-        for i in range(len(images)):
+        for i in range(len(pw)):
             weights = np.exp(pw[i] - pw[i].max())
             weights = weights / weights.sum()
             raw = float(np.sum(np.arange(1, 6) * dist[i]))

@@ -335,6 +335,49 @@ class TOPIQScorer:
     def host_params(self):
         return {"params": jax.tree.map(np.asarray, self.params)}
 
+    def _postprocess(self, raw):
+        """Raw metric outputs -> 0-10 engine scores."""
+        lo, hi = self.score_range
+        return [round(float(np.clip((r - lo) / (hi - lo), 0, 1) * 10.0), 2)
+                for r in raw]
+
+    def rider(self, h, w):
+        """(run, finish) for joint dispatch on a resident device batch.
+
+        The engine's fused clip pass dispatches this program on the SAME
+        device buffer as the fused scoring program when TOPIQ is bin-packed
+        into the same pass group — the image batch then crosses the
+        host->device link once for the whole group instead of once per
+        member (processing/device_pipeline.py score_images). `run` slices
+        the resident buffer at the activation cap (per-device cap scaled by
+        the mesh size so slice boundaries stay shard-aligned) and returns
+        un-fetched device outputs; `finish` takes the fetched outputs and
+        the real image count and yields the same 0-10 scores score_batch
+        produces.
+        """
+        prog = self._program(h, w)
+        if self.mesh is None:
+            params = self.params
+            cap = self.config.max_device_batch
+        else:
+            from facet_tpu.parallel.mesh import replicated_sharding
+
+            if self._placed is None:
+                self._placed = jax.device_put(
+                    self.params, replicated_sharding(self.mesh))
+            params = self._placed
+            cap = self.config.max_device_batch * self.mesh.devices.size
+
+        def run(dev):
+            return [prog(params, dev[i:i + cap])
+                    for i in range(0, dev.shape[0], cap)]
+
+        def finish(fetched, n):
+            raw = np.concatenate([np.asarray(o) for o in fetched])[:n]
+            return self._postprocess(raw)
+
+        return run, finish
+
     def score_batch(self, images):
         """RGB uint8 arrays -> list of 0-10 scores (one device call/shape,
         batch-sharded over the chip mesh when one is present)."""
@@ -351,6 +394,4 @@ class TOPIQScorer:
                 batch = np.stack([images[i] for i in part])
                 out = np.asarray(self._run(h, w, batch))
                 raw[part] = out[:len(part)]  # mesh padding sliced off
-        lo, hi = self.score_range
-        return [round(float(np.clip((r - lo) / (hi - lo), 0, 1) * 10.0), 2)
-                for r in raw]
+        return self._postprocess(raw)

@@ -200,7 +200,7 @@ class FusedScorer:
         # (it indexes only the real images)
         return jax.device_get(self._pipeline(h, w)(vp, hp, dev))
 
-    def score_images(self, images, face_pipeline=None):
+    def score_images(self, images, face_pipeline=None, riders=None):
         """List of RGB uint8 arrays -> aligned list of
         (aesthetic, embedding_bytes, phash_hex, ImageStats).
 
@@ -216,15 +216,33 @@ class FusedScorer:
         steady state then matches the dispatch discipline bench.py
         measures (serialized fetch-per-program ran 83.8 vs 123.0 img/s
         pipelined at b64, docs/PERF.md), and the image batch crosses the
-        host->device link once instead of twice. Returns
-        (results, detections) in that case, detections in
-        FacePipeline.detect_batch's format.
+        host->device link once instead of twice.
+
+        `riders` extends the same discipline to other ensemble members
+        bin-packed into the fused program's pass group: a dict of
+        name -> scorer exposing `rider(h, w) -> (run, finish)` (TOPIQ and
+        SAMP implement it). Each rider's program is dispatched on the
+        resident buffer back-to-back with the fused program and fetched in
+        the same device_get, so a group of clip+topiq+samp+insightface
+        transfers the full-resolution batch ONCE per chunk instead of four
+        times. Riders must be built on the same mesh as this scorer (both
+        default to `default_mesh()`).
+
+        Returns `results` alone with neither extra, (results, detections)
+        with only `face_pipeline` (detections in detect_batch's format),
+        or (results, detections, rider_results) whenever `riders` is not
+        None (an empty dict still selects the 3-tuple form) — detections
+        then None without `face_pipeline`, rider_results mapping each
+        rider name to its aligned output list.
         """
         from facet_tpu.ops.phash import _bits_to_hex
         from facet_tpu.ops.stats import ImageStats, _bucket_size, split_total
 
         results = [None] * len(images)
         detections = [None] * len(images) if face_pipeline is not None else None
+        riders_passed = riders is not None
+        riders = riders or {}
+        rider_results = {name: [None] * len(images) for name in riders}
         by_shape = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape[:2], []).append(i)
@@ -233,23 +251,37 @@ class FusedScorer:
             if face_pipeline is not None:
                 det_run, det_scale = face_pipeline._detect_program(h, w)
                 det_params = face_pipeline.det_params_for(self.mesh)
+            rider_progs = {name: scorer.rider(h, w)
+                           for name, scorer in riders.items()}
             for start in range(0, len(all_idxs), 256):
                 idxs = all_idxs[start:start + 256]
                 batch = np.zeros((_bucket_size(len(idxs)), h, w, 3), np.uint8)
                 for j, idx in enumerate(idxs):
                     batch[j] = images[idx]
-                if det_run is not None:
+                if det_run is not None or rider_progs:
                     dev, (vp, hp) = self._place_batch(batch)
                     out = self._pipeline(h, w)(vp, hp, dev)
-                    det_out = det_run(det_params, dev)
-                    out, det_out = jax.device_get((out, det_out))
-                    for idx, dets in zip(idxs, face_pipeline.decode_detections(
-                            det_out, det_scale, len(idxs))):
-                        detections[idx] = dets
+                    det_out = (det_run(det_params, dev)
+                               if det_run is not None else None)
+                    rider_out = {name: run(dev)
+                                 for name, (run, _) in rider_progs.items()}
+                    out, det_out, rider_out = jax.device_get(
+                        (out, det_out, rider_out))
+                    if det_run is not None:
+                        for idx, dets in zip(
+                                idxs, face_pipeline.decode_detections(
+                                    det_out, det_scale, len(idxs))):
+                            detections[idx] = dets
+                    for name, (_, finish) in rider_progs.items():
+                        for idx, val in zip(
+                                idxs, finish(rider_out[name], len(idxs))):
+                            rider_results[name][idx] = val
                 else:
                     out = self._run(h, w, batch)
                 self._collect(out, idxs, h, w, results,
                               ImageStats, split_total, _bits_to_hex)
+        if riders_passed:
+            return results, detections, rider_results
         if face_pipeline is not None:
             return results, detections
         return results

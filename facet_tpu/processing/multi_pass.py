@@ -204,10 +204,12 @@ class ChunkedMultiPassProcessor:
                 results = model.score_batch(state["images"])
                 state["aesthetics"] = results
             elif name in QUALITY_PASS_MODELS:
-                state["topiq"] = model.score_batch(state["images"])
-                state["quality_model"] = name
+                if state.get("topiq") is None:   # not already ridden jointly
+                    state["topiq"] = model.score_batch(state["images"])
+                    state["quality_model"] = name
             elif name == "samp_net":
-                state["samp"] = model.score_batch(state["images"])
+                if state.get("samp") is None:    # not already ridden jointly
+                    state["samp"] = model.score_batch(state["images"])
             elif name in ("insightface",):
                 state["faces"] = model.analyze_batch(
                     state["images"],
@@ -219,11 +221,15 @@ class ChunkedMultiPassProcessor:
     def _run_fused_clip_pass(self, group, state):
         """The clip slot of one pass group: the FUSED program — aesthetic +
         embedding + pHash + technical statistics in one device call per
-        shape. When insightface is bin-packed into the SAME group (the
-        co-residency the HBM budget actually guarantees), the SCRFD
-        detection program rides the same resident batch (one transfer,
-        back-to-back dispatch, one fetch) and the faces step reuses the
-        prefetched detections via state["face_detections"]."""
+        shape. Every other member bin-packed into the SAME group (the
+        co-residency the HBM budget actually guarantees) rides the same
+        resident batch: SCRFD detection via `face_pipeline` (the faces
+        step reuses the prefetched detections via state["face_detections"]),
+        TOPIQ and SAMP via the rider protocol. The full-resolution image
+        batch then crosses the host->device link ONCE per chunk for the
+        whole group instead of once per member, and all programs are
+        dispatched back-to-back with a single fetch (the pipelined
+        dispatch discipline of docs/PERF.md)."""
         face_model = None
         if "insightface" in group:
             t0 = time.time()
@@ -231,11 +237,33 @@ class ChunkedMultiPassProcessor:
             if name != "insightface":
                 face_model = None
             self.phase_times["model_load"] += time.time() - t0
+        riders = {}
+        rider_names = {}
+        for requested in group:
+            slot = ("quality" if requested in QUALITY_PASS_MODELS
+                    else "samp" if requested == "samp_net" else None)
+            if slot is None or slot in riders:
+                continue
+            t0 = time.time()
+            name, model = self._load_with_fallback(requested)
+            self.phase_times["model_load"] += time.time() - t0
+            # a fallback may resolve to a model without the rider protocol
+            # (e.g. musiq) — it then runs through the normal pass path
+            if model is not None and hasattr(model, "rider"):
+                riders[slot] = model
+                rider_names[slot] = name
         t0 = time.time()
         fused = self.scorer._fused_scorer()
-        if face_model is not None:
-            outputs, state["face_detections"] = fused.score_images(
-                state["images"], face_pipeline=face_model)
+        if face_model is not None or riders:
+            outputs, detections, rider_out = fused.score_images(
+                state["images"], face_pipeline=face_model, riders=riders)
+            if face_model is not None:
+                state["face_detections"] = detections
+            if "quality" in rider_out:
+                state["topiq"] = rider_out["quality"]
+                state["quality_model"] = rider_names["quality"]
+            if "samp" in rider_out:
+                state["samp"] = rider_out["samp"]
         else:
             outputs = fused.score_images(state["images"])
         state["tech"] = [self.scorer.technical.metrics_from_stats(o[3])

@@ -136,3 +136,109 @@ class TestJointDispatch:
         b = pipeline.analyze_batch(images,
                                    detections=pipeline.detect_batch(images))
         assert [r["face_count"] for r in a] == [r["face_count"] for r in b]
+
+
+@pytest.fixture(scope="module")
+def rider_params():
+    """Small TOPIQ + SAMP/U2NetP parameter trees for rider tests."""
+    from facet_tpu.models.checkpoints import fallback_init, sds
+    from facet_tpu.models.samp_net import SAMPNet
+    from facet_tpu.models.topiq import TOPIQConfig, TOPIQNet
+    from facet_tpu.models.u2netp import U2NETP
+
+    tcfg = TOPIQConfig(input_size=64, max_device_batch=2)
+    tparams = fallback_init(TOPIQNet(tcfg), sds((1, 64, 64, 3)), seed=40)
+    samp = fallback_init(SAMPNet(), sds((1, 224, 224, 3)),
+                         sds((1, 224, 224, 1)), seed=41)
+    u2 = fallback_init(U2NETP(), sds((1, 224, 224, 3)), seed=42)
+    return tcfg, tparams, samp, u2
+
+
+def _assert_samp_equal(a, b):
+    assert len(a) == len(b)
+    for da, db in zip(a, b):
+        assert da["pattern"] == db["pattern"]
+        assert da["score"] == pytest.approx(db["score"], abs=0.011)
+        np.testing.assert_allclose(da["score_distribution"],
+                                   db["score_distribution"], atol=1e-5)
+        np.testing.assert_allclose(da["attributes"], db["attributes"],
+                                   atol=1e-5)
+
+
+class TestRiderDispatch:
+    """TOPIQ + SAMP riding the fused program's resident batch must match
+    their separate score_batch paths — the engine's joint group then
+    transfers the full-resolution batch once instead of four times."""
+
+    def test_riders_match_separate_paths(self, fused_pair, rider_params):
+        from facet_tpu.models.samp_net import SAMPComposition
+        from facet_tpu.models.topiq import TOPIQScorer
+
+        _, single = fused_pair
+        tcfg, tparams, samp_p, u2_p = rider_params
+        topiq = TOPIQScorer(tparams, tcfg)
+        topiq.mesh = None                 # match the single-device scorer
+        samp = SAMPComposition(samp_p, u2_p)
+        samp._mesh = None
+        # 7 images pad to bucket 8; max_device_batch=2 forces the rider to
+        # slice the resident buffer into 4 sub-dispatches
+        images = _images(7, seed=21)
+        res, dets, rider = single.score_images(
+            images, riders={"quality": topiq, "samp": samp})
+        assert dets is None
+        sep_res = single.score_images(images)
+        for (sa, *_), (sb, *_) in zip(res, sep_res):
+            assert sa == pytest.approx(sb, abs=1e-5)
+        want_t = topiq.score_batch(images)
+        # score_batch rounds to 2 decimals; padding-batch layouts may move
+        # the raw value by float noise across the rounding boundary
+        for got, want in zip(rider["quality"], want_t):
+            assert got == pytest.approx(want, abs=0.011)
+        _assert_samp_equal(rider["samp"], samp.score_batch(images))
+
+    def test_riders_on_mesh_match_single_device(self, fused_pair,
+                                                rider_params):
+        from dataclasses import replace
+
+        from facet_tpu.models.samp_net import SAMPComposition
+        from facet_tpu.models.topiq import TOPIQScorer
+
+        sharded, _ = fused_pair
+        assert sharded.mesh is not None
+        tcfg, tparams, samp_p, u2_p = rider_params
+        # max_device_batch=1 -> mesh cap = 8: an 11-image batch (bucket 16)
+        # slices the SHARDED resident buffer at shard-aligned boundaries
+        mesh_tcfg = replace(tcfg, max_device_batch=1)
+        topiq = TOPIQScorer(tparams, mesh_tcfg)
+        assert topiq.mesh is not None
+        samp = SAMPComposition(samp_p, u2_p)
+        assert samp._mesh is not None
+        ref_topiq = TOPIQScorer(tparams, tcfg)
+        ref_topiq.mesh = None
+        ref_samp = SAMPComposition(samp_p, u2_p)
+        ref_samp._mesh = None
+        images = _images(11, seed=23)
+        res, dets, rider = sharded.score_images(
+            images, riders={"quality": topiq, "samp": samp})
+        assert dets is None
+        for got, want in zip(rider["quality"], ref_topiq.score_batch(images)):
+            assert got == pytest.approx(want, abs=0.011)
+        _assert_samp_equal(rider["samp"], ref_samp.score_batch(images))
+
+    def test_riders_compose_with_face_pipeline(self, fused_pair, pipeline,
+                                               rider_params):
+        """All four members of a 16gb-profile group on ONE resident batch."""
+        from facet_tpu.models.topiq import TOPIQScorer
+
+        _, single = fused_pair
+        tcfg, tparams, *_ = rider_params
+        topiq = TOPIQScorer(tparams, tcfg)
+        topiq.mesh = None
+        images = _images(3, seed=25)
+        res, dets, rider = single.score_images(
+            images, face_pipeline=pipeline, riders={"quality": topiq})
+        assert len(res) == 3 and all(r is not None for r in res)
+        assert dets is not None and len(dets) == 3
+        _assert_detections_equal(dets, pipeline.detect_batch(images))
+        for got, want in zip(rider["quality"], topiq.score_batch(images)):
+            assert got == pytest.approx(want, abs=0.011)
