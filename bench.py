@@ -15,8 +15,8 @@ members per batch (sequential device calls, as the engine does); per-member
 throughput is also reported, plus the CLIP-only figure for continuity with
 round 1.
 
-WALL-CLOCK DISCIPLINE (round 4): the bench bounds its own runtime and is
-outage-proof in three ways:
+WALL-CLOCK DISCIPLINE (rounds 4-5): the bench bounds its own runtime and
+is outage-proof in four ways:
 
 1. Backend availability is probed in SUBPROCESSES with a hard per-attempt
    timeout. The observed axon failure mode is `jax.devices()` BLOCKING
@@ -34,10 +34,24 @@ outage-proof in three ways:
    end. A SIGTERM/timeout at ANY point after the first member leaves a
    parseable headline on record; the driver reading the last JSON line
    gets the best-known number.
+4. A PERSISTENT XLA COMPILATION CACHE (round 5, .cache/xla under the
+   repo, verified to serialize/deserialize through the axon PJRT plugin)
+   makes every compile after the first run of the round ~free, so an
+   outage-squeezed driver window spends its seconds measuring, not
+   compiling. The optional sections run in VALUE order — fast tier
+   first (the number that decides the 2,000 img/s north star), then p50
+   latency (a named BASELINE.md metric), ingest last — each emitting
+   incrementally so a timeout keeps everything measured so far.
+
+Batch is auto-selected: 384 (the measured +4.2% config, docs/PERF.md
+"Fused-member batch sweep") once a prior run has warmed the compile
+cache at b384 (sentinel file in the cache dir), else the safe 256 whose
+cold compiles fit the budget.
 
 vs_baseline is relative to the only throughput number the reference ships:
 its auto-tuner's assumed 6.5 img/s batched-GPU constant
-(config/percentile_normalizer.py:2224).
+(config/percentile_normalizer.py:2224). It is NOT progress against the
+2,000 img/s v5e-8 target — compare value*8 against that.
 """
 
 import argparse
@@ -56,6 +70,18 @@ def _phase(msg):
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 6.5
+
+# persistent XLA compilation cache: verified (round 5) to serialize AND
+# deserialize compiled executables through the axon PJRT plugin — a warm
+# run of this bench leaves every program's executable on disk, so driver
+# reruns spend ~0 s compiling. FACET_XLA_CACHE=off disables.
+CACHE_DIR = os.environ.get(
+    "FACET_XLA_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla"))
+# written after a run compiles the b384 fused member: tells later runs the
+# +4.2% batch-384 config (316 s cold compile) is safe to default to
+B384_SENTINEL = os.path.join(CACHE_DIR, "b384_warmed") if CACHE_DIR != "off" \
+    else "/nonexistent"
 
 _START = time.monotonic()
 _RESULT = {}          # best-known result; printed by the signal handler
@@ -221,7 +247,11 @@ def build_members(args):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument(
+        "--batch", type=int,
+        default=int(os.environ.get("FACET_BENCH_BATCH", "0")),
+        help="0 = auto: 384 once a prior run has warmed the compile cache "
+             "at b384 (sentinel), else 256 (safe cold-compile budget)")
     parser.add_argument("--height", type=int, default=1024)
     parser.add_argument("--width", type=int, default=1536)
     parser.add_argument("--steps", type=int, default=4)
@@ -250,6 +280,15 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if CACHE_DIR != "off":
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if args.batch == 0:
+        args.batch = 384 if os.path.exists(B384_SENTINEL) else 256
+        _phase(f"auto batch -> {args.batch}"
+               + (" (b384 cache warm)" if args.batch == 384 else ""))
 
     _phase("jax imported")
     jax.devices()
@@ -296,6 +335,10 @@ def main():
         jax.device_get(fn(buffers[0]))
         compile_s[name] = round(time.perf_counter() - t0, 1)
         _phase(f"compiled {name}")
+        if name == "clip_fused" and args.batch >= 384 and CACHE_DIR != "off":
+            # the expensive b384 fused executable is now in the persistent
+            # cache: later auto-batch runs may default to 384 safely
+            open(B384_SENTINEL, "w").close()
         best = 0.0
         for _ in range(args.repeats):
             t0 = time.perf_counter()
@@ -350,7 +393,7 @@ def main():
     # faces), re-measuring the ensemble and emitting after each swap, so a
     # timeout still leaves the best-known fast-tier number on record. The
     # exact-mode headline above stays the official metric.
-    if args.members == "all" and remaining() > 60:
+    if args.members == "all" and remaining() > 30:
         from facet_tpu.models.face_pipeline import FAST_TIER_DET_SIZE
         from facet_tpu.models.topiq import FAST_TIER_INPUT_SIZE
         from facet_tpu.processing.device_pipeline import build_fused_pipeline
@@ -371,7 +414,7 @@ def main():
         fast_compile = {}
         fast_detail = {}
         for name, detail, make in fast_swaps:
-            if remaining() < 45 and fast_detail:
+            if remaining() < 20 and fast_detail:
                 break   # keep what's measured rather than risk the budget
             fast_members[name] = make()
             t0 = time.perf_counter()
@@ -397,11 +440,28 @@ def main():
             _phase(f"fast tier measured through {name}")
             _emit()
 
+    # --- OPTIONAL: p50 single-image whole-ensemble latency (resident
+    # input) — a named BASELINE.md metric, so it runs BEFORE the ingest
+    # extra. The b=1 executables come from the persistent cache on a warm
+    # run (~0 s); cold they are the priciest optional compiles, which is
+    # why this section still gates on budget.
+    if remaining() > 40:
+        single = buffers[0][:1]
+        jax.device_get([fn(single) for fn in members.values()])  # compile b=1
+        lat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            jax.device_get([fn(single) for fn in members.values()])
+            lat.append(time.perf_counter() - t0)
+        _RESULT["p50_latency_ms"] = round(float(np.median(lat) * 1000), 2)
+        _phase("p50 latency measured")
+        _emit()
+
     # --- OPTIONAL: ingest-limited rate on this machine's host->device link.
     # Compile-free: copy a 64-image host batch over the link, zero-pad it to
     # the already-compiled batch shape ON DEVICE, and run the full ensemble.
     # (This harness relay moves ~15-25 MB/s; a real v5e VM uses local DMA.)
-    if remaining() > 45:
+    if remaining() > 20:
         ingest_n = min(args.batch, 64)
         host_batch = np.asarray(jax.device_get(buffers[0][:ingest_n]))
         pad = jax.jit(lambda x: jnp.pad(
@@ -419,20 +479,6 @@ def main():
         _RESULT["ingest_limited_images_per_second"] = round(ingest_n / dt, 2)
         _RESULT["h2d_link_mb_per_second"] = round(
             host_batch.nbytes / t_link / 1e6, 1)
-        enriched = True
-
-    # --- OPTIONAL: p50 single-image whole-ensemble latency (resident
-    # input). This is the one extra compile (b=1 shapes); it only runs with
-    # generous budget left.
-    if remaining() > 150:
-        single = buffers[0][:1]
-        jax.device_get([fn(single) for fn in members.values()])  # compile b=1
-        lat = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            jax.device_get([fn(single) for fn in members.values()])
-            lat.append(time.perf_counter() - t0)
-        _RESULT["p50_latency_ms"] = round(float(np.median(lat) * 1000), 2)
         enriched = True
 
     if enriched:

@@ -246,6 +246,22 @@ class FusedScorer:
         by_shape = {}
         for i, img in enumerate(images):
             by_shape.setdefault(img.shape[:2], []).append(i)
+        for member, scorer in riders.items():
+            # rider programs run on THIS scorer's resident device batch but
+            # are built (shard_mapped) on the RIDER's own mesh, so a
+            # mismatch (e.g. scorer mesh=None with default-mesh riders)
+            # would otherwise surface as an opaque shard_map/resharding
+            # error far from the misconfiguration (round-4 advisor). The
+            # face pipeline needs no check: its detect program is plain
+            # jax.jit and takes this scorer's mesh via det_params_for.
+            other = getattr(scorer, "mesh", getattr(scorer, "_mesh", None))
+            if (other is None) != (self.mesh is None) or (
+                    other is not None and other != self.mesh):
+                raise ValueError(
+                    f"joint-dispatch member {member!r} was built on mesh "
+                    f"{other} but the FusedScorer uses {self.mesh}; riders "
+                    f"must share the scorer's mesh (both default to "
+                    f"default_mesh())")
         for (h, w), all_idxs in by_shape.items():
             det_run = det_scale = det_params = None
             if face_pipeline is not None:

@@ -193,6 +193,14 @@ class ChunkedMultiPassProcessor:
     def _run_pass_group(self, group, state):
         """Run one pass group's models over the chunk state."""
         for requested in group:
+            # members already satisfied by the joint-dispatch rider path
+            # need no load here at all: re-resolving would add the (cached)
+            # load time to phase_times['model_load'] a second time and mask
+            # that the member was served by the rider (round-4 advisor)
+            if requested in QUALITY_PASS_MODELS and state.get("topiq") is not None:
+                continue
+            if requested == "samp_net" and state.get("samp") is not None:
+                continue
             t0 = time.time()
             name, model = self._load_with_fallback(requested)
             if model is None:
