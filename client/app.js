@@ -52,15 +52,8 @@ function thumbUrl(path, size) {
 }
 
 // photographic shutter display: numeric seconds -> "1/250s" / "2.5s"
-// (the DB stores the reference's numeric form; this mirrors the
-// reference client's ShutterSpeedPipe)
-function fmtShutter(value) {
-  const s = Number(value);
-  // the non-numeric fallback must stay escaped — it lands in innerHTML
-  if (!value || !isFinite(s) || s <= 0) return value ? esc(value) : "?";
-  if (s >= 1) return `${Math.round(s * 10) / 10}s`;
-  return `1/${Math.round(1 / s)}s`;
-}
+// (pure logic lives in store.js so it executes under test)
+const fmtShutter = S.fmtShutter;
 
 function toast(message) {
   const el = document.getElementById("toast");
@@ -72,9 +65,7 @@ function toast(message) {
 
 // (no regex literals in this file: the contract tests' literal stripper
 // only understands strings and comments)
-const esc = (text) => String(text ?? "")
-  .split("&").join("&amp;").split("<").join("&lt;")
-  .split(">").join("&gt;").split('"').join("&quot;");
+const esc = S.escapeHtml;
 
 // ----------------------------------------------------------------- i18n
 
@@ -208,50 +199,13 @@ function readFiltersFromDom() {
 }
 
 // rich hover tooltip, mirroring the reference's photo-tooltip component
-// (client/src/app/features/gallery/photo-tooltip.component.ts): sectioned
-// metric rows + capture metadata, fixed-positioned near the cursor
-function tooltipHtml(photo) {
-  const row = (label, value) => value == null ? "" :
-    `<div class="tip-row"><span>${label}</span><b>${value}</b></div>`;
-  const num = (v) => v == null ? null : Number(v).toFixed(1);
-  let html = `<div class="tip-title">${esc(photo.filename || photo.path)}</div>`;
-  if (photo.date_taken)
-    html += `<div class="tip-date">${esc(photo.date_taken)}</div>`;
-  html += `<div class="tip-score">[${photo.category ? catName(photo.category) : "—"}] ` +
-    `${t("gallery.score")}: ${num(photo.aggregate) ?? "—"}</div>`;
-  let rows = row(t("gallery.aesthetic"), num(photo.aesthetic)) +
-    row(t("gallery.quality"), num(photo.quality_score)) +
-    (photo.face_count > 0
-      ? row(t("gallery.faces"), num(photo.face_quality)) +
-        row(t("tooltip.face_sharp"), num(photo.face_sharpness)) +
-        row(t("tooltip.eye_sharpness"), num(photo.eye_sharpness))
-      : "") +
-    row(t("gallery.sharpness"), num(photo.tech_sharpness));
-  if (rows)
-    html += `<div class="tip-section">${t("tooltip.quality_section")}</div>` + rows;
-  rows = row(t("gallery.composition"), num(photo.comp_score)) +
-    row(t("gallery.pattern"),
-        photo.composition_pattern ? patName(photo.composition_pattern) : null) +
-    row(t("gallery.exposure"), num(photo.exposure_score)) +
-    row(t("gallery.color"), num(photo.color_score)) +
-    row(t("gallery.contrast"), num(photo.contrast_score));
-  if (rows)
-    html += `<div class="tip-section">${t("tooltip.technical_section")}</div>` + rows;
-  rows = row(t("gallery.camera"), photo.camera_model ? esc(photo.camera_model) +
-      (photo.lens_model ? " · " + esc(photo.lens_model) : "") : null) +
-    row("ISO / f / s", photo.iso
-      ? `${photo.iso} / f${photo.f_stop || "?"} / ${fmtShutter(photo.shutter_speed)}`
-      : null) +
-    row(t("gallery.focal"),
-        photo.focal_length ? `${photo.focal_length} mm` : null);
-  if (rows)
-    html += `<div class="tip-section">${t("tooltip.exif_section")}</div>` + rows;
-  return html;
-}
-
+// (client/src/app/features/gallery/photo-tooltip.component.ts). The
+// HTML assembly and the placement math are pure store.js functions
+// (S.tooltipHtml / S.tooltipPosition) so they execute under test; this
+// file only touches the DOM.
 function showTooltip(event, photo) {
   const tip = document.getElementById("photo-tooltip");
-  tip.innerHTML = tooltipHtml(photo);
+  tip.innerHTML = S.tooltipHtml(photo, t, state.catalog);
   tip.hidden = false;
   moveTooltip(event);
 }
@@ -259,16 +213,13 @@ function showTooltip(event, photo) {
 function moveTooltip(event) {
   const tip = document.getElementById("photo-tooltip");
   if (tip.hidden) return;
-  const pad = 14;
-  let x = event.clientX + pad;
-  let y = event.clientY + pad;
   const rect = tip.getBoundingClientRect();
-  if (x + rect.width > window.innerWidth - 8)
-    x = Math.max(8, event.clientX - rect.width - pad);
-  if (y + rect.height > window.innerHeight - 8)
-    y = Math.max(8, window.innerHeight - rect.height - 8);
-  tip.style.left = x + "px";
-  tip.style.top = y + "px";
+  const pos = S.tooltipPosition(
+    { x: event.clientX, y: event.clientY },
+    { width: rect.width, height: rect.height },
+    { width: window.innerWidth, height: window.innerHeight });
+  tip.style.left = pos.left + "px";
+  tip.style.top = pos.top + "px";
 }
 
 function hideTooltip() {

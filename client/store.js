@@ -398,6 +398,110 @@
     return parts.join("");
   }
 
+  // ---- tooltip (pure render-decision layer) ------------------------------
+
+  function escapeHtml(text) {
+    return String(text == null ? "" : text)
+      .split("&").join("&amp;").split("<").join("&lt;")
+      .split(">").join("&gt;").split('"').join("&quot;");
+  }
+
+  /** photographic shutter display: numeric seconds -> "1/250s" / "2.5s"
+   *  (the DB stores the reference's numeric form; mirrors the reference
+   *  client's ShutterSpeedPipe). Non-numeric input comes back escaped —
+   *  it lands in innerHTML. */
+  function fmtShutter(value) {
+    const s = Number(value);
+    if (!value || !isFinite(s) || s <= 0) {
+      return value ? escapeHtml(value) : "?";
+    }
+    if (s >= 1) return String(Math.round(s * 10) / 10) + "s";
+    return "1/" + Math.round(1 / s) + "s";
+  }
+
+  /** rich hover tooltip HTML, mirroring the reference's photo-tooltip
+   *  component (client/src/app/features/gallery/
+   *  photo-tooltip.component.ts): sectioned metric rows + capture
+   *  metadata. Pure: photo row + t() + i18n catalog in, HTML string out
+   *  — executed under test by tests/test_store_js.py. */
+  function tooltipHtml(photo, t, catalog) {
+    const cat = catalog || {};
+    const row = function (label, value) {
+      return value == null ? "" :
+        '<div class="tip-row"><span>' + label + "</span><b>" + value +
+        "</b></div>";
+    };
+    const num = function (v) {
+      return v == null ? null : Number(v).toFixed(1);
+    };
+    const catName = cat["category_names." + photo.category] || photo.category;
+    const agg = num(photo.aggregate);
+    let html = '<div class="tip-title">' +
+      escapeHtml(photo.filename || photo.path) + "</div>";
+    if (photo.date_taken) {
+      html += '<div class="tip-date">' + escapeHtml(photo.date_taken) +
+        "</div>";
+    }
+    html += '<div class="tip-score">[' +
+      (photo.category ? catName : "—") + "] " + t("gallery.score") +
+      ": " + (agg == null ? "—" : agg) + "</div>";
+    let rows = row(t("gallery.aesthetic"), num(photo.aesthetic)) +
+      row(t("gallery.quality"), num(photo.quality_score)) +
+      (photo.face_count > 0
+        ? row(t("gallery.faces"), num(photo.face_quality)) +
+          row(t("tooltip.face_sharp"), num(photo.face_sharpness)) +
+          row(t("tooltip.eye_sharpness"), num(photo.eye_sharpness))
+        : "") +
+      row(t("gallery.sharpness"), num(photo.tech_sharpness));
+    if (rows) {
+      html += '<div class="tip-section">' + t("tooltip.quality_section") +
+        "</div>" + rows;
+    }
+    rows = row(t("gallery.composition"), num(photo.comp_score)) +
+      row(t("gallery.pattern"), photo.composition_pattern
+        ? (cat["composition_patterns." + photo.composition_pattern] ||
+           photo.composition_pattern)
+        : null) +
+      row(t("gallery.exposure"), num(photo.exposure_score)) +
+      row(t("gallery.color"), num(photo.color_score)) +
+      row(t("gallery.contrast"), num(photo.contrast_score));
+    if (rows) {
+      html += '<div class="tip-section">' + t("tooltip.technical_section") +
+        "</div>" + rows;
+    }
+    rows = row(t("gallery.camera"), photo.camera_model
+      ? escapeHtml(photo.camera_model) +
+        (photo.lens_model ? " · " + escapeHtml(photo.lens_model) : "")
+      : null) +
+      row("ISO / f / s", photo.iso
+        ? photo.iso + " / f" + (photo.f_stop || "?") + " / " +
+          fmtShutter(photo.shutter_speed)
+        : null) +
+      row(t("gallery.focal"),
+          photo.focal_length ? photo.focal_length + " mm" : null);
+    if (rows) {
+      html += '<div class="tip-section">' + t("tooltip.exif_section") +
+        "</div>" + rows;
+    }
+    return html;
+  }
+
+  /** fixed-position placement near the cursor, flipping to the other
+   *  side of the pointer when the tip would overflow the viewport.
+   *  cursor {x, y}, tip {width, height}, viewport {width, height}. */
+  function tooltipPosition(cursor, tip, viewport, pad) {
+    const p = pad == null ? 14 : pad;
+    let x = cursor.x + p;
+    let y = cursor.y + p;
+    if (x + tip.width > viewport.width - 8) {
+      x = Math.max(8, cursor.x - tip.width - p);
+    }
+    if (y + tip.height > viewport.height - 8) {
+      y = Math.max(8, viewport.height - tip.height - 8);
+    }
+    return { left: x, top: y };
+  }
+
   // ---- i18n --------------------------------------------------------------
 
   function makeT(catalog) {
@@ -428,6 +532,10 @@
     heatmapCells: heatmapCells,
     svgHeatmap: svgHeatmap,
     svgScatter: svgScatter,
+    escapeHtml: escapeHtml,
+    fmtShutter: fmtShutter,
+    tooltipHtml: tooltipHtml,
+    tooltipPosition: tooltipPosition,
     makeT: makeT,
   };
 })(typeof window !== "undefined" ? window : globalThis);

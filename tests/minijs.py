@@ -1174,6 +1174,10 @@ class Interpreter:
             "parseFloat": _parse_float,
             "isNaN": lambda v: (lambda n: isinstance(n, float) and math.isnan(n))(
                 js_to_number(v)),
+            # global isFinite COERCES (unlike Number.isFinite)
+            "isFinite": lambda v: (lambda n: not (
+                isinstance(n, float) and not math.isfinite(n)))(
+                    js_to_number(v)),
             "encodeURIComponent": lambda s: urllib.parse.quote(
                 js_to_string(s), safe="!'()*-._~"),
             "decodeURIComponent": lambda s: urllib.parse.unquote(js_to_string(s)),

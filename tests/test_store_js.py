@@ -360,6 +360,104 @@ class TestSvgCharts:
         assert "NaN" not in svg
 
 
+class TestTooltip:
+    """The hover tooltip's render-decision layer (VERDICT r4 #5): HTML
+    assembly, shutter formatting, and placement math execute as the
+    SHIPPED store.js code, not a Python mirror."""
+
+    CATALOG = {
+        "gallery.score": "Score", "gallery.aesthetic": "Aesthetic",
+        "gallery.quality": "Quality", "gallery.faces": "Faces",
+        "tooltip.face_sharp": "Face sharp",
+        "tooltip.eye_sharpness": "Eye sharp",
+        "gallery.sharpness": "Sharpness",
+        "gallery.composition": "Composition", "gallery.pattern": "Pattern",
+        "gallery.exposure": "Exposure", "gallery.color": "Color",
+        "gallery.contrast": "Contrast", "gallery.camera": "Camera",
+        "gallery.focal": "Focal",
+        "tooltip.quality_section": "QUALITY",
+        "tooltip.technical_section": "TECHNICAL",
+        "tooltip.exif_section": "CAPTURE",
+        "category_names.portrait": "Portrait",
+        "composition_patterns.rule_of_thirds": "Rule of thirds",
+    }
+
+    def _html(self, store, photo):
+        interp, facet = store
+        t = call(interp, facet, "makeT", self.CATALOG)
+        fn = facet.get("tooltipHtml", interp)
+        return interp.call(fn, [interp.py_to_js(photo), t,
+                                interp.py_to_js(self.CATALOG)])
+
+    def test_full_photo_sections(self, store):
+        photo = {
+            "filename": "sunset.jpg", "date_taken": "2026:08:01 19:22:00",
+            "category": "portrait", "aggregate": 7.8125,
+            "aesthetic": 6.94, "quality_score": 8.01, "face_count": 2,
+            "face_quality": 7.5, "face_sharpness": 6.5, "eye_sharpness": 5.5,
+            "tech_sharpness": 8.2, "comp_score": 7.0,
+            "composition_pattern": "rule_of_thirds", "exposure_score": 6.1,
+            "color_score": 5.9, "contrast_score": 6.6,
+            "camera_model": "EOS R5", "lens_model": "RF 50mm",
+            "iso": 400, "f_stop": 1.8, "shutter_speed": 0.004,
+            "focal_length": 50,
+        }
+        html = self._html(store, photo)
+        assert '<div class="tip-title">sunset.jpg</div>' in html
+        assert "[Portrait] Score: 7.8" in html      # translated + 1-decimal
+        assert ">QUALITY<" in html and ">TECHNICAL<" in html \
+            and ">CAPTURE<" in html
+        assert "<span>Face sharp</span><b>6.5</b>" in html
+        assert "<span>Pattern</span><b>Rule of thirds</b>" in html
+        assert "<span>Camera</span><b>EOS R5 · RF 50mm</b>" in html
+        assert "<b>400 / f1.8 / 1/250s</b>" in html  # fmtShutter inline
+        assert "<span>Focal</span><b>50 mm</b>" in html
+
+    def test_sections_and_rows_gate_on_data(self, store):
+        html = self._html(store, {"path": "/x/a.jpg", "aggregate": None})
+        assert '<div class="tip-title">/x/a.jpg</div>' in html
+        assert "[—] Score: —" in html               # no category, no score
+        assert "QUALITY" not in html and "CAPTURE" not in html
+        # faces block gated on face_count > 0, not on face fields existing
+        html = self._html(store, {"path": "a", "face_count": 0,
+                                  "face_quality": 9.0, "aesthetic": 5.0})
+        assert "Face sharp" not in html and "Faces" not in html
+        assert "<span>Aesthetic</span><b>5.0</b>" in html
+
+    def test_html_escaping(self, store):
+        html = self._html(store, {
+            "filename": 'a<b>&"q".jpg', "camera_model": "<svg>",
+            "aggregate": 5.0})
+        assert "a&lt;b&gt;&amp;&quot;q&quot;.jpg" in html
+        assert "<svg>" not in html and "&lt;svg&gt;" in html
+
+    def test_fmt_shutter(self, store):
+        interp, facet = store
+        cases = [(0.004, "1/250s"), (0.5, "1/2s"), (1, "1s"), (2.5, "2.5s"),
+                 (30, "30s"), (None, "?"), (0, "?"), (-1, "-1"),
+                 ("1/250", "1/250"), ("<x>", "&lt;x&gt;")]
+        for value, want in cases:
+            got = call(interp, facet, "fmtShutter", value)
+            assert got == want, (value, got, want)
+
+    def test_tooltip_position_flips_at_viewport_edges(self, store):
+        interp, facet = store
+
+        def pos(cx, cy, tw=200, th=100, vw=1000, vh=600):
+            out = call(interp, facet, "tooltipPosition",
+                       {"x": cx, "y": cy}, {"width": tw, "height": th},
+                       {"width": vw, "height": vh})
+            return out.get("left", interp), out.get("top", interp)
+
+        assert pos(100, 100) == (114, 114)          # cursor + pad
+        # overflow right -> flip to the left of the cursor
+        assert pos(950, 100) == (950 - 200 - 14, 114)
+        # overflow bottom -> clamp to viewport bottom margin
+        assert pos(100, 580) == (114, 600 - 100 - 8)
+        # both clamps floor at 8
+        assert pos(5, 5, tw=2000, th=2000) == (8, 8)
+
+
 class TestI18n:
     def test_make_t(self, store):
         interp, facet = store

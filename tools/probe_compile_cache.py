@@ -15,8 +15,9 @@ import sys
 import time
 
 CACHE_DIR = os.environ.get(
-    "FACET_XLA_CACHE", os.path.join(os.path.dirname(__file__), "..",
-                                    ".cache", "xla"))
+    "FACET_XLA_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".cache", "xla"))
 
 
 def main():
