@@ -285,6 +285,12 @@ def main():
         os.makedirs(CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # executable cache ONLY: the XLA-level side caches (per-fusion
+        # autotune etc.) that jax enables alongside the dir were observed
+        # to hang compile/exec of some programs through the axon relay
+        # (round-5 finding; bench_r5a stuck >25 min in a program that
+        # compiles in seconds without them)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     if args.batch == 0:
         args.batch = 384 if os.path.exists(B384_SENTINEL) else 256
         _phase(f"auto batch -> {args.batch}"

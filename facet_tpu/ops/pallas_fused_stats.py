@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: ALL pixel-stream statistics in one HBM pass.
+
+Round-5 successor to the ILP entropy kernel (ops/pallas_entropy.py). The
+round-4 stage attribution (docs/PERF.md "Fused-member stage attribution")
+priced the non-ViT stats at 1.51 ms/img: entropy 0.66 (0.45 device time
+inside the ILP kernel), gray histogram 0.25, HSV conversion 0.21,
+saturation + glue ~0.2. Everything except the stencils/pHash is
+pixel-stream math with tiny outputs — so ONE kernel that reads the uint8
+channel planes once and computes, per block, in VMEM:
+
+- exact cv2 gray        (ops/colorspace.rgb_to_gray fixed-point formula)
+- exact cv2 H, S        (the hsv_shift=12 reciprocal formulation with
+                         f32-estimate + int32-correction rounded divides)
+- the 256-bin gray histogram as a nibble one-hot MXU dot
+  ((16, K) x (128, K) -> (16, 128), cols >= 16 provably zero)
+- the saturation sum    (int32 SMEM accumulator, exact)
+- the H-S joint entropy (the round-4 ILP recipe verbatim: 4 independent
+  K-split accumulator chains, radix-packed S columns {0, 1, 4096})
+
+kills the XLA-side HSV/one-hot materializations (hh+ss alone are
+~12 MB/img of HBM int32 traffic) instead of just the entropy's.
+
+The stencils (Laplacian/Immerkaer) and pHash stay in XLA: they need the
+2-D neighborhood / DCT structure, their int16 formulation is already
+near-floor (0.15 ms/img), and they reuse the gray plane XLA computes for
+pHash anyway.
+
+Block-padding pixels are masked by their static flat index (>= n_valid):
+hue is forced out of range (hits no bin), the gray/sat contributions are
+zeroed. All counts accumulate exactly (per-dot counts < 2^24 in f32; the
+saturation total < 2^31 in int32).
+
+tests/test_pallas_fused_stats.py pins interpret-mode parity against the
+XLA formulation (identical histograms, sat sums, and entropy to 1e-5).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 8192
+ROWS = 8          # int32 block sublanes, same shape discipline as entropy
+H_PAD = 192       # 180 hue bins padded to the bf16 sublane tile
+SPLITS = 4        # independent MXU accumulator chains (round-4 recipe)
+_HSV_SHIFT = 12
+_HALF = 1 << (_HSV_SHIFT - 1)
+
+
+def _round_div_f32(a, b):
+    """Exact round-half-up(a / b) for positive int32 (colorspace.py)."""
+    q = jnp.floor(a / b.astype(jnp.float32) + 0.5).astype(jnp.int32)
+    num = 2 * a + b
+    for _ in range(2):
+        r = num - 2 * b * q
+        q = q + jnp.where(r < 0, -1, 0) + jnp.where(r >= 2 * b, 1, 0)
+    return q
+
+
+def _make_kernel(n_valid):
+    sub = CHUNK // SPLITS
+    assert sub <= 2048        # exact {0,1,4096} radix unpacking bound
+
+    def _kernel(r_ref, g_ref, b_ref, ent_ref, hist_ref, sat_ref,
+                acc_hs, acc_gray, acc_sat):
+        bi = pl.program_id(0)
+        ci = pl.program_id(1)
+        nblocks = pl.num_programs(1)
+
+        @pl.when(ci == 0)
+        def _():
+            acc_hs[:] = jnp.zeros_like(acc_hs)
+            acc_gray[:] = jnp.zeros_like(acc_gray)
+            acc_sat[0, 0] = 0
+
+        hue_ids = jax.lax.broadcasted_iota(jnp.int32, (H_PAD, 1), 0)
+        pk_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        nib_ids = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        hs_accs = [jnp.zeros((H_PAD, 256), jnp.float32)
+                   for _ in range(SPLITS)]
+        gray_acc = jnp.zeros((16, 128), jnp.float32)
+        sat_acc = jnp.int32(0)
+        for row in range(ROWS):
+            r = r_ref[row:row + 1, :]                         # (1, CHUNK)
+            g = g_ref[row:row + 1, :]
+            b = b_ref[row:row + 1, :]
+            base = ci * (ROWS * CHUNK) + row * CHUNK
+            valid = (base + lane) < n_valid
+
+            # ---- exact cv2 gray + its two-nibble one-hot dot
+            gray = (r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15
+            oh_hi = (nib_ids == jnp.where(valid, gray >> 4, -1)).astype(
+                jnp.bfloat16)                                 # (16, K)
+            oh_lo = (pk_ids == (gray & 15)).astype(jnp.bfloat16)  # (128, K)
+            gray_acc = gray_acc + jax.lax.dot_general(
+                oh_hi, oh_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            # ---- exact cv2 HSV (S and H only; V is max)
+            v = jnp.maximum(jnp.maximum(r, g), b)
+            vmin = jnp.minimum(jnp.minimum(r, g), b)
+            diff = v - vmin
+            v_safe = jnp.maximum(v, 1)
+            sdiv = _round_div_f32(255 << _HSV_SHIFT, v_safe)
+            s = (diff * jnp.where(v > 0, sdiv, 0) + _HALF) >> _HSV_SHIFT
+            d_safe = jnp.maximum(diff, 1)
+            hdiv = _round_div_f32(180 << _HSV_SHIFT, 6 * d_safe)
+            h_num = jnp.where(
+                v == r, g - b,
+                jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff))
+            h = (h_num * jnp.where(diff > 0, hdiv, 0) + _HALF) >> _HSV_SHIFT
+            h = jnp.where(h < 0, h + 180, h)
+
+            sat_acc = sat_acc + jnp.sum(jnp.where(valid, s, 0))
+
+            # ---- H-S entropy dots: the ILP packed recipe verbatim
+            h_row = jnp.where(valid, h, 255)      # padding hits no hue row
+            oh_ht = (hue_ids == h_row).astype(jnp.bfloat16)   # (H_PAD, K)
+            weight = jnp.where((s & 1) == 1, 4096.0, 1.0).astype(
+                jnp.bfloat16)
+            oh_st = ((pk_ids == (s >> 1)).astype(jnp.bfloat16)
+                     * weight)                                 # (128, K)
+            for j in range(SPLITS):
+                a = jax.lax.dot_general(
+                    oh_ht[:, j * sub:(j + 1) * sub],
+                    oh_st[:, j * sub:(j + 1) * sub],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                c_odd = jnp.floor(a * (1.0 / 4096.0))
+                c_even = a - c_odd * 4096.0
+                hs_accs[j] = hs_accs[j] + jnp.concatenate(
+                    [c_even, c_odd], axis=1)
+
+        total = hs_accs[0]
+        for j in range(1, SPLITS):
+            total = total + hs_accs[j]
+        acc_hs[:] += total
+        acc_gray[:] += gray_acc
+        acc_sat[0, 0] += sat_acc
+
+        @pl.when(ci == nblocks - 1)
+        def _():
+            p = acc_hs[:] * (1.0 / jnp.sum(acc_hs[:]))
+            logp = jnp.where(p > 0.0,
+                             jnp.log2(jnp.where(p > 0.0, p, 1.0)), 0.0)
+            ent_ref[bi, 0] = -jnp.sum(p * logp)
+            hist_ref[0] = acc_gray[:]
+            sat_ref[bi, 0] = acc_sat[0, 0]
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "interpret"))
+def _fused_stats_call(rp, gp, bp, n_valid, interpret=False):
+    """rp/gp/bp: (B, n_pad) int32 channel planes, n_pad % (ROWS*CHUNK) == 0.
+    -> (entropy (B,), gray_hist (B, 256) int32, sat_sum (B,) int32)."""
+    b, n_pad = rp.shape
+    nblocks = n_pad // (ROWS * CHUNK)
+    rows_total = b * n_pad // CHUNK
+    rp = rp.reshape(rows_total, CHUNK)
+    gp = gp.reshape(rows_total, CHUNK)
+    bp = bp.reshape(rows_total, CHUNK)
+    spec = pl.BlockSpec((ROWS, CHUNK), lambda b_, c: (b_ * nblocks + c, 0))
+    ent, hist, sat = pl.pallas_call(
+        _make_kernel(n_valid),
+        grid=(b, nblocks),
+        in_specs=[spec, spec, spec],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16, 128), lambda b_, c: (b_, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((H_PAD, 256), jnp.float32),
+                        pltpu.VMEM((16, 128), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 16, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1), jnp.int32)],
+        interpret=interpret,
+    )(rp, gp, bp)
+    gray_hist = hist[:, :, :16].reshape(b, 256).astype(jnp.int32)
+    return ent[:, 0], gray_hist, sat[:, 0]
+
+
+def fused_stats_pallas(rgb_batch, interpret=None):
+    """(B, H, W, 3) uint8 -> (entropy (B,) f32, gray_hist (B, 256) i32,
+    sat_sum (B,) i32), all exact cv2 parity, one HBM pass.
+
+    interpret=None auto-selects interpreter mode on CPU backends (tests,
+    multichip dryrun) like the entropy kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, w, _ = rgb_batch.shape
+    n = h * w
+    block = ROWS * CHUNK
+    n_pad = -(-n // block) * block
+    planes = jnp.moveaxis(rgb_batch, 3, 1).reshape(b, 3, n).astype(jnp.int32)
+    if n_pad != n:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_pad - n)))
+    return _fused_stats_call(planes[:, 0], planes[:, 1], planes[:, 2],
+                             int(n), interpret)

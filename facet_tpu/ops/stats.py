@@ -251,31 +251,49 @@ def _batch_stats_impl(rgb_batch, hs_subsample=1, entropy_impl="xla"):
     b, h, w, _ = rgb_batch.shape
     n = h * w
     gray = rgb_to_gray(rgb_batch)
-    hh, ss, _ = rgb_to_hsv(rgb_batch)
 
-    # --- saturation partial sums
-    sat_tiles = _tiled_sum(ss.reshape(b, -1))
+    # --- ONE-PASS pallas kernel (round 5): gray hist + HSV + saturation +
+    # entropy computed from the uint8 planes in a single HBM pass
+    # (ops/pallas_fused_stats.py). Only the stencils (2-D neighborhoods)
+    # and pHash (DCT) stay XLA-side below. Exact-mode only: the fast
+    # tier's entropy stride keeps the split paths.
+    fused_kernel = entropy_impl == "pallas_fused" and hs_subsample == 1
+    if entropy_impl == "pallas_fused" and not fused_kernel:
+        entropy_impl = "pallas"      # fast tier: stride via the ILP kernel
+    if fused_kernel:
+        from facet_tpu.ops.pallas_fused_stats import fused_stats_pallas
 
-    # --- gray histogram: two-level (hi, lo) nibble one-hot matmul.
-    # counts[g] = counts2d[g >> 4, g & 15]: the 16x16 joint of the two
-    # nibbles IS the 256-bin histogram, and needs only 32 one-hot compares
-    # per pixel (vs 256 for direct compare-reduce) plus a tiny MXU product.
-    # Measured 2.7x faster than compare-reduce at 1.5 MP (docs/PERF.md).
-    # Per-slice f32 counts stay exact (slice < 2^24 pixels); cross-slice
-    # accumulation is int32, so any image size is exact.
-    gflat = gray.reshape(b, -1)
-    nib = jnp.arange(16, dtype=jnp.int32)
-    gray_hist = jnp.zeros((b, 256), jnp.int32)
-    for start in range(0, n, _GRAY_HIST_SLICE):
-        gpart = gflat[:, start:start + _GRAY_HIST_SLICE]
-        oh_hi = ((gpart >> 4)[:, :, None] == nib[None, None, :]).astype(
-            jnp.bfloat16)
-        oh_lo = ((gpart & 15)[:, :, None] == nib[None, None, :]).astype(
-            jnp.bfloat16)
-        c2 = jax.lax.dot_general(
-            oh_hi, oh_lo, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        gray_hist = gray_hist + c2.reshape(b, 256).astype(jnp.int32)
+        entropy, gray_hist, sat_total = fused_stats_pallas(rgb_batch)
+        # the (hi, lo) pair shape split_total(…, 12) recombines exactly
+        sat_tiles = jnp.stack(
+            [sat_total >> 12, sat_total & ((1 << 12) - 1)], axis=1)
+    else:
+        hh, ss, _ = rgb_to_hsv(rgb_batch)
+
+        # --- saturation partial sums
+        sat_tiles = _split_sum(_tiled_sum(ss.reshape(b, -1)), 12)
+
+        # --- gray histogram: two-level (hi, lo) nibble one-hot matmul.
+        # counts[g] = counts2d[g >> 4, g & 15]: the 16x16 joint of the two
+        # nibbles IS the 256-bin histogram, needing only 32 one-hot
+        # compares per pixel (vs 256 for direct compare-reduce) plus a
+        # tiny MXU product. Measured 2.7x faster than compare-reduce at
+        # 1.5 MP (docs/PERF.md). Per-slice f32 counts stay exact (slice
+        # < 2^24 pixels); cross-slice accumulation is int32, so any image
+        # size is exact.
+        gflat = gray.reshape(b, -1)
+        nib = jnp.arange(16, dtype=jnp.int32)
+        gray_hist = jnp.zeros((b, 256), jnp.int32)
+        for start in range(0, n, _GRAY_HIST_SLICE):
+            gpart = gflat[:, start:start + _GRAY_HIST_SLICE]
+            oh_hi = ((gpart >> 4)[:, :, None] == nib[None, None, :]).astype(
+                jnp.bfloat16)
+            oh_lo = ((gpart & 15)[:, :, None] == nib[None, None, :]).astype(
+                jnp.bfloat16)
+            c2 = jax.lax.dot_general(
+                oh_hi, oh_lo, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            gray_hist = gray_hist + c2.reshape(b, 256).astype(jnp.int32)
 
     # --- 3x3 stencils with reflect-101 borders (cv2 default), int16 lanes.
     # gray <= 255 bounds |lap| <= 1020 and |imm| <= 2040, and every
@@ -318,28 +336,29 @@ def _batch_stats_impl(rgb_batch, hs_subsample=1, entropy_impl="xla"):
     # per-chunk interleave) measured equal or worse. Decision table:
     # docs/PERF.md. The formulation lives in hs_entropy_radix so the perf
     # probes and the config-gated fast mode exercise the identical code.
-    hp = _pad_to_tiles(hh.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else hh.reshape(b, -1)
-    sp = _pad_to_tiles(ss.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else ss.reshape(b, -1)
-    if hp.shape[1] != n:
-        # mark padding as out-of-range so it lands in no bin
-        pad_mask = jnp.arange(hp.shape[1]) >= n
-        hp = jnp.where(pad_mask[None, :], -1, hp)
-    if entropy_impl == "zero":
-        # measurement floor: the whole entropy stage elided
-        entropy = jnp.zeros((b,), jnp.float32)
-    elif entropy_impl == "none":
-        # the caller computes entropy in a separate program from (hh, ss);
-        # returning them lets it avoid recomputing the HSV conversion
-        entropy = (hp[:, ::hs_subsample], sp[:, ::hs_subsample])
-    elif entropy_impl == "pallas":
-        from facet_tpu.ops.pallas_entropy import hs_entropy_pallas_ilp
+    if not fused_kernel:
+        hp = _pad_to_tiles(hh.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else hh.reshape(b, -1)
+        sp = _pad_to_tiles(ss.reshape(b, -1), HS_CHUNK) if n % HS_CHUNK else ss.reshape(b, -1)
+        if hp.shape[1] != n:
+            # mark padding as out-of-range so it lands in no bin
+            pad_mask = jnp.arange(hp.shape[1]) >= n
+            hp = jnp.where(pad_mask[None, :], -1, hp)
+        if entropy_impl == "zero":
+            # measurement floor: the whole entropy stage elided
+            entropy = jnp.zeros((b,), jnp.float32)
+        elif entropy_impl == "none":
+            # the caller computes entropy in a separate program from
+            # (hh, ss); returning them lets it avoid recomputing the HSV
+            entropy = (hp[:, ::hs_subsample], sp[:, ::hs_subsample])
+        elif entropy_impl == "pallas":
+            from facet_tpu.ops.pallas_entropy import hs_entropy_pallas_ilp
 
-        entropy = hs_entropy_pallas_ilp(hp[:, ::hs_subsample],
-                                        sp[:, ::hs_subsample])
-    else:
-        entropy = hs_entropy_radix(hp, sp, pixel_subsample=hs_subsample)
+            entropy = hs_entropy_pallas_ilp(hp[:, ::hs_subsample],
+                                            sp[:, ::hs_subsample])
+        else:
+            entropy = hs_entropy_radix(hp, sp, pixel_subsample=hs_subsample)
 
-    return (gray_hist, _split_sum(sat_tiles, 12), entropy,
+    return (gray_hist, sat_tiles, entropy,
             _split_sum(lap_tiles, 12), _split_sum(lapsq_tiles, 16),
             _split_sum(imm_tiles, 12))
 

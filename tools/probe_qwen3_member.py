@@ -82,6 +82,7 @@ def main():
         os.makedirs(CACHE_DIR, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     import jax.numpy as jnp
 
     jax.devices()
