@@ -43,10 +43,11 @@ is outage-proof in four ways:
    latency (a named BASELINE.md metric), ingest last — each emitting
    incrementally so a timeout keeps everything measured so far.
 
-Batch is auto-selected: 384 (the measured +4.2% config, docs/PERF.md
-"Fused-member batch sweep") once a prior run has warmed the compile
-cache at b384 (sentinel file in the cache dir), else the safe 256 whose
-cold compiles fit the budget.
+Batch is 256: the round-4 "+4.2% at b384" was re-measured in round 5 at
+matched single-buffer methodology and refuted (339.5 vs 337.6 img/s on
+the fused member — the delta was buffer-count methodology, not batch),
+and SCRFD detection OOMs 16 GB HBM at b384 (docs/PERF.md "Batch 384,
+re-measured and refuted").
 
 vs_baseline is relative to the only throughput number the reference ships:
 its auto-tuner's assumed 6.5 img/s batched-GPU constant
@@ -78,10 +79,6 @@ BASELINE_IMG_PER_SEC = 6.5
 CACHE_DIR = os.environ.get(
     "FACET_XLA_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla"))
-# written after a run compiles the b384 fused member: tells later runs the
-# +4.2% batch-384 config (316 s cold compile) is safe to default to
-B384_SENTINEL = os.path.join(CACHE_DIR, "b384_warmed") if CACHE_DIR != "off" \
-    else "/nonexistent"
 
 _START = time.monotonic()
 _RESULT = {}          # best-known result; printed by the signal handler
@@ -249,9 +246,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--batch", type=int,
-        default=int(os.environ.get("FACET_BENCH_BATCH", "0")),
-        help="0 = auto: 384 once a prior run has warmed the compile cache "
-             "at b384 (sentinel), else 256 (safe cold-compile budget)")
+        default=int(os.environ.get("FACET_BENCH_BATCH", "256")))
     parser.add_argument("--height", type=int, default=1024)
     parser.add_argument("--width", type=int, default=1536)
     parser.add_argument("--steps", type=int, default=4)
@@ -291,11 +286,6 @@ def main():
         # (round-5 finding; bench_r5a stuck >25 min in a program that
         # compiles in seconds without them)
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
-    if args.batch == 0:
-        args.batch = 384 if os.path.exists(B384_SENTINEL) else 256
-        _phase(f"auto batch -> {args.batch}"
-               + (" (b384 cache warm)" if args.batch == 384 else ""))
-
     _phase("jax imported")
     jax.devices()
     _phase("backend ready")
@@ -321,10 +311,16 @@ def main():
         return (x >> 13).astype(jnp.uint8).reshape(
             (args.batch, args.height, args.width, 3))
 
-    buffers = [synth(i) for i in range(2)]
+    # two rotating buffers at b256 (different data each step); ONE at b384 —
+    # the second 1.81 GB buffer is exactly what pushed the b384 ensemble
+    # over 16 GB HBM at runtime (measured round 5). Throughput is
+    # input-independent (no data-dependent control flow on device), so the
+    # single-buffer loop measures the same steady state.
+    n_buffers = 1 if args.batch >= 384 else 2
+    buffers = [synth(i) for i in range(n_buffers)]
     for buf in buffers:
         _ = jax.device_get(jnp.sum(buf.astype(jnp.int32)))  # force materialize
-    _phase("buffers resident")
+    _phase(f"buffers resident (x{n_buffers})")
 
     metric = ("full_ensemble_images_per_second_per_chip"
               if args.members == "all"
@@ -341,15 +337,11 @@ def main():
         jax.device_get(fn(buffers[0]))
         compile_s[name] = round(time.perf_counter() - t0, 1)
         _phase(f"compiled {name}")
-        if name == "clip_fused" and args.batch >= 384 and CACHE_DIR != "off":
-            # the expensive b384 fused executable is now in the persistent
-            # cache: later auto-batch runs may default to 384 safely
-            open(B384_SENTINEL, "w").close()
         best = 0.0
         for _ in range(args.repeats):
             t0 = time.perf_counter()
             for i in range(args.steps):
-                jax.device_get(fn(buffers[i % 2]))
+                jax.device_get(fn(buffers[i % len(buffers)]))
             best = max(best, args.steps * args.batch
                        / (time.perf_counter() - t0))
         member_rates[name] = round(best, 2)
@@ -379,7 +371,7 @@ def main():
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         for i in range(args.steps):
-            buf = buffers[i % 2]
+            buf = buffers[i % len(buffers)]
             jax.device_get([fn(buf) for fn in members.values()])
         best = max(best, args.steps * args.batch / (time.perf_counter() - t0))
 
@@ -431,7 +423,7 @@ def main():
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
                 for i in range(args.steps):
-                    buf = buffers[i % 2]
+                    buf = buffers[i % len(buffers)]
                     jax.device_get([fn(buf) for fn in fast_members.values()])
                 best_fast = max(
                     best_fast,

@@ -13,12 +13,22 @@ channel planes once and computes, per block, in VMEM:
                          f32-estimate + int32-correction rounded divides)
 - the 256-bin gray histogram as a nibble one-hot MXU dot
   ((16, K) x (128, K) -> (16, 128), cols >= 16 provably zero)
-- the saturation sum    (int32 SMEM accumulator, exact)
+- the saturation sum    (int32 accumulator, exact)
 - the H-S joint entropy (the round-4 ILP recipe verbatim: 4 independent
   K-split accumulator chains, radix-packed S columns {0, 1, 4096})
 
 kills the XLA-side HSV/one-hot materializations (hh+ss alone are
 ~12 MB/img of HBM int32 traffic) instead of just the entropy's.
+
+INPUT PACKING (measured round 5): the channel planes travel as int32
+with FOUR uint8 pixels bitcast into each lane. Three rejected layouts
+taught why: int32 planes cost a 6.75 GB HBM materialization at batch
+384 (the difference between OOM and fit); raw uint8 blocks force (32,
+128) tiling whose 32-row unrolled loop blows the 16 MB scoped-VMEM
+stack (72.7 MB measured); dynamic_slice on VMEM *values* has no Mosaic
+lowering. Packed int32 keeps the proven (8, CHUNK) block shape and the
+uint8 HBM footprint; the kernel unpacks bytes with shifts (order
+irrelevant — every statistic here is pixel-order-invariant).
 
 The stencils (Laplacian/Immerkaer) and pHash stay in XLA: they need the
 2-D neighborhood / DCT structure, their int16 formulation is already
@@ -42,7 +52,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 8192
-ROWS = 8          # int32 block sublanes, same shape discipline as entropy
+ROWS = 8          # int32 block sublanes — the entropy kernel's proven shape
+PACK = 4          # uint8 pixels per int32 lane
 H_PAD = 192       # 180 hue bins padded to the bf16 sublane tile
 SPLITS = 4        # independent MXU accumulator chains (round-4 recipe)
 _HSV_SHIFT = 12
@@ -80,60 +91,78 @@ def _make_kernel(n_valid):
         nib_ids = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        hs_accs = [jnp.zeros((H_PAD, 256), jnp.float32)
-                   for _ in range(SPLITS)]
-        gray_acc = jnp.zeros((16, 128), jnp.float32)
-        sat_acc = jnp.int32(0)
-        for row in range(ROWS):
-            r = r_ref[row:row + 1, :]                         # (1, CHUNK)
-            g = g_ref[row:row + 1, :]
-            b = b_ref[row:row + 1, :]
-            base = ci * (ROWS * CHUNK) + row * CHUNK
-            valid = (base + lane) < n_valid
+        def row_body(row, carry):
+            # fori_loop over block rows (NOT an unrolled Python loop: 32
+            # unrolled streams keep every one-hot temporary live at once
+            # and blow the scoped-VMEM stack). The carried accumulators
+            # preserve the ILP structure — each split's dot chains only
+            # to ITS accumulator across iterations.
+            hs_accs, gray_acc, sat_acc = carry
+            r32 = r_ref[pl.ds(row, 1), :]                     # (1, CHUNK)
+            g32 = g_ref[pl.ds(row, 1), :]
+            b32 = b_ref[pl.ds(row, 1), :]
+            base = (ci * ROWS + row) * CHUNK
+            for k in range(PACK):                 # static byte fields
+                r = (r32 >> (8 * k)) & 255
+                g = (g32 >> (8 * k)) & 255
+                b = (b32 >> (8 * k)) & 255
+                # lane l of this row holds pixels PACK*(base + l) + k
+                valid = (PACK * (base + lane) + k) < n_valid
 
-            # ---- exact cv2 gray + its two-nibble one-hot dot
-            gray = (r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15
-            oh_hi = (nib_ids == jnp.where(valid, gray >> 4, -1)).astype(
-                jnp.bfloat16)                                 # (16, K)
-            oh_lo = (pk_ids == (gray & 15)).astype(jnp.bfloat16)  # (128, K)
-            gray_acc = gray_acc + jax.lax.dot_general(
-                oh_hi, oh_lo, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-            # ---- exact cv2 HSV (S and H only; V is max)
-            v = jnp.maximum(jnp.maximum(r, g), b)
-            vmin = jnp.minimum(jnp.minimum(r, g), b)
-            diff = v - vmin
-            v_safe = jnp.maximum(v, 1)
-            sdiv = _round_div_f32(255 << _HSV_SHIFT, v_safe)
-            s = (diff * jnp.where(v > 0, sdiv, 0) + _HALF) >> _HSV_SHIFT
-            d_safe = jnp.maximum(diff, 1)
-            hdiv = _round_div_f32(180 << _HSV_SHIFT, 6 * d_safe)
-            h_num = jnp.where(
-                v == r, g - b,
-                jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff))
-            h = (h_num * jnp.where(diff > 0, hdiv, 0) + _HALF) >> _HSV_SHIFT
-            h = jnp.where(h < 0, h + 180, h)
-
-            sat_acc = sat_acc + jnp.sum(jnp.where(valid, s, 0))
-
-            # ---- H-S entropy dots: the ILP packed recipe verbatim
-            h_row = jnp.where(valid, h, 255)      # padding hits no hue row
-            oh_ht = (hue_ids == h_row).astype(jnp.bfloat16)   # (H_PAD, K)
-            weight = jnp.where((s & 1) == 1, 4096.0, 1.0).astype(
-                jnp.bfloat16)
-            oh_st = ((pk_ids == (s >> 1)).astype(jnp.bfloat16)
-                     * weight)                                 # (128, K)
-            for j in range(SPLITS):
-                a = jax.lax.dot_general(
-                    oh_ht[:, j * sub:(j + 1) * sub],
-                    oh_st[:, j * sub:(j + 1) * sub],
-                    (((1,), (1,)), ((), ())),
+                # ---- exact cv2 gray + its two-nibble one-hot dot
+                gray = (r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15
+                oh_hi = (nib_ids == jnp.where(valid, gray >> 4, -1)).astype(
+                    jnp.bfloat16)                             # (16, K)
+                oh_lo = (pk_ids == (gray & 15)).astype(jnp.bfloat16)
+                gray_acc = gray_acc + jax.lax.dot_general(
+                    oh_hi, oh_lo, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                c_odd = jnp.floor(a * (1.0 / 4096.0))
-                c_even = a - c_odd * 4096.0
-                hs_accs[j] = hs_accs[j] + jnp.concatenate(
-                    [c_even, c_odd], axis=1)
+
+                # ---- exact cv2 HSV (S and H only; V is max)
+                v = jnp.maximum(jnp.maximum(r, g), b)
+                vmin = jnp.minimum(jnp.minimum(r, g), b)
+                diff = v - vmin
+                v_safe = jnp.maximum(v, 1)
+                sdiv = _round_div_f32(255 << _HSV_SHIFT, v_safe)
+                s = (diff * jnp.where(v > 0, sdiv, 0) + _HALF) >> _HSV_SHIFT
+                d_safe = jnp.maximum(diff, 1)
+                hdiv = _round_div_f32(180 << _HSV_SHIFT, 6 * d_safe)
+                h_num = jnp.where(
+                    v == r, g - b,
+                    jnp.where(v == g, (b - r) + 2 * diff,
+                              (r - g) + 4 * diff))
+                h = (h_num * jnp.where(diff > 0, hdiv, 0)
+                     + _HALF) >> _HSV_SHIFT
+                h = jnp.where(h < 0, h + 180, h)
+
+                sat_acc = sat_acc + jnp.sum(jnp.where(valid, s, 0))
+
+                # ---- H-S entropy dots: the ILP packed recipe verbatim
+                h_row = jnp.where(valid, h, 255)  # padding hits no hue row
+                oh_ht = (hue_ids == h_row).astype(jnp.bfloat16)
+                weight = jnp.where((s & 1) == 1, 4096.0, 1.0).astype(
+                    jnp.bfloat16)
+                oh_st = ((pk_ids == (s >> 1)).astype(jnp.bfloat16)
+                         * weight)                             # (128, K)
+                new_accs = []
+                for j in range(SPLITS):
+                    a = jax.lax.dot_general(
+                        oh_ht[:, j * sub:(j + 1) * sub],
+                        oh_st[:, j * sub:(j + 1) * sub],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    c_odd = jnp.floor(a * (1.0 / 4096.0))
+                    c_even = a - c_odd * 4096.0
+                    new_accs.append(hs_accs[j] + jnp.concatenate(
+                        [c_even, c_odd], axis=1))
+                hs_accs = tuple(new_accs)
+            return hs_accs, gray_acc, sat_acc
+
+        init = (tuple(jnp.zeros((H_PAD, 256), jnp.float32)
+                      for _ in range(SPLITS)),
+                jnp.zeros((16, 128), jnp.float32), jnp.int32(0))
+        hs_accs, gray_acc, sat_acc = jax.lax.fori_loop(
+            0, ROWS, row_body, init)
 
         total = hs_accs[0]
         for j in range(1, SPLITS):
@@ -156,11 +185,12 @@ def _make_kernel(n_valid):
 
 @functools.partial(jax.jit, static_argnames=("n_valid", "interpret"))
 def _fused_stats_call(rp, gp, bp, n_valid, interpret=False):
-    """rp/gp/bp: (B, n_pad) int32 channel planes, n_pad % (ROWS*CHUNK) == 0.
+    """rp/gp/bp: (B, n_pad4) int32 planes with PACK uint8 pixels per lane,
+    n_pad4 % (ROWS*CHUNK) == 0.
     -> (entropy (B,), gray_hist (B, 256) int32, sat_sum (B,) int32)."""
-    b, n_pad = rp.shape
-    nblocks = n_pad // (ROWS * CHUNK)
-    rows_total = b * n_pad // CHUNK
+    b, n_pad4 = rp.shape
+    nblocks = n_pad4 // (ROWS * CHUNK)
+    rows_total = b * n_pad4 // CHUNK
     rp = rp.reshape(rows_total, CHUNK)
     gp = gp.reshape(rows_total, CHUNK)
     bp = bp.reshape(rows_total, CHUNK)
@@ -197,10 +227,14 @@ def fused_stats_pallas(rgb_batch, interpret=None):
         interpret = jax.default_backend() == "cpu"
     b, h, w, _ = rgb_batch.shape
     n = h * w
-    block = ROWS * CHUNK
-    n_pad = -(-n // block) * block
-    planes = jnp.moveaxis(rgb_batch, 3, 1).reshape(b, 3, n).astype(jnp.int32)
+    block_px = ROWS * CHUNK * PACK
+    n_pad = -(-n // block_px) * block_px
+    planes = jnp.moveaxis(rgb_batch, 3, 1).reshape(b, 3, n)   # stays uint8
     if n_pad != n:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_pad - n)))
-    return _fused_stats_call(planes[:, 0], planes[:, 1], planes[:, 2],
+    # bitcast PACK consecutive uint8 pixels into each int32 lane: uint8
+    # HBM footprint, int32 (8, 128) VMEM tiling in the kernel
+    packed = jax.lax.bitcast_convert_type(
+        planes.reshape(b, 3, n_pad // PACK, PACK), jnp.int32)
+    return _fused_stats_call(packed[:, 0], packed[:, 1], packed[:, 2],
                              int(n), interpret)
