@@ -393,6 +393,17 @@ class ChunkedMultiPassProcessor:
                 tagged = iter(self.scorer.tagger.tag_embedding_bytes(present))
                 tag_lists = [next(tagged) if b is not None else [] for b in blobs]
 
+        # chunk thumbnails through the native threaded encoder when built
+        # (area resize + libjpeg across cores — ~22 ms/img of single-core
+        # PIL work was the largest host-epilogue cost in the round-5
+        # engine probe); per-image PIL fallback otherwise
+        from facet_tpu.utils import native_decode
+
+        thumbs = native_decode.encode_thumbnail_batch(
+            images, self.scorer.thumb_size, self.scorer.thumb_quality)
+        if thumbs is None:
+            thumbs = [None] * n
+
         rows = []
         for i, path in enumerate(ok):
             # quality + SAMP results go INTO row assembly so the aggregate is
@@ -405,7 +416,8 @@ class ChunkedMultiPassProcessor:
                 tag_lists[i],
                 quality_score=None if state["topiq"] is None else state["topiq"][i],
                 quality_model=state.get("quality_model"),
-                samp_result=None if state["samp"] is None else state["samp"][i]))
+                samp_result=None if state["samp"] is None else state["samp"][i],
+                thumbnail=thumbs[i]))
         self.phase_times["aggregate"] += time.time() - t0
 
         t0 = time.time()

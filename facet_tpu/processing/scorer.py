@@ -216,7 +216,8 @@ class Facet:
 
     def assemble_row(self, path, image, pil, exif, tech, phash,
                       aesthetic_pair, faces, tag_hits, with_composition=True,
-                      quality_score=None, quality_model=None, samp_result=None):
+                      quality_score=None, quality_model=None,
+                      samp_result=None, thumbnail=None):
         """Build one photos row, computing the aggregate LAST so every model
         output influences it. When a quality (NR-IQA) model ran, its score
         replaces the CLIP aesthetic in the aggregate, as in the reference
@@ -329,7 +330,13 @@ class Facet:
             "mean_saturation": tech["mean_saturation"],
             "leading_lines_score": m["leading_lines_score"],
             "face_confidence": m["face_confidence"],
-            "thumbnail": make_thumbnail(pil, self.thumb_size, self.thumb_quality),
+            # multi-pass precomputes thumbnails per chunk through the
+            # native threaded encoder when built (utils/native_decode
+            # encode_thumbnail_batch); the PIL path is the per-image
+            # fallback and the single-pass default
+            "thumbnail": thumbnail if thumbnail is not None else
+                         make_thumbnail(pil, self.thumb_size,
+                                        self.thumb_quality),
             "phash": phash,
             "config_version": self.config.version_hash,
             "tags": m["tags"],

@@ -35,6 +35,13 @@ def _load():
             ctypes.POINTER(ctypes.c_int)]
         lib.facet_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
         lib.facet_io_version.restype = ctypes.c_int
+        if lib.facet_io_version() >= 2:
+            lib.facet_encode_thumbnail_batch.argtypes = [
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         _LIB = lib
         return lib
     _LIB = False
@@ -72,4 +79,44 @@ def decode_jpeg_batch(paths, max_long_edge=0, n_threads=0):
         arr = np.frombuffer(buf.contents, dtype=np.uint8).reshape(h, w, 3).copy()
         lib.facet_free(rgb[i])
         out.append(arr)
+    return out
+
+
+def encode_available():
+    lib = _load()
+    return bool(lib) and lib.facet_io_version() >= 2
+
+
+def encode_thumbnail_batch(arrays, size=640, quality=80, n_threads=0):
+    """RGB uint8 arrays -> list of JPEG bytes (None entries on failure),
+    resized to `size` long edge (area average) and encoded across threads
+    in C (native/facet_io.cpp facet_encode_thumbnail_batch).
+
+    Returns None entirely when the native library isn't built or predates
+    the encoder — callers fall back to the PIL path per image.
+    """
+    if not encode_available() or not arrays:
+        return None
+    lib = _load()
+    count = len(arrays)
+    # keep C-contiguous copies alive for the duration of the call
+    contig = [np.ascontiguousarray(a, dtype=np.uint8) for a in arrays]
+    rgb = (ctypes.POINTER(ctypes.c_uint8) * count)(
+        *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for a in contig])
+    widths = (ctypes.c_int * count)(*[a.shape[1] for a in contig])
+    heights = (ctypes.c_int * count)(*[a.shape[0] for a in contig])
+    out_buf = (ctypes.POINTER(ctypes.c_uint8) * count)()
+    out_len = (ctypes.c_int * count)()
+    ok = (ctypes.c_int * count)()
+    lib.facet_encode_thumbnail_batch(rgb, widths, heights, count, size,
+                                     quality, n_threads, out_buf, out_len, ok)
+    out = []
+    for i in range(count):
+        if not ok[i] or not out_buf[i]:
+            out.append(None)
+            continue
+        buf = ctypes.cast(out_buf[i],
+                          ctypes.POINTER(ctypes.c_uint8 * out_len[i]))
+        out.append(bytes(buf.contents))
+        lib.facet_free(out_buf[i])
     return out

@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <thread>
 #include <vector>
 
@@ -233,6 +234,155 @@ void facet_decode_jpeg_batch(const char** paths, int count, int max_long_edge,
 
 void facet_free(uint8_t* ptr) { free(ptr); }
 
-int facet_io_version() { return 1; }
+int facet_io_version() { return 2; }
+
+}  // extern "C"
+
+namespace {
+
+// Area-average downscale (cv2 INTER_AREA-equivalent): each output pixel
+// integrates the exact fractional source window. High quality for the
+// >=2x shrinks thumbnails perform; separable two-pass keeps it O(N).
+uint8_t* resize_area(const uint8_t* src, int W, int H, int outW, int outH) {
+  std::vector<float> tmp(static_cast<size_t>(outW) * H * 3);
+  const double sx = static_cast<double>(W) / outW;
+  // horizontal pass: src (H, W, 3) -> tmp (H, outW, 3)
+  for (int y = 0; y < H; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * W * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * outW * 3;
+    for (int ox = 0; ox < outW; ++ox) {
+      const double x0 = ox * sx, x1 = (ox + 1) * sx;
+      double acc[3] = {0, 0, 0};
+      int ix0 = static_cast<int>(x0), ix1 = static_cast<int>(std::ceil(x1));
+      if (ix1 > W) ix1 = W;
+      for (int ix = ix0; ix < ix1; ++ix) {
+        const double cover = std::min<double>(x1, ix + 1) -
+                             std::max<double>(x0, ix);
+        const uint8_t* px = row + static_cast<size_t>(ix) * 3;
+        acc[0] += cover * px[0];
+        acc[1] += cover * px[1];
+        acc[2] += cover * px[2];
+      }
+      const double inv = 1.0 / (x1 - x0);
+      trow[ox * 3 + 0] = static_cast<float>(acc[0] * inv);
+      trow[ox * 3 + 1] = static_cast<float>(acc[1] * inv);
+      trow[ox * 3 + 2] = static_cast<float>(acc[2] * inv);
+    }
+  }
+  // vertical pass: tmp (H, outW, 3) -> out (outH, outW, 3)
+  uint8_t* out = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(outW) * outH * 3));
+  if (!out) return nullptr;
+  const double sy = static_cast<double>(H) / outH;
+  for (int oy = 0; oy < outH; ++oy) {
+    const double y0 = oy * sy, y1 = (oy + 1) * sy;
+    int iy0 = static_cast<int>(y0), iy1 = static_cast<int>(std::ceil(y1));
+    if (iy1 > H) iy1 = H;
+    const double inv = 1.0 / (y1 - y0);
+    uint8_t* orow = out + static_cast<size_t>(oy) * outW * 3;
+    for (int ox = 0; ox < outW * 3; ++ox) {
+      double acc = 0;
+      for (int iy = iy0; iy < iy1; ++iy) {
+        const double cover = std::min<double>(y1, iy + 1) -
+                             std::max<double>(y0, iy);
+        acc += cover * tmp[static_cast<size_t>(iy) * outW * 3 + ox];
+      }
+      double v = acc * inv + 0.5;
+      orow[ox] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+  return out;
+}
+
+// RGB buffer -> JPEG bytes in a malloc'd buffer (jpeg_mem_dest).
+int encode_jpeg_mem(const uint8_t* rgb, int W, int H, int quality,
+                    uint8_t** out_buf, unsigned long* out_len) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+  *out_buf = nullptr;
+  *out_len = 0;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (*out_buf) { free(*out_buf); *out_buf = nullptr; }
+    return 0;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, out_buf, out_len);
+  cinfo.image_width = W;
+  cinfo.image_height = H;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(
+        rgb + static_cast<size_t>(cinfo.next_scanline) * W * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  return 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Resize each RGB image so its long edge is <= `size` (area average) and
+// encode it as a JPEG at `quality`, across threads. Per image i the
+// caller provides rgb[i] (H*W*3, C-contiguous), widths[i], heights[i];
+// receives a malloc'd JPEG in out_buf[i]/out_len[i] (free with
+// facet_free) and ok[i]. Images already within `size` skip the resize.
+void facet_encode_thumbnail_batch(const uint8_t** rgb, const int* widths,
+                                  const int* heights, int count, int size,
+                                  int quality, int n_threads,
+                                  uint8_t** out_buf, int* out_len, int* ok) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > count) n_threads = count;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < n_threads; ++t) {
+    workers.emplace_back([&, t]() {
+      for (int i = t; i < count; i += n_threads) {
+        ok[i] = 0;
+        out_buf[i] = nullptr;
+        out_len[i] = 0;
+        const int W = widths[i], H = heights[i];
+        if (W <= 0 || H <= 0) continue;
+        const uint8_t* src = rgb[i];
+        uint8_t* resized = nullptr;
+        int outW = W, outH = H;
+        const int longEdge = W > H ? W : H;
+        if (size > 0 && longEdge > size) {
+          // PIL.thumbnail semantics: fit inside (size, size), round,
+          // keep at least 1 px
+          const double scale = static_cast<double>(size) / longEdge;
+          outW = static_cast<int>(W * scale + 0.5);
+          outH = static_cast<int>(H * scale + 0.5);
+          if (outW < 1) outW = 1;
+          if (outH < 1) outH = 1;
+          resized = resize_area(src, W, H, outW, outH);
+          if (!resized) continue;
+          src = resized;
+        }
+        unsigned long len = 0;
+        uint8_t* buf = nullptr;
+        const int enc_ok = encode_jpeg_mem(src, outW, outH, quality,
+                                           &buf, &len);
+        if (resized) free(resized);
+        if (!enc_ok) continue;
+        out_buf[i] = buf;
+        out_len[i] = static_cast<int>(len);
+        ok[i] = 1;
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+}
 
 }  // extern "C"
