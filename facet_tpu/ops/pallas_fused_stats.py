@@ -13,7 +13,8 @@ channel planes once and computes, per block, in VMEM:
                          f32-estimate + int32-correction rounded divides)
 - the 256-bin gray histogram as a nibble one-hot MXU dot
   ((16, K) x (128, K) -> (16, 128), cols >= 16 provably zero)
-- the saturation sum    (int32 accumulator, exact)
+- the saturation sum    (int32 (hi, lo) split accumulation, exact
+                         past the >16 MP point a single int32 wraps)
 - the H-S joint entropy (the round-4 ILP recipe verbatim: 4 independent
   K-split accumulator chains, radix-packed S columns {0, 1, 4096})
 
@@ -37,8 +38,13 @@ pHash anyway.
 
 Block-padding pixels are masked by their static flat index (>= n_valid):
 hue is forced out of range (hits no bin), the gray/sat contributions are
-zeroed. All counts accumulate exactly (per-dot counts < 2^24 in f32; the
-saturation total < 2^31 in int32).
+zeroed. Exactness holds at LIBRARY photo sizes, not just bench inputs
+(round-5 review finding): per-block f32 dot accumulators stay exact
+(every per-block count <= 262,144 pixels < 2^24) and the cross-block
+scratch accumulators are int32 (bins bounded by the pixel count, < 2^31
+up to 16k x 16k); the saturation total (up to 255 * n, > 2^31 for a
+>16 MP image) crosses blocks as the same (hi, lo) = (>>12, &4095) split
+pair ops/stats._split_sum uses, recombined host-side by split_total.
 
 tests/test_pallas_fused_stats.py pins interpret-mode parity against the
 XLA formulation (identical histograms, sat sums, and entropy to 1e-5).
@@ -76,6 +82,9 @@ def _make_kernel(n_valid):
 
     def _kernel(r_ref, g_ref, b_ref, ent_ref, hist_ref, sat_ref,
                 acc_hs, acc_gray, acc_sat):
+        # scratch: acc_hs/acc_gray int32 (per-block f32 partials are
+        # exact; int32 cross-block sums stay exact where f32 would stop
+        # counting past 2^24), acc_sat an int32 (hi, lo) split pair
         bi = pl.program_id(0)
         ci = pl.program_id(1)
         nblocks = pl.num_programs(1)
@@ -85,6 +94,7 @@ def _make_kernel(n_valid):
             acc_hs[:] = jnp.zeros_like(acc_hs)
             acc_gray[:] = jnp.zeros_like(acc_gray)
             acc_sat[0, 0] = 0
+            acc_sat[0, 1] = 0
 
         hue_ids = jax.lax.broadcasted_iota(jnp.int32, (H_PAD, 1), 0)
         pk_ids = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
@@ -167,18 +177,23 @@ def _make_kernel(n_valid):
         total = hs_accs[0]
         for j in range(1, SPLITS):
             total = total + hs_accs[j]
-        acc_hs[:] += total
-        acc_gray[:] += gray_acc
-        acc_sat[0, 0] += sat_acc
+        acc_hs[:] += total.astype(jnp.int32)
+        acc_gray[:] += gray_acc.astype(jnp.int32)
+        # per-block sat sum <= 255 * 262,144 < 2^31; the split streams
+        # stay int32-exact to 16k x 16k (hi <= ~16.3k/block)
+        acc_sat[0, 0] += sat_acc >> 12
+        acc_sat[0, 1] += sat_acc & ((1 << 12) - 1)
 
         @pl.when(ci == nblocks - 1)
         def _():
-            p = acc_hs[:] * (1.0 / jnp.sum(acc_hs[:]))
+            counts = acc_hs[:].astype(jnp.float32)
+            p = counts * (1.0 / jnp.sum(counts))
             logp = jnp.where(p > 0.0,
                              jnp.log2(jnp.where(p > 0.0, p, 1.0)), 0.0)
             ent_ref[bi, 0] = -jnp.sum(p * logp)
             hist_ref[0] = acc_gray[:]
             sat_ref[bi, 0] = acc_sat[0, 0]
+            sat_ref[bi, 1] = acc_sat[0, 1]
 
     return _kernel
 
@@ -187,7 +202,9 @@ def _make_kernel(n_valid):
 def _fused_stats_call(rp, gp, bp, n_valid, interpret=False):
     """rp/gp/bp: (B, n_pad4) int32 planes with PACK uint8 pixels per lane,
     n_pad4 % (ROWS*CHUNK) == 0.
-    -> (entropy (B,), gray_hist (B, 256) int32, sat_sum (B,) int32)."""
+    -> (entropy (B,), gray_hist (B, 256) int32,
+        sat_pair (B, 2) int32 — (>>12, &4095) split, split_total(…, 12)
+        recombines)."""
     b, n_pad4 = rp.shape
     nblocks = n_pad4 // (ROWS * CHUNK)
     rows_total = b * n_pad4 // CHUNK
@@ -204,21 +221,21 @@ def _fused_stats_call(rp, gp, bp, n_valid, interpret=False):
             pl.BlockSpec((1, 16, 128), lambda b_, c: (b_, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((H_PAD, 256), jnp.float32),
-                        pltpu.VMEM((16, 128), jnp.float32),
-                        pltpu.SMEM((1, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((H_PAD, 256), jnp.int32),
+                        pltpu.VMEM((16, 128), jnp.int32),
+                        pltpu.SMEM((1, 2), jnp.int32)],
         out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 16, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((b, 1), jnp.int32)],
+                   jax.ShapeDtypeStruct((b, 16, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((b, 2), jnp.int32)],
         interpret=interpret,
     )(rp, gp, bp)
-    gray_hist = hist[:, :, :16].reshape(b, 256).astype(jnp.int32)
-    return ent[:, 0], gray_hist, sat[:, 0]
+    gray_hist = hist[:, :, :16].reshape(b, 256)
+    return ent[:, 0], gray_hist, sat
 
 
 def fused_stats_pallas(rgb_batch, interpret=None):
     """(B, H, W, 3) uint8 -> (entropy (B,) f32, gray_hist (B, 256) i32,
-    sat_sum (B,) i32), all exact cv2 parity, one HBM pass.
+    sat_pair (B, 2) i32 split sums), all exact cv2 parity, one HBM pass.
 
     interpret=None auto-selects interpreter mode on CPU backends (tests,
     multichip dryrun) like the entropy kernel.

@@ -263,10 +263,10 @@ def _batch_stats_impl(rgb_batch, hs_subsample=1, entropy_impl="xla"):
     if fused_kernel:
         from facet_tpu.ops.pallas_fused_stats import fused_stats_pallas
 
-        entropy, gray_hist, sat_total = fused_stats_pallas(rgb_batch)
-        # the (hi, lo) pair shape split_total(…, 12) recombines exactly
-        sat_tiles = jnp.stack(
-            [sat_total >> 12, sat_total & ((1 << 12) - 1)], axis=1)
+        # the kernel already returns saturation as the (hi, lo) split
+        # pair split_total(…, 12) recombines — int32-exact past 16 MP
+        # where a single int32 total would wrap
+        entropy, gray_hist, sat_tiles = fused_stats_pallas(rgb_batch)
     else:
         hh, ss, _ = rgb_to_hsv(rgb_batch)
 

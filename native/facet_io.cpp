@@ -359,11 +359,31 @@ void facet_encode_thumbnail_batch(const uint8_t** rgb, const int* widths,
         int outW = W, outH = H;
         const int longEdge = W > H ? W : H;
         if (size > 0 && longEdge > size) {
-          // PIL.thumbnail semantics: fit inside (size, size), round,
-          // keep at least 1 px
-          const double scale = static_cast<double>(size) / longEdge;
-          outW = static_cast<int>(W * scale + 0.5);
-          outH = static_cast<int>(H * scale + 0.5);
+          // PIL.thumbnail semantics exactly: long edge = size; the short
+          // edge picks floor vs ceil minimizing the ASPECT error (PIL's
+          // round_aspect — plain half-up rounding differs for extreme
+          // ratios, e.g. 8000x131 @640 is 640x11 in PIL but 640x10
+          // half-up; ties and 0 fall back the way PIL's min() does)
+          const double aspect = static_cast<double>(W) / H;
+          if (W <= H) {   // PIL: x/y (=1) >= aspect -> round the width
+            outH = size;
+            const double v = size * aspect;
+            const int fl = static_cast<int>(std::floor(v));
+            const int ce = static_cast<int>(std::ceil(v));
+            const double ef = std::fabs(aspect - static_cast<double>(fl) / size);
+            const double ec = std::fabs(aspect - static_cast<double>(ce) / size);
+            outW = ef <= ec ? fl : ce;
+          } else {        // round the height, key |aspect - size/n|
+            outW = size;
+            const double v = size / aspect;
+            const int fl = static_cast<int>(std::floor(v));
+            const int ce = static_cast<int>(std::ceil(v));
+            const double ef = fl == 0 ? 0.0
+                : std::fabs(aspect - static_cast<double>(size) / fl);
+            const double ec = ce == 0 ? 0.0
+                : std::fabs(aspect - static_cast<double>(size) / ce);
+            outH = ef <= ec ? fl : ce;
+          }
           if (outW < 1) outW = 1;
           if (outH < 1) outH = 1;
           resized = resize_area(src, W, H, outW, outH);

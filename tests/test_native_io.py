@@ -112,7 +112,10 @@ class TestThumbnailEncoder:
     def test_matches_pil_thumbnail_sizing(self):
         """Long-edge semantics equal PIL.thumbnail's fit-inside box."""
         rng = np.random.default_rng(3)
-        for h, w in [(1024, 1536), (333, 77), (640, 640)]:
+        # the extreme ratios pin PIL's round_aspect (floor/ceil by aspect
+        # error, NOT half-up: 131x8000 @640 is 640x11, not 640x10)
+        for h, w in [(1024, 1536), (333, 77), (640, 640), (131, 8000),
+                     (8000, 131), (99, 1000)]:
             arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             blob = native_decode.encode_thumbnail_batch([arr], size=640)[0]
             import io

@@ -61,6 +61,39 @@ class TestShardedFusedPipeline:
             assert ta.lap_sumsq == tb.lap_sumsq
             assert ta.imm_abs_sum == tb.imm_abs_sum
 
+    def test_pallas_fused_stats_under_shard_map(self, fused_pair,
+                                                monkeypatch):
+        """The one-pass stats kernel (FACET_ENTROPY_IMPL=pallas_fused)
+        partitions under shard_map over 'dp' like the entropy kernel —
+        pallas_call has no GSPMD rule, so this is the configuration that
+        must work if the flag is ever enabled on a mesh."""
+        import jax.numpy as jnp
+
+        from facet_tpu.models.aesthetic import AestheticHead
+        from facet_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+        from facet_tpu.processing.device_pipeline import FusedScorer
+
+        _, single = fused_pair
+        images = _images(9, seed=31)       # uneven: padding + kernel mask
+        b = single.score_images(images)    # oracle BEFORE the env override
+        monkeypatch.setenv("FACET_ENTROPY_IMPL", "pallas_fused")
+        config = CLIPVisionConfig(**TINY_ARCH)
+        vision = CLIPVisionTower(config, dtype=jnp.float32)
+        head = AestheticHead()
+        vp = vision.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 28, 28, 3), jnp.float32))
+        hp = head.init(jax.random.PRNGKey(1), jnp.zeros((1, 768),
+                                                        jnp.float32))
+        kernel_sharded = FusedScorer(vision, head, vp, hp)
+        assert kernel_sharded.mesh is not None
+        a = kernel_sharded.score_images(images)   # impl resolves lazily here
+        for (sa, _, ha, ta), (sb, _, hb, tb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-5)
+            assert ha == hb
+            np.testing.assert_array_equal(ta.gray_hist, tb.gray_hist)
+            assert ta.hs_entropy == pytest.approx(tb.hs_entropy, abs=1e-5)
+            assert ta.sat_sum == tb.sat_sum
+
     @pytest.mark.parametrize("n", [1, 3, 5, 11])
     def test_uneven_batch_padding_sliced(self, fused_pair, n):
         """Batches that don't divide the 8-way mesh pad with zeros; the

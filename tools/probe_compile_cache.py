@@ -14,17 +14,20 @@ import os
 import sys
 import time
 
-CACHE_DIR = os.environ.get(
-    "FACET_XLA_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                 ".cache", "xla"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 
 def main():
-    os.makedirs(CACHE_DIR, exist_ok=True)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    from facet_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    if cache_dir is None:
+        print("cache disabled (FACET_XLA_CACHE=off)", file=sys.stderr)
+        return 1
+    # probe wants even the tiny test program cached
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
@@ -56,7 +59,7 @@ def main():
     dt = time.time() - t_ready
     print(f"compiled+ran in {dt:.1f}s (compile {t_compile:.1f}s)",
           flush=True, file=sys.stderr)
-    entries = [e for e in os.listdir(CACHE_DIR)]
+    entries = [e for e in os.listdir(cache_dir)]
     print(json.dumps({"compile_plus_run_s": round(dt, 2), "value": y,
                       "cache_entries": len(entries)}))
     return 0

@@ -37,11 +37,6 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
-CACHE_DIR = os.environ.get(
-    "FACET_XLA_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                 ".cache", "xla"))
-
 import facet_tpu  # noqa: E402,F401  (applies FACET_PLATFORM before jax init)
 
 
@@ -78,11 +73,9 @@ def main():
 
     import jax
 
-    if CACHE_DIR != "off":
-        os.makedirs(CACHE_DIR, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    from facet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     jax.devices()
